@@ -1,0 +1,115 @@
+"""SparkSession factory and runtime tuning.
+
+The reference (hadoop-lab) hand-assembles a Hadoop ``Job`` per query and
+relies on framework defaults (HashPartitioner, single reducer — see
+SURVEY.md §3.2). Here the equivalent is a single SparkSession with
+scale-aware defaults: AQE re-plans shuffles at runtime (partition
+coalescing, skew-join splitting), Arrow accelerates any pandas exchange,
+and the session timezone is pinned to UTC so timestamp semantics match
+the DuckDB oracle exactly.
+
+Two entry points:
+
+- :func:`get_spark` — build a session (local runs, tests, bench).
+- :func:`tune_session` — apply the runtime-settable subset of the same
+  confs to a session we did *not* create (the verify driver passes its
+  own session into ``__spark_entry__.entry``/``queries()``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Conf values that are safe (and wanted) at any scale. Static confs — must
+# be set before the JVM starts; applied only by get_spark().
+_STATIC_CONF = {
+    "spark.sql.shuffle.partitions": None,  # filled from cpu count below
+    "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+    # one JVM locally, many executors on a cluster: either way, off-heap
+    # columnar reads and a sane broadcast threshold.
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.aggregatePushdown": "true",
+}
+
+# Runtime-settable confs: applied both at build time and to foreign sessions.
+_RUNTIME_CONF = {
+    # AQE: runtime shuffle-partition coalescing, skew-join splitting, and
+    # dynamic broadcast conversion — the knobs the reference hardcodes
+    # (combiner placement, single reducer) become adaptive here.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for any pandas_udf / toPandas path (similarity, multimodal).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Deterministic timestamp semantics vs the DuckDB oracle
+    # (DuckDB timestamps are UTC-naive).
+    "spark.sql.session.timeZone": "UTC",
+    # 10 MB default is conservative; dims like region/nation/supplier are
+    # tiny even at 100 TB lineitem scale.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Spark has no TIMESTAMP(NANOS) type; read nano columns as raw int64
+    # nanos and let the loader convert (sources/tables.py::_normalize).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def default_parallelism() -> int:
+    """Shuffle-partition default: env override, else 2× local cores.
+
+    On a real cluster you want 2-3× total executor cores (and AQE coalesces
+    down); locally SPARK_GRAFT_CPUS drives it.
+    """
+    env = os.environ.get("SPARK_GRAFT_CPUS")
+    if env:
+        try:
+            return max(2 * int(env), 4)
+        except ValueError:
+            pass
+    return max(2 * (os.cpu_count() or 4), 4)
+
+
+def tune_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine confs to an existing session.
+
+    Used when the session is owned by someone else (the verify driver).
+    Only touches confs that Spark allows changing at runtime.
+    """
+    for key, value in _RUNTIME_CONF.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            # Foreign session may restrict some confs; never fail a query
+            # over a tuning hint.
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "hadoop-lab-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (or ``local[*]``);
+    on a cluster, pass the real master URL or rely on spark-submit.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+
+    builder = SparkSession.builder.appName(app_name).master(master)
+
+    static = dict(_STATIC_CONF)
+    static["spark.sql.shuffle.partitions"] = str(
+        shuffle_partitions or default_parallelism()
+    )
+    for key, value in {**static, **_RUNTIME_CONF, **(extra_conf or {})}.items():
+        if value is not None:
+            builder = builder.config(key, value)
+
+    spark = builder.getOrCreate()
+    return tune_session(spark)

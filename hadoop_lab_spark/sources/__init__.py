@@ -1,0 +1,5 @@
+"""Sources: parquet star-schema tables and reference-text quirk readers."""
+
+from hadoop_lab_spark.sources.tables import TABLES, load_table, load_tables
+
+__all__ = ["TABLES", "load_table", "load_tables"]
