@@ -1,0 +1,438 @@
+"""Relational extension queries — the surface the reference lacks.
+
+SURVEY.md §2.11: the reference implements no windows, set ops, rollup,
+distinct aggregation, semi/anti/outer joins, subqueries, or LIMIT/top-k.
+They're native to Spark, so the engine exposes them as first-class,
+oracle-checked queries (tracked as extensions, not reference parity).
+
+Cross-engine float policy (registry docstring): multi-row double sums
+are rounded to 2dp on both sides; averages to 4dp; comparisons/max/min
+and single-row scalar math need no rounding. Deterministic top-k always
+carries a unique tie-break key, applied to the ROUNDED measure so both
+engines pick the same boundary rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hadoop_lab_spark.plans.registry import register
+from hadoop_lab_spark.session import tune_session
+from hadoop_lab_spark.sources import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    tune_session(spark)
+    return load_table(spark, sf_dir, name)
+
+
+def _revenue():
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q1 shape: wide multi-aggregate scan
+# ---------------------------------------------------------------------------
+@register(
+    "pricing_summary",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2)                                   AS sum_qty,
+               round(sum(l_extendedprice), 2)                              AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               round(avg(l_quantity), 4)                                   AS avg_qty,
+               round(avg(l_extendedprice), 4)                              AS avg_price,
+               round(avg(l_discount), 4)                                   AS avg_disc,
+               count(*)                                                    AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 pricing summary: 8 aggregates over one pruned scan",
+    tags=("extension", "aggregate", "tpch"),
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One scan (7 of 11 columns), filter pushed to parquet, partial
+    aggregates before the single exchange on (returnflag, linestatus)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
+    disc_price = _revenue()
+    charge = disc_price * (1 + F.col("l_tax"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+        F.round(F.sum(charge), 2).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-way star join with broadcast dims (TPC-H Q5 shape)
+# ---------------------------------------------------------------------------
+@register(
+    "revenue_per_nation",
+    oracle="""
+        SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey  = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name IN ('ASIA', 'EUROPE')
+        GROUP BY n_name
+    """,
+    doc="star join: lineitem⋈orders⋈customer⋈nation⋈region, revenue per nation",
+    tags=("extension", "join", "tpch"),
+)
+def q_revenue_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join order: fact table joins the customer axis; region/nation are
+    broadcast (5/25 rows at ANY scale factor), so the region filter
+    prunes customers before the only big shuffle (lineitem⋈orders).
+    At 100 TB this is one sort-merge/shuffled-hash join on orderkey plus
+    broadcast hash joins — no dim ever shuffles."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
+
+    cust_nation = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "n_name")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust_nation), orders.o_custkey == cust_nation.c_custkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Global deterministic top-k (reference has none — SURVEY §2.6)
+# ---------------------------------------------------------------------------
+@register(
+    "top_customers_by_revenue",
+    oracle="""
+        SELECT c_custkey, revenue
+        FROM (
+            SELECT o_custkey AS c_custkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_custkey
+        )
+        ORDER BY revenue DESC, c_custkey ASC
+        LIMIT 10
+    """,
+    doc="global top-10 by revenue; ordered on the rounded measure with a "
+    "unique tie-break so both engines select identical boundary rows",
+    tags=("extension", "topk", "join"),
+)
+def q_top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort+limit compiles to TakeOrderedAndProject — each partition
+    keeps its local top-10, the driver merges k·partitions rows; no
+    global sort materializes."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+    )
+    return rev.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc()).limit(10)
+
+
+# ---------------------------------------------------------------------------
+# Window functions: ranked top-k per group
+# ---------------------------------------------------------------------------
+@register(
+    "top_parts_per_brand",
+    oracle="""
+        SELECT p_brand, p_partkey, p_retailprice, rk
+        FROM (
+            SELECT p_brand, p_partkey, p_retailprice,
+                   row_number() OVER (
+                       PARTITION BY p_brand
+                       ORDER BY p_retailprice DESC, p_partkey ASC
+                   ) AS rk
+            FROM part
+        )
+        WHERE rk <= 3
+    """,
+    doc="window ranking: top-3 parts by retail price per brand (row_number)",
+    tags=("extension", "window"),
+)
+def q_top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    win = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey").asc()
+    )
+    return (
+        part.select("p_brand", "p_partkey", "p_retailprice")
+        .withColumn("rk", F.row_number().over(win))
+        .filter(F.col("rk") <= 3)
+    )
+
+
+@register(
+    "cumulative_monthly_revenue",
+    oracle="""
+        SELECT month, round(sum(monthly) OVER (ORDER BY month), 2) AS cum_revenue
+        FROM (
+            -- CAST: duckdb's date_trunc('month') yields DATE; Spark yields TIMESTAMP
+            SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+                   round(sum(o_totalprice), 2) AS monthly
+            FROM orders
+            GROUP BY 1
+        )
+    """,
+    doc="analytic window: running total of monthly order revenue "
+    "(inner sums rounded so the cumulative sum is engine-identical)",
+    tags=("extension", "window"),
+)
+def q_cumulative_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unbounded-preceding running sum adds identical rounded doubles
+    in identical (month) order on both engines → bit-equal results.
+    Month count is tiny after the first aggregate, so the single-
+    partition window is safe at any SF."""
+    orders = _t(spark, sf_dir, "orders")
+    monthly = orders.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("monthly")
+    )
+    win = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return monthly.select(
+        "month", F.round(F.sum("monthly").over(win), 2).alias("cum_revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distinct aggregation
+# ---------------------------------------------------------------------------
+@register(
+    "distinct_customers_per_priority",
+    oracle="""
+        SELECT o_orderpriority,
+               count(DISTINCT o_custkey) AS n_customers,
+               count(*) AS n_orders
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    doc="distinct aggregation: unique customers per order priority",
+    tags=("extension", "aggregate", "distinct"),
+)
+def q_distinct_customers_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semi / anti joins (subquery shapes)
+# ---------------------------------------------------------------------------
+@register(
+    "customers_without_urgent_orders",
+    oracle="""
+        SELECT c_mktsegment, count(*) AS cnt
+        FROM customer c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+        )
+        GROUP BY c_mktsegment
+    """,
+    doc="anti join (NOT EXISTS): customers with no urgent order, per segment",
+    tags=("extension", "join", "anti"),
+)
+def q_customers_without_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
+    "parts_shipped_semi",
+    oracle="""
+        SELECT p_brand, count(*) AS cnt
+        FROM part p
+        WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+        GROUP BY p_brand
+    """,
+    doc="semi join (EXISTS): parts that appear in any lineitem, per brand",
+    tags=("extension", "join", "semi"),
+    bench=False,
+)
+def q_parts_shipped_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey")
+    return (
+        part.join(li, part.p_partkey == li.l_partkey, "left_semi")
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Outer join with null handling
+# ---------------------------------------------------------------------------
+@register(
+    "nation_customer_counts_outer",
+    oracle="""
+        SELECT n_name, count(c_custkey) AS n_customers
+        FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+    doc="left outer join: customer count per nation, nations with zero kept",
+    tags=("extension", "join", "outer"),
+    bench=False,
+)
+def q_nation_customer_counts_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    joined = nation.join(cust, cust.c_nationkey == nation.n_nationkey, "left")
+    return joined.groupBy("n_name").agg(F.count("c_custkey").alias("n_customers"))
+
+
+# ---------------------------------------------------------------------------
+# Set operations
+# ---------------------------------------------------------------------------
+@register(
+    "fulfilled_and_pending_customers",
+    oracle="""
+        SELECT count(*) AS cnt FROM (
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+            INTERSECT
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+        )
+    """,
+    doc="set op: INTERSECT of customer sets by order status",
+    tags=("extension", "setop"),
+    bench=False,
+)
+def q_fulfilled_and_pending_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    f_set = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    p_set = orders.filter(F.col("o_orderstatus") == "P").select("o_custkey")
+    return f_set.intersect(p_set).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@register(
+    "only_fulfilled_customers_except",
+    oracle="""
+        SELECT count(*) AS cnt FROM (
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+            EXCEPT
+            SELECT o_custkey FROM orders WHERE o_orderstatus <> 'F'
+        )
+    """,
+    doc="set op: EXCEPT — customers with only fulfilled orders",
+    tags=("extension", "setop"),
+    bench=False,
+)
+def q_only_fulfilled_customers_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    f_set = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    other = orders.filter(F.col("o_orderstatus") != "F").select("o_custkey")
+    # subtract == EXCEPT (set semantics); exceptAll would be EXCEPT ALL.
+    return f_set.subtract(other).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets / rollup
+# ---------------------------------------------------------------------------
+@register(
+    "orders_rollup",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS cnt,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    doc="ROLLUP over (status, priority): subtotal and grand-total rows",
+    tags=("extension", "rollup"),
+)
+def q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact percentiles (reference has no math beyond max/sum)
+# ---------------------------------------------------------------------------
+@register(
+    "value_quartiles_per_type",
+    oracle="""
+        SELECT event_type,
+               round(quantile_cont(value, 0.25), 4) AS p25,
+               round(quantile_cont(value, 0.50), 4) AS p50,
+               round(quantile_cont(value, 0.75), 4) AS p75
+        FROM events
+        GROUP BY event_type
+    """,
+    doc="exact linear-interpolated percentiles per group",
+    tags=("extension", "aggregate", "percentile"),
+    bench=False,
+)
+def q_value_quartiles_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(value, 0.50)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.75)"), 4).alias("p75"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization (lag + gap threshold) — common OLAP pattern
+# ---------------------------------------------------------------------------
+@register(
+    "sessions_per_user",
+    oracle="""
+        SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions
+        FROM (
+            SELECT user_id,
+                   CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                             IS NULL THEN 1
+                        WHEN epoch(ts) - epoch(lag(ts) OVER (
+                             PARTITION BY user_id ORDER BY ts, event_id)) > 3600 THEN 1
+                        ELSE 0 END AS new_session
+            FROM events
+        )
+        GROUP BY user_id
+    """,
+    doc="sessionization: count sessions per user with a 1h inactivity gap "
+    "(lag window + cumulative flag)",
+    tags=("extension", "window", "sessionize"),
+)
+def q_sessions_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer epoch math only — no cross-engine float risk. One shuffle
+    on user_id for the window, one aggregate reusing the partitioning."""
+    events = _t(spark, sf_dir, "events")
+    win = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(win))
+    new_session = F.when(gap.isNull() | (gap > 3600), 1).otherwise(0)
+    return (
+        events.select("user_id", "ts", "event_id")
+        .withColumn("new_session", new_session)
+        .groupBy("user_id")
+        .agg(F.sum("new_session").cast("long").alias("n_sessions"))
+    )

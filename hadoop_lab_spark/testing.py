@@ -2,10 +2,10 @@
 
 Mirrors the driver's correctness gate (row count + column names +
 order-insensitive values) so regressions surface in `pytest` before a
-round's verify runs. Comparison: sort columns by name, sort rows by all
-columns, exact match on non-floats, tight tolerance on floats (queries
-are designed so values are bit-identical; the tolerance only localizes a
-diagnosis when they are not).
+round's verify runs. Comparison happens on RAW row objects (Spark
+``collect()`` vs DuckDB ``fetchall()``) — pandas conversion would paper
+over type divergences (e.g. DATE vs TIMESTAMP) that a value-hash driver
+would catch.
 """
 
 from __future__ import annotations
@@ -13,9 +13,8 @@ from __future__ import annotations
 import math
 
 import duckdb
-import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 
 from hadoop_lab_spark.sources.tables import TABLES, table_path
 
@@ -31,12 +30,49 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
-def _canonical(df: pd.DataFrame) -> pd.DataFrame:
-    out = df[sorted(df.columns)].copy()
-    for col in out.columns:
-        if str(out[col].dtype).startswith(("datetime", "object")):
-            out[col] = out[col].astype(str)
-    return out.sort_values(by=list(out.columns), kind="mergesort").reset_index(drop=True)
+def _sorted_rows(cols: list[str], rows: list[tuple]) -> list[tuple]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    reordered = [tuple(row[i] for i in order) for row in rows]
+    return sorted(reordered, key=repr)
+
+
+def _value_kind(v) -> str:
+    if v is None:
+        return "null"
+    if isinstance(v, bool):
+        return "bool"
+    if isinstance(v, float):
+        return "float"
+    if isinstance(v, int):
+        return "int"
+    return type(v).__name__  # str, date, datetime, Decimal, list, ...
+
+
+def _col_kinds(cols: list[str], rows: list[tuple]) -> dict[str, str]:
+    kinds: dict[str, str] = {}
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    names = [cols[i] for i in order]
+    for j, name in enumerate(names):
+        kind = "null"
+        for row in rows:
+            k = _value_kind(row[j])
+            if k != "null":
+                kind = k
+                break
+        kinds[name] = kind
+    return kinds
+
+
+def _close(x, y, rtol: float) -> bool:
+    if x is None and y is None:
+        return True
+    if x is None or y is None:
+        return False
+    if isinstance(x, float) and isinstance(y, float):
+        if math.isnan(x) and math.isnan(y):
+            return True
+        return math.isclose(x, y, rel_tol=rtol, abs_tol=1e-12)
+    return repr(x) == repr(y)
 
 
 def assert_matches_oracle(
@@ -44,37 +80,34 @@ def assert_matches_oracle(
     con: duckdb.DuckDBPyConnection,
     oracle: str,
     name: str = "query",
-    float_rtol: float = 1e-9,
+    float_rtol: float = 0.0,
 ) -> None:
-    actual = _canonical(spark_df.toPandas())
-    expected = _canonical(con.execute(oracle).fetchdf())
+    """Strict by default (float_rtol=0 → repr equality, what a value-hash
+    driver effectively checks); pass a small rtol only to diagnose."""
+    a_cols = spark_df.columns
+    a_rows = [tuple(r) for r in spark_df.collect()]
+    cur = con.execute(oracle)
+    e_cols = [d[0] for d in cur.description]
+    e_rows = [tuple(r) for r in cur.fetchall()]
 
-    assert list(actual.columns) == list(expected.columns), (
-        f"{name}: column mismatch spark={list(actual.columns)} oracle={list(expected.columns)}"
+    assert sorted(a_cols) == sorted(e_cols), (
+        f"{name}: column mismatch spark={sorted(a_cols)} oracle={sorted(e_cols)}"
     )
-    assert len(actual) == len(expected), (
-        f"{name}: row count spark={len(actual)} oracle={len(expected)}"
+    assert len(a_rows) == len(e_rows), (
+        f"{name}: row count spark={len(a_rows)} oracle={len(e_rows)}"
     )
-    for col in actual.columns:
-        a, e = actual[col], expected[col]
-        if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(e):
-            bad = [
-                (i, x, y)
-                for i, (x, y) in enumerate(zip(a.astype(float), e.astype(float)))
-                if not _close(x, y, float_rtol)
-            ]
-            assert not bad, f"{name}.{col}: {len(bad)} float mismatches, first: {bad[:3]}"
-        else:
-            diff = a.astype(str) != e.astype(str)
-            assert not diff.any(), (
-                f"{name}.{col}: {int(diff.sum())} mismatches, first rows: "
-                f"{list(zip(a[diff][:3], e[diff][:3]))}"
-            )
+    a_kinds, e_kinds = _col_kinds(a_cols, a_rows), _col_kinds(e_cols, e_rows)
+    assert a_kinds == e_kinds, f"{name}: type mismatch spark={a_kinds} oracle={e_kinds}"
 
-
-def _close(x: float, y: float, rtol: float) -> bool:
-    if pd.isna(x) and pd.isna(y):
-        return True
-    if pd.isna(x) or pd.isna(y):
-        return False
-    return math.isclose(x, y, rel_tol=rtol, abs_tol=1e-12)
+    a_sorted, e_sorted = _sorted_rows(a_cols, a_rows), _sorted_rows(e_cols, e_rows)
+    if float_rtol == 0.0:
+        bad = [
+            (i, x, y) for i, (x, y) in enumerate(zip(a_sorted, e_sorted)) if repr(x) != repr(y)
+        ]
+    else:
+        bad = [
+            (i, x, y)
+            for i, (x, y) in enumerate(zip(a_sorted, e_sorted))
+            if not all(_close(xv, yv, float_rtol) for xv, yv in zip(x, y))
+        ]
+    assert not bad, f"{name}: {len(bad)} row mismatches, first: {bad[:3]}"
