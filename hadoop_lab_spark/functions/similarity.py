@@ -1,0 +1,181 @@
+"""Embedding similarity search over array<float> columns.
+
+Two tiers, per the standard ANN playbook:
+
+- :func:`cosine_topk` — exact brute force. The right baseline, and the
+  right *answer* when the query set is small: broadcast the queries,
+  stream the corpus once, TakeOrdered per query. Linear in corpus size,
+  embarrassingly parallel, zero shuffle of the corpus.
+- :func:`lsh_ann_topk` — the scale path: random-hyperplane LSH buckets
+  the corpus by sign signature; a query only scans its own bucket.
+  Planes are derived from md5 (deterministic, engine-portable), so the
+  DuckDB oracle reproduces the exact same buckets and results.
+
+All vector math is built-in higher-order functions (zip_with +
+aggregate) over DOUBLE — JVM-evaluated, no Python per row. Cosines are
+rounded to 6dp before ranking so cross-engine float accumulation
+differences can never flip a rank boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: Number of hyperplanes for the LSH signature (2^PLANES buckets).
+LSH_PLANES = 6
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Σ a[i]·b[i] in DOUBLE (left-fold; deterministic order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine(a: Column, b: Column, decimals: int = 6) -> Column:
+    """Truncated cosine similarity between two float-array columns.
+
+    Truncation (floor(x·10^d)/10^d), not round(): round()'s half-way
+    case differs between engines, floor of a bit-identical double never
+    does (see functions/text.py::trunc).
+    """
+    scale = 10**decimals
+    raw = _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+    return F.floor(raw * scale) / scale
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query (self-pairs excluded).
+
+    Returns (query_id, neighbor_id, cos, rk). The queries side is
+    broadcast — the corpus is scanned once with no shuffle; the only
+    exchange is the per-query window over candidate rows (k·|queries|
+    after row_number pruning, negligible).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("_qv"), F.col("_cv")).alias("cos"),
+        )
+    )
+    win = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rk", F.row_number().over(win)).filter(F.col("rk") <= k)
+
+
+def hyperplane_weight(plane: Column | int, dim: Column) -> Column:
+    """Deterministic pseudo-random plane weight in {−7.5 … +7.5}:
+    first hex nibble of md5('<plane>_<dim>') minus 7.5. Portable —
+    the oracle SQL computes the identical planes."""
+    p = F.lit(plane) if isinstance(plane, int) else plane
+    h = F.md5(F.concat(p.cast("string"), F.lit("_"), dim.cast("string")).cast("binary"))
+    nib = F.instr(F.lit("0123456789abcdef"), F.substring(h, 1, 1)) - 1
+    return nib.cast("double") - 7.5
+
+
+def lsh_signature(vec_col: Column, planes: int = LSH_PLANES) -> Column:
+    """Sign signature: one char per hyperplane ('1' if v·w ≥ 0).
+
+    Dot products fold over posexploded dims via transform+aggregate so
+    everything stays in one projection — no join, no shuffle.
+    """
+    def bit(p: int) -> Column:
+        proj = F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.sequence(F.lit(0), F.size(vec_col) - 1),
+                lambda v, d: v.cast("double") * hyperplane_weight(p, d),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        return F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0"))
+
+    return F.concat(*[bit(p) for p in range(planes)])
+
+
+def lsh_ann_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = LSH_PLANES,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket.
+
+    The corpus is signature-bucketed once (reusable across query sets —
+    at 100 TB you'd persist it partitioned by signature); each query
+    joins only its bucket, so scan cost per query drops from O(N) to
+    O(N / 2^planes) expected. Recall < 1 by construction: neighbors
+    across a hyperplane are missed — the standard LSH trade; raise
+    recall with multi-probe (flip one signature bit) or fewer planes.
+    """
+    sig = lsh_signature(F.col(vec_col), planes)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        sig.alias("sig"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        sig.alias("sig"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "sig")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("_qv"), F.col("_cv")).alias("cos"),
+        )
+    )
+    win = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rk", F.row_number().over(win)).filter(F.col("rk") <= k)
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = LSH_PLANES,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cos ≥ θ),
+    blocked by LSH bucket so only same-bucket pairs are scored."""
+    sig = lsh_signature(F.col(vec_col), planes)
+    tagged = df.select(F.col(id_col), F.col(vec_col), sig.alias("sig"))
+    a = tagged.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), "sig"
+    )
+    b = tagged.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), "sig"
+    )
+    return (
+        a.join(b, "sig")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )

@@ -1,0 +1,449 @@
+"""Training-data-pipeline queries: text analysis, dedup, similarity.
+
+These are the extension surface beyond the 10 reference jobs (SURVEY.md
+§7.1 M6, BASELINE.json north star): the operators a 100 TB training-data
+pipeline needs. Every query here is registered with a full DuckDB oracle
+— including the MinHash/LSH and SimHash pipelines, whose hashes are
+engine-portable md5 minima precisely so the oracle can replay them.
+
+Cross-engine float policy (see plans/registry.py): ratios of integers
+and single-op scalar math are bit-identical and unrounded; folded float
+accumulations (cosines, quality score) are rounded to 6dp on BOTH sides
+before any ranking, so accumulation-order ulps can't flip a rank.
+
+DuckDB-vs-Spark gotchas encoded below (learned the hard way):
+- DuckDB ``CAST(double AS INT)`` rounds half-even; Spark truncates →
+  every fractional index in oracle SQL goes through ``floor()``.
+- DuckDB ``regexp_replace`` replaces the FIRST match unless the ``'g'``
+  flag is passed; Spark replaces all.
+- DuckDB list slicing is 1-based inclusive ``list_slice(l, i, j)``;
+  Spark is ``slice(l, i, length)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_lab_spark.functions import dedup as D
+from hadoop_lab_spark.functions import similarity as S
+from hadoop_lab_spark.functions import text as X
+from hadoop_lab_spark.plans.registry import register
+from hadoop_lab_spark.session import tune_session
+from hadoop_lab_spark.sources import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    tune_session(spark)
+    return load_table(spark, sf_dir, name)
+
+
+def _sql_list(items: tuple[str, ...]) -> str:
+    return "[" + ", ".join(f"'{s}'" for s in items) + "]"
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
+
+
+@register(
+    "text_stats",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(len({_TOKS}) AS INTEGER) AS n_tokens,
+               CAST(len(regexp_extract_all(text, '{X.BPE_TOKEN_RE}')) AS INTEGER)
+                   AS n_bpe_tokens,
+               length(regexp_replace(text, '\\s+', '', 'g'))
+                   / len({_TOKS}) AS mean_token_len
+        FROM documents
+    """,
+    doc="token counting: whitespace tokens, BPE-ish subword tokens, mean token length",
+    tags=("pipeline", "text"),
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One codegen stage over the scan, zero shuffles — at 100 TB this is
+    a single pass that reads only (doc_id, text)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        X.token_count("text").alias("n_tokens"),
+        X.bpe_token_count("text").alias("n_bpe_tokens"),
+        X.mean_token_length("text").alias("mean_token_len"),
+    )
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id,
+                   {_TOKS} AS toks,
+                   len({_TOKS}) AS n_tok,
+                   len(regexp_extract_all(text, '[!-/:-@\\[-`{{-~]')) / length(text)
+                       AS punct,
+                   length(regexp_replace(text, '\\s+', '', 'g')) AS non_space
+            FROM documents
+        )
+        SELECT doc_id,
+               floor((0.3 * least(n_tok / 100.0, 1.0)
+                   + 0.3 * (len(list_filter(toks,
+                         t -> list_contains({_sql_list(X.QUALITY_STOPWORDS)}, t))) / n_tok)
+                   + 0.2 * (1.0 - punct)
+                   + 0.2 * least((non_space / n_tok) / 8.0, 1.0)) * 1000000)
+                   / 1000000 AS quality
+        FROM t
+    """,
+    doc="document quality scoring: length + stopword ratio + punctuation + token shape",
+    tags=("pipeline", "text"),
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", X.quality_score("text").alias("quality"))
+
+
+@register(
+    "lang_id",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(lower(text)), '\\s+') AS toks,
+                   len(regexp_extract_all(text, '{X.CJK_RE}')) AS cjk
+            FROM documents
+        ),
+        h AS (
+            SELECT doc_id, cjk,
+                   {", ".join(
+                       f"len(list_filter(toks, t -> list_contains({_sql_list(marks)}, t))) AS h_{lang}"
+                       for lang, marks in sorted(X.LANG_MARKERS.items())
+                   )}
+            FROM t
+        )
+        SELECT doc_id,
+               CASE WHEN cjk > 0 THEN 'zh'
+                    WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+                    WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
+                    WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+                    WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+                    ELSE 'fr' END AS lang_pred
+        FROM h
+    """,
+    doc="language ID: CJK codepoint check + marker-stopword argmax heuristic",
+    tags=("pipeline", "text"),
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", X.lang_id("text").alias("lang_pred"))
+
+
+@register(
+    "doc_fingerprints",
+    oracle=f"""
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp_canon,
+               list_min(list_transform(
+                   range(1, greatest(length(text) - {X.FINGERPRINT_K - 1}, 1) + 1),
+                   i -> md5(substring(text, CAST(i AS INT), {X.FINGERPRINT_K}))
+               )) AS fp_chargram
+        FROM documents
+    """,
+    doc="document fingerprinting: canonical-form md5 + min rolling k-gram hash",
+    tags=("pipeline", "text", "dedup"),
+)
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        X.fingerprint_md5("text").alias("fp_canon"),
+        X.fingerprint_chargram_min("text").alias("fp_chargram"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_exact",
+    oracle="""
+        SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+               CAST(count(*) AS BIGINT) AS cnt,
+               min(doc_id) AS keeper
+        FROM documents
+        GROUP BY 1
+    """,
+    doc="exact dedup: hash-groupBy on the canonical fingerprint; keeper = min doc_id",
+    tags=("pipeline", "dedup"),
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-side partial agg on the fingerprint → one shuffle keyed on a
+    uniform hash: perfectly balanced at any scale."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", X.fingerprint_md5("text").alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.min("doc_id").alias("keeper"))
+    )
+
+
+_SHINGLES_SQL = f"""
+    SELECT DISTINCT doc_id,
+           array_to_string(list_slice(toks, CAST(i AS INT),
+                                      CAST(i AS INT) + {D.SHINGLE_N - 1}), ' ') AS shingle
+    FROM (
+        SELECT doc_id, {_TOKS} AS toks FROM documents
+        WHERE len({_TOKS}) >= {D.SHINGLE_N}
+    ), UNNEST(range(1, len(toks) - {D.SHINGLE_N - 1} + 1)) AS u(i)
+"""
+
+_ROWS_PER_BAND = D.MINHASH_SEEDS // D.LSH_BANDS
+
+_BANDS_SQL = f"""
+    SELECT doc_id, band, md5(string_agg(mh, '|' ORDER BY seed)) AS band_sig
+    FROM (
+        SELECT doc_id, seed,
+               CAST(floor(seed / {_ROWS_PER_BAND}) AS INT) AS band,
+               min(md5(CAST(seed AS VARCHAR) || '#' || shingle)) AS mh
+        FROM sh CROSS JOIN (SELECT unnest(range(0, {D.MINHASH_SEEDS})) AS seed) s
+        GROUP BY doc_id, seed
+    )
+    GROUP BY doc_id, band
+"""
+
+_JACCARD_SQL = """
+    SELECT p.id_a, p.id_b,
+           i.inter / (sa.n_sh + sb.n_sh - i.inter) AS jaccard
+    FROM pairs p
+    JOIN (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ) i ON i.id_a = p.id_a AND i.id_b = p.id_b
+    JOIN (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1) sa ON sa.doc_id = p.id_a
+    JOIN (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1) sb ON sb.doc_id = p.id_b
+"""
+
+#: Verification thresholds for the near-dup pipelines. The synthetic
+#: corpus is random prose, so genuinely high-Jaccard pairs are rare —
+#: thresholds are set where the sf0.01 corpus produces non-trivial,
+#: non-empty result sets (verified empirically).
+MINHASH_THRESHOLD = 0.10
+NGRAM_THRESHOLD = 0.10
+COSINE_DUP_THRESHOLD = 0.35
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+        WITH sh AS ({_SHINGLES_SQL}),
+        bands AS ({_BANDS_SQL}),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.band_sig = b.band_sig
+            WHERE a.doc_id < b.doc_id
+        )
+        SELECT * FROM ({_JACCARD_SQL}) WHERE jaccard >= {MINHASH_THRESHOLD}
+    """,
+    doc="MinHash+LSH near-dedup: shingle → minhash → band → bucket-join → "
+    "exact-Jaccard verify",
+    tags=("pipeline", "dedup", "lsh"),
+)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate generation is the band-signature self-join — cost scales
+    with collisions, never n². See functions/dedup.py for the 100 TB
+    analysis (hot-key caps, bounded ×seeds blowup)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = D.minhash_near_dups(docs, "doc_id", "text", MINHASH_THRESHOLD)
+    return out.select("id_a", "id_b", "jaccard")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+        WITH sh AS ({_SHINGLES_SQL}),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM (SELECT doc_id, shingle FROM sh
+                  WHERE shingle IN (SELECT shingle FROM sh
+                                    GROUP BY 1 HAVING count(*) <= 1000)) a
+            JOIN (SELECT doc_id, shingle FROM sh
+                  WHERE shingle IN (SELECT shingle FROM sh
+                                    GROUP BY 1 HAVING count(*) <= 1000)) b
+              ON a.shingle = b.shingle
+            WHERE a.doc_id < b.doc_id
+        )
+        SELECT * FROM ({_JACCARD_SQL}) WHERE jaccard >= {NGRAM_THRESHOLD}
+    """,
+    doc="n-gram Jaccard near-dedup: shingle-blocked candidate join + exact verify "
+    "(perfect recall w.r.t. shared shingles; hot shingles capped)",
+    tags=("pipeline", "dedup"),
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    out = D.ngram_jaccard_pairs(docs, "doc_id", "text", NGRAM_THRESHOLD)
+    return out.select("id_a", "id_b", "jaccard")
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+        WITH tf AS (
+            SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS w, md5(tok) AS h
+            FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
+            GROUP BY doc_id, tok
+        ),
+        bits AS (
+            SELECT doc_id, j,
+                   sum(w * (2 * (((instr('0123456789abcdef',
+                            substring(h, CAST(floor(j / 4) AS INT) + 1, 1)) - 1)
+                            >> (3 - CAST(j % 4 AS INT))) & 1) - 1)) AS s
+            FROM tf CROSS JOIN (SELECT unnest(range(0, {D.SIMHASH_BITS})) AS j) js
+            GROUP BY doc_id, j
+        )
+        SELECT doc_id,
+               string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY j)
+                   AS simhash
+        FROM bits
+        GROUP BY doc_id
+    """,
+    doc="SimHash document signatures: tf-weighted signed bit sums over md5 token "
+    "hashes, 64-bit '0'/'1' string",
+    tags=("pipeline", "dedup", "simhash"),
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return D.simhash_bits(docs, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (embeddings: array<float>, 64-dim)
+# ---------------------------------------------------------------------------
+#: Query subset for the top-k demos: small, broadcastable.
+_N_QUERIES = 8
+_TOP_K = 5
+
+_DOT = (
+    "list_sum(list_transform(range(1, len({a}) + 1), "
+    "i -> CAST({a}[CAST(i AS INT)] AS DOUBLE) * CAST({b}[CAST(i AS INT)] AS DOUBLE)))"
+)
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return _DOT.format(a=a, b=b)
+
+
+_COS_SQL = (
+    f"(floor(({_dot_sql('qv', 'cv')} / "
+    f"(sqrt({_dot_sql('qv', 'qv')}) * sqrt({_dot_sql('cv', 'cv')})))"
+    " * 1000000) / 1000000)"
+)
+
+
+@register(
+    "sim_topk_bruteforce",
+    oracle=f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                   FROM embeddings WHERE vec_id < {_N_QUERIES}),
+        c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+        scored AS (
+            SELECT query_id, neighbor_id, {_COS_SQL} AS cos
+            FROM c CROSS JOIN q
+            WHERE neighbor_id <> query_id
+        )
+        SELECT query_id, neighbor_id, cos, CAST(rk AS INTEGER) AS rk
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rk
+            FROM scored
+        )
+        WHERE rk <= {_TOP_K}
+    """,
+    doc="exact brute-force cosine top-k: broadcast queries, one corpus scan, "
+    "per-query window",
+    tags=("pipeline", "similarity"),
+)
+def q_sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus is never shuffled: queries broadcast, cosine evaluated
+    in the scan stage, and the only exchange carries candidate rows."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    out = S.cosine_topk(queries, emb, _TOP_K, id_col="vec_id", vec_col="embedding")
+    return out.select("query_id", "neighbor_id", "cos", "rk")
+
+
+_W_SQL = (
+    "(CAST(instr('0123456789abcdef', substring(md5(CAST({p} AS VARCHAR) || '_' || "
+    "CAST({d} AS VARCHAR)), 1, 1)) - 1 AS DOUBLE) - 7.5)"
+)
+
+_SIG_SQL = " || ".join(
+    "(CASE WHEN list_sum(list_transform(range(1, len({v}) + 1), "
+    "i -> CAST({v}[CAST(i AS INT)] AS DOUBLE) * "
+    + _W_SQL.format(p=p, d="i - 1")
+    + ")) >= 0 THEN '1' ELSE '0' END)"
+    for p in range(S.LSH_PLANES)
+)
+
+
+def _sig_sql(v: str) -> str:
+    return _SIG_SQL.replace("{v}", v)
+
+
+@register(
+    "sim_topk_lsh",
+    oracle=f"""
+        WITH tagged AS (
+            SELECT vec_id, embedding, {_sig_sql("embedding")} AS sig
+            FROM embeddings
+        ),
+        q AS (SELECT vec_id AS query_id, embedding AS qv, sig FROM tagged
+              WHERE vec_id < {_N_QUERIES}),
+        c AS (SELECT vec_id AS neighbor_id, embedding AS cv, sig FROM tagged),
+        scored AS (
+            SELECT query_id, neighbor_id, {_COS_SQL} AS cos
+            FROM c JOIN q USING (sig)
+            WHERE neighbor_id <> query_id
+        )
+        SELECT query_id, neighbor_id, cos, CAST(rk AS INTEGER) AS rk
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rk
+            FROM scored
+        )
+        WHERE rk <= {_TOP_K}
+    """,
+    doc="LSH-bucketed approximate top-k: random-hyperplane signatures, "
+    "per-bucket candidate scan (expected O(N/2^planes) per query)",
+    tags=("pipeline", "similarity", "lsh"),
+)
+def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    out = S.lsh_ann_topk(queries, emb, _TOP_K, id_col="vec_id", vec_col="embedding")
+    return out.select("query_id", "neighbor_id", "cos", "rk")
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+        WITH tagged AS (
+            SELECT vec_id, embedding, {_sig_sql("embedding")} AS sig
+            FROM embeddings
+        ),
+        a AS (SELECT vec_id AS id_a, embedding AS qv, sig FROM tagged),
+        b AS (SELECT vec_id AS id_b, embedding AS cv, sig FROM tagged)
+        SELECT id_a, id_b, {_COS_SQL} AS cos
+        FROM a JOIN b USING (sig)
+        WHERE id_a < id_b AND {_COS_SQL} >= {COSINE_DUP_THRESHOLD}
+    """,
+    doc="embedding-cosine near-dup pairs, LSH-bucket-blocked (same-bucket pairs only)",
+    tags=("pipeline", "dedup", "similarity"),
+)
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    out = S.cosine_near_dup_pairs(
+        emb, COSINE_DUP_THRESHOLD, id_col="vec_id", vec_col="embedding"
+    )
+    return out.select("id_a", "id_b", "cos")

@@ -1,0 +1,134 @@
+"""Semantic unit tests for the training-data-pipeline function library
+(functions/text.py, functions/dedup.py, functions/similarity.py) on tiny
+hand-built DataFrames — properties the oracle-differential tests can't
+see (invariances, recall relationships, edge cases).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from hadoop_lab_spark.functions import dedup as D
+from hadoop_lab_spark.functions import similarity as S
+from hadoop_lab_spark.functions import text as X
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "The quick brown fox jumps over the lazy dog near the river bank"),
+        (2, "the  QUICK   brown fox jumps over the lazy dog near the river bank"),
+        (3, "The quick brown fox jumps over the lazy dog near the river shore"),
+        (4, "completely different text about spark query engines and shuffles"),
+        (5, "der hund und die katze sind nicht mit der maus"),
+        (6, "el perro y el gato que viven en la casa"),
+        (7, "你好 世界"),
+        (8, "xyzzy plugh"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_fingerprint_canonical_invariance(spark, docs):
+    """Case + whitespace variants collide; a 1-word change does not."""
+    fp = {
+        r["doc_id"]: r["fp"]
+        for r in docs.select("doc_id", X.fingerprint_md5("text").alias("fp")).collect()
+    }
+    assert fp[1] == fp[2]
+    assert fp[1] != fp[3]
+    assert fp[1] != fp[4]
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([(1, "a bb  ccc"), (2, "don't stop-me now")], ["i", "t"])
+    out = {
+        r["i"]: (r["n"], r["b"])
+        for r in df.select(
+            "i",
+            X.token_count("t").alias("n"),
+            X.bpe_token_count("t").alias("b"),
+        ).collect()
+    }
+    assert out[1] == (3, 3)
+    # don ' t stop - me now → 7 BPE-ish tokens, 3 whitespace tokens
+    assert out[2] == (3, 7)
+
+
+def test_lang_id_markers(spark, docs):
+    got = {
+        r["doc_id"]: r["lang"]
+        for r in docs.select("doc_id", X.lang_id("text").alias("lang")).collect()
+    }
+    assert got[1] == "en"
+    assert got[5] == "de"
+    assert got[6] == "es"
+    assert got[7] == "zh"
+    assert got[8] == "und"
+
+
+def test_quality_score_bounds(spark, docs):
+    vals = [r["q"] for r in docs.select(X.quality_score("text").alias("q")).collect()]
+    assert all(0.0 <= v <= 1.0 for v in vals)
+
+
+def test_minhash_candidates_subset_of_shingle_pairs(spark, docs):
+    """LSH candidates must be a subset of pairs sharing ≥1 shingle
+    (banding can only lose candidates, never invent them)."""
+    sh = D.word_shingles(docs, "doc_id", "text")
+    a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    all_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in a.join(b, "shingle").filter(F.col("id_a") < F.col("id_b")).distinct().collect()
+    }
+    cands = {
+        (r["id_a"], r["id_b"])
+        for r in D.lsh_candidate_pairs(docs, "doc_id", "text").collect()
+    }
+    assert cands <= all_pairs
+    # near-identical docs 1/3 share most shingles → must collide on a band
+    assert (1, 3) in cands
+
+
+def test_exact_jaccard_values(spark, docs):
+    """Jaccard(1,3): 13-token docs, 3-shingles → 11 each, differing only
+    in the last token → 10 shared ⇒ 10/12."""
+    sh = D.word_shingles(docs, "doc_id", "text")
+    pairs = spark.createDataFrame([(1, 3)], ["id_a", "id_b"])
+    row = D.exact_jaccard(sh, pairs, "doc_id").collect()[0]
+    assert row["jaccard"] == pytest.approx(10 / 12)
+
+
+def test_simhash_shape_and_similarity(spark, docs):
+    out = {r["doc_id"]: r["simhash"] for r in D.simhash_bits(docs, "doc_id", "text").collect()}
+    assert all(len(s) == D.SIMHASH_BITS and set(s) <= {"0", "1"} for s in out.values())
+    ham = lambda a, b: sum(x != y for x, y in zip(out[a], out[b]))
+    # near-identical docs are closer in Hamming space than unrelated ones
+    assert ham(1, 3) < ham(1, 4)
+
+
+def test_lsh_topk_subset_of_bruteforce_candidates(spark):
+    """Every LSH hit must appear in the brute-force ranking with the same
+    cosine (bucketing changes recall, never scores)."""
+    import math
+
+    rows = [
+        (i, [math.sin(i * 7.1 + d * 0.13) for d in range(8)]) for i in range(20)
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = emb.filter(F.col("vec_id") < 3)
+    bf = {
+        (r["query_id"], r["neighbor_id"]): r["cos"]
+        for r in S.cosine_topk(q, emb, 19).collect()
+    }
+    for r in S.lsh_ann_topk(q, emb, 5).collect():
+        assert bf[(r["query_id"], r["neighbor_id"])] == r["cos"]
+
+
+def test_cosine_self_similarity(spark):
+    emb = spark.createDataFrame([(1, [1.0, 2.0, 3.0]), (2, [2.0, 4.0, 6.0])], ["vec_id", "embedding"])
+    row = S.cosine_topk(emb.filter("vec_id = 1"), emb, 1).collect()[0]
+    assert row["neighbor_id"] == 2
+    assert row["cos"] == 1.0
