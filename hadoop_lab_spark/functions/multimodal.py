@@ -1,0 +1,150 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+The pattern for image/audio/video at 100 TB: store the raw bytes as an
+opaque ``binary`` column next to typed metadata, partition by content
+hash or source, and run decode / feature-extraction as Arrow-batched
+``mapInPandas`` — one Python process per partition, columnar transfer,
+no per-row serialization.
+
+This container has no image/audio libraries, so the actual codec step is
+STUBBED (``decode_image_real`` raises ``NotImplementedError`` unless PIL
+is importable). Everything around it — the binary column, the schemas,
+the UDF signatures, the 1→1 and 1→N batch shapes — is real and tested:
+the deterministic fake "decoder" derives pseudo-metadata from sha256 of
+the payload, which a SQL oracle reproduces bit-for-bit, so the entire
+Python/Arrow path is verified end-to-end.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Output schema of the fake image-feature extractor.
+IMAGE_FEATURES_SCHEMA = (
+    "doc_id BIGINT, n_bytes INT, sha_prefix STRING, width INT, height INT"
+)
+
+#: Output schema of the fake frame sampler (1→N).
+FRAME_SAMPLE_SCHEMA = "doc_id BIGINT, frame_idx INT, frame_sha STRING"
+
+#: Bytes-per-frame for the fake frame sampler; cap bounds the fan-out.
+FRAME_BYTES = 100
+MAX_FRAMES = 8
+
+
+def payload_from_text(text: Column | str) -> Column:
+    """Deterministic stand-in payload: the document text as UTF-8 bytes.
+
+    In a real pipeline this column holds image/audio bytes read from
+    object storage; deriving it from text keeps the fixture synthetic
+    and the oracle reproducible (DuckDB ``encode(text)``).
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    return c.cast("binary")
+
+
+def extract_image_features(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
+    """Arrow-batched feature extraction over a binary column (1→1).
+
+    mapInPandas receives an iterator of pandas batches — the loop below
+    touches each batch once, allocates nothing per row but the output
+    columns, and never materializes the whole partition.
+
+    The pseudo width/height (64 + hash-byte % 192) is the deterministic
+    fake standing in for a codec's header parse.
+
+    NOTE (self-contained closure): UDF bodies in this repo must not
+    reference package-level symbols — the consuming driver puts the repo
+    on sys.path in the *driver* process only, so a by-reference pickle
+    of anything in hadoop_lab_spark fails to import on Python workers.
+    Nested functions + stdlib imports are pickled by value and always
+    work.
+    """
+
+    def extract(batches: Iterator) -> Iterator:
+        import hashlib as _hl
+
+        import pandas as pd
+
+        for pdf in batches:
+            shas = [_hl.sha256(b).hexdigest() for b in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "n_bytes": [len(b) for b in pdf[payload_col]],
+                    "sha_prefix": [s[:16] for s in shas],
+                    "width": [64 + int(s[0:2], 16) % 192 for s in shas],
+                    "height": [64 + int(s[2:4], 16) % 192 for s in shas],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(extract, IMAGE_FEATURES_SCHEMA)
+
+
+def sample_frames(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
+    """Fake frame sampling over a binary "video" column (1→N).
+
+    Emits min(n_bytes // FRAME_BYTES, MAX_FRAMES) frames per document;
+    each frame's sha256 covers its byte slice. Exercises the exploding
+    batch shape (output rows ≠ input rows) that real frame extraction
+    has, with a bounded fan-out.
+    """
+
+    def sample(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, shas = [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                n_frames = min(len(payload) // FRAME_BYTES, MAX_FRAMES)
+                for i in range(n_frames):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    shas.append(
+                        hashlib.sha256(
+                            payload[i * FRAME_BYTES : (i + 1) * FRAME_BYTES]
+                        ).hexdigest()[:16]
+                    )
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame_sha": shas})
+
+    return df.select(id_col, payload_col).mapInPandas(sample, FRAME_SAMPLE_SCHEMA)
+
+
+def decode_image_real(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
+    """REAL image decode — STUB: requires an image library this
+    container does not ship. The mapInPandas shape is identical to
+    :func:`extract_image_features`; only the per-batch body differs.
+    """
+    try:
+        import PIL  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - no PIL in container
+        raise NotImplementedError(
+            "image decoding requires Pillow; container ships no image libs "
+            "(see module docstring — plumbing is tested via the fake decoder)"
+        ) from exc
+
+    def decode(batches: Iterator) -> Iterator:  # pragma: no cover
+        import io
+
+        import pandas as pd
+        from PIL import Image
+
+        for pdf in batches:
+            sizes = [Image.open(io.BytesIO(b)).size for b in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "n_bytes": [len(b) for b in pdf[payload_col]],
+                    "sha_prefix": [
+                        hashlib.sha256(b).hexdigest()[:16] for b in pdf[payload_col]
+                    ],
+                    "width": [s[0] for s in sizes],
+                    "height": [s[1] for s in sizes],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(decode, IMAGE_FEATURES_SCHEMA)

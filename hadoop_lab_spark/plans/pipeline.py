@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hadoop_lab_spark.functions import dedup as D
+from hadoop_lab_spark.functions import multimodal as M
 from hadoop_lab_spark.functions import similarity as S
 from hadoop_lab_spark.functions import text as X
 from hadoop_lab_spark.plans.registry import register
@@ -447,3 +448,74 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, COSINE_DUP_THRESHOLD, id_col="vec_id", vec_col="embedding"
     )
     return out.select("id_a", "id_b", "cos")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal (binary payload columns + mapInPandas decode plumbing)
+# ---------------------------------------------------------------------------
+# Hex-pair → int in portable SQL (DuckDB has no hex-literal cast).
+def _hexpair_sql(h: str, pos: int) -> str:
+    nib = "instr('0123456789abcdef', substring({h}, {p}, 1)) - 1"
+    return (
+        f"(({nib.format(h=h, p=pos)}) * 16 + ({nib.format(h=h, p=pos + 1)}))"
+    )
+
+
+@register(
+    "multimodal_image_features",
+    oracle=f"""
+        -- DuckDB sha256 takes VARCHAR (hashes its UTF-8 bytes) — identical
+        -- to Python sha256 over the UTF-8 payload. The corpus is ASCII, so
+        -- octet_length(encode(x)) == length(x).
+        WITH h AS (SELECT doc_id, text, sha256(text) AS sha FROM documents)
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+               substring(sha, 1, 16) AS sha_prefix,
+               CAST(64 + ({_hexpair_sql("sha", 1)} % 192) AS INTEGER) AS width,
+               CAST(64 + ({_hexpair_sql("sha", 3)} % 192) AS INTEGER) AS height
+        FROM h
+    """,
+    doc="multimodal: Arrow-batched mapInPandas feature extraction over a binary "
+    "payload column (deterministic fake decoder; real decode stubbed — no "
+    "image libs in container)",
+    tags=("pipeline", "multimodal", "pandas"),
+)
+def q_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The only Python-in-the-loop batch query — deliberately: it proves
+    the Arrow/pandas path works and is oracle-checked bit-for-bit. At
+    100 TB the same shape handles real codecs (one Python worker per
+    partition, columnar transfer, no per-row pickling)."""
+    docs = _t(spark, sf_dir, "documents")
+    with_payload = docs.select(
+        "doc_id", M.payload_from_text("text").alias("payload")
+    )
+    return M.extract_image_features(with_payload)
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=f"""
+        -- char slicing == byte slicing here: the corpus is ASCII (and the
+        -- Spark side slices real bytes either way).
+        WITH f AS (
+            SELECT doc_id, text, CAST(u.i AS INTEGER) AS frame_idx
+            FROM documents,
+                 UNNEST(range(0, least(octet_length(encode(text)) // {M.FRAME_BYTES},
+                                       {M.MAX_FRAMES}))) AS u(i)
+        )
+        SELECT doc_id, frame_idx,
+               substring(sha256(substring(text,
+                         frame_idx * {M.FRAME_BYTES} + 1, {M.FRAME_BYTES})), 1, 16)
+                   AS frame_sha
+        FROM f
+    """,
+    doc="multimodal: 1→N frame sampling over a binary 'video' column via "
+    "mapInPandas (bounded fan-out, per-frame content hash)",
+    tags=("pipeline", "multimodal", "pandas"),
+)
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    with_payload = docs.select(
+        "doc_id", M.payload_from_text("text").alias("payload")
+    )
+    return M.sample_frames(with_payload)

@@ -78,3 +78,7 @@ def load_all_query_modules() -> None:
         from hadoop_lab_spark.plans import pipeline  # noqa: F401
     except ImportError:
         pass
+    try:
+        from hadoop_lab_spark.plans import stream_queries  # noqa: F401
+    except ImportError:
+        pass

@@ -1,0 +1,116 @@
+"""Registered Structured Streaming queries (bounded replay + oracle).
+
+Each query replays the parquet table as a stream (AvailableNow), lands
+emissions in a memory sink, then re-aggregates the sink so the result is
+invariant to micro-batch boundaries (see streaming/jobs.py). The DuckDB
+oracle is the equivalent *batch* SQL over the same data — streaming over
+bounded input must equal the batch answer, which is exactly the
+validation SURVEY §7.3 (risk 6) calls for.
+
+Excluded from bench (`bench=False`): wall time here is dominated by
+streaming-query startup/teardown, not operator throughput — the batch
+twins of these plans are already in the headline set.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_lab_spark.plans.registry import register
+from hadoop_lab_spark.session import tune_session
+from hadoop_lab_spark.streaming.jobs import (
+    run_to_memory,
+    stream_user_event_counts_stateful,
+    stream_windowed_event_counts,
+    stream_wordcount,
+)
+
+#: Unique-per-invocation memory-sink suffix (a stopped query's name can
+#: be reused, but a fresh table per run can never read stale rows).
+_RUN_COUNTER = itertools.count()
+
+
+def _replay(spark: SparkSession, stream: DataFrame, base: str, mode: str) -> DataFrame:
+    tune_session(spark)
+    name = f"{base}_{next(_RUN_COUNTER)}"
+    run_to_memory(stream, name, mode)
+    return spark.table(name)
+
+
+@register(
+    "stream_windowed_event_counts",
+    oracle="""
+        SELECT date_trunc('hour', ts) AS w_start,
+               event_type,
+               CAST(count(*) AS BIGINT) AS cnt,
+               round(sum(value), 2) AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    doc="streaming tumbling-window (1h) counts + sums per event_type with "
+    "watermark; bounded replay equals the batch answer",
+    tags=("streaming", "window", "aggregate"),
+    bench=False,
+)
+def q_stream_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complete-mode emission: the sink's final snapshot is the answer
+    (batching-invariant by construction). The same pipeline in update
+    mode + delta re-aggregation is exercised by the stateful query."""
+    tune_session(spark)
+    stream = stream_windowed_event_counts(spark, sf_dir)
+    snap = _replay(spark, stream, "mem_wincounts", "complete")
+    return snap.select(
+        "w_start", "event_type", "cnt", F.round("sum_value", 2).alias("sum_value")
+    )
+
+
+@register(
+    "stream_wordcount",
+    oracle="""
+        SELECT word, count(*) AS cnt
+        FROM (
+            SELECT unnest(regexp_split_to_array(text, '[ \t\n\r\f]+')) AS word
+            FROM documents
+        )
+        WHERE word <> ''
+        GROUP BY word
+    """,
+    doc="streaming variant of the lab2 flagship wordcount (complete mode); "
+    "must equal the batch wordcount exactly",
+    tags=("streaming", "lab2", "aggregate"),
+    bench=False,
+)
+def q_stream_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _replay(spark, stream_wordcount(spark, sf_dir), "mem_wordcount", "complete")
+
+
+@register(
+    "stream_user_counts_stateful",
+    oracle="""
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS cnt,
+               max(value) AS max_value
+        FROM events
+        GROUP BY user_id
+    """,
+    doc="custom stateful streaming op (applyInPandasWithState): per-user event "
+    "count + running max, update-mode deltas re-aggregated",
+    tags=("streaming", "stateful", "pandas"),
+    bench=False,
+)
+def q_stream_user_counts_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deltas (per-batch counts, running maxes) are summed/maxed over the
+    sink — the total is batching-invariant. MAX is order-insensitive and
+    the counts are integers, so no float policy is needed."""
+    snap = _replay(
+        spark,
+        stream_user_event_counts_stateful(spark, sf_dir),
+        "mem_user_state",
+        "update",
+    )
+    return snap.groupBy("user_id").agg(
+        F.sum("cnt").alias("cnt"), F.max("max_value").alias("max_value")
+    )

@@ -1,0 +1,186 @@
+"""Structured Streaming jobs over the star-schema tables.
+
+Design notes (100 TB / real-cluster view):
+
+- Sources are ``readStream`` over parquet directories with an explicit
+  schema (streaming readers cannot infer). In production these would be
+  Kafka/files landing zones; the parquet form keeps the logical plan
+  identical while letting tests replay bounded data with
+  ``Trigger.AvailableNow`` and compare against a batch oracle.
+- Aggregations carry watermarks so state is bounded: without one, a
+  windowed agg keeps every window forever. The replay harness uses
+  *update/complete* emission into a memory sink and re-aggregates the
+  sink table, so results are batching-invariant (a key emitted in two
+  micro-batches sums to the same total).
+- The stateful job uses ``applyInPandasWithState`` — the escape hatch
+  for semantics window/agg can't express (per SURVEY §7.1 M6). State is
+  per-key and Arrow-batched; at scale this shuffles once on the key and
+  keeps O(|keys|) state in the state store.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+#: Raw parquet schema of `events` as the streaming reader sees it:
+#: ts is TIMESTAMP(NANOS) in the file → int64 nanos under
+#: spark.sql.legacy.parquet.nanosAsLong (set by session tuning).
+_EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+_DOCUMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def _read_stream_table(
+    spark: SparkSession, sf_dir: str, name: str, schema: T.StructType
+) -> DataFrame:
+    """Stream one star-schema table.
+
+    The file stream source only accepts directories (it monitors for new
+    files), while each table here is a single parquet file — so stream
+    the sf_dir with a glob pinned to that table's file. In production
+    the path would be a landing directory and the glob goes away.
+    """
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", f"{name}.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbounded view of `events` with a proper TIMESTAMP column.
+
+    Integer `div 1000` (never float) converts nanos→micros: ns since
+    epoch exceed the 53-bit double mantissa (see sources/tables.py).
+    """
+    raw = _read_stream_table(spark, sf_dir, "events", _EVENTS_RAW_SCHEMA)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_to_memory(stream: DataFrame, name: str, output_mode: str) -> None:
+    """Replay a bounded stream to completion into a memory sink table.
+
+    AvailableNow processes everything present, then stops — the
+    streaming equivalent of a batch run, used by tests and the bounded
+    query registry. The memory table `name` survives the stop.
+    """
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def stream_windowed_event_counts(
+    spark: SparkSession, sf_dir: str, window: str = "1 hour", watermark: str = "1 hour"
+) -> DataFrame:
+    """Tumbling-window counts + sums per event_type with late-data bound.
+
+    The watermark bounds state: windows older than (max event time −
+    watermark) are finalized and dropped from the state store, so state
+    is O(active windows), not O(stream length). Update mode emits each
+    window's running result per micro-batch; the harness re-aggregates,
+    making the output invariant to how the replay was batched.
+    """
+    events = stream_events(spark, sf_dir).withWatermark("ts", watermark)
+    return events.groupBy(
+        F.window("ts", window).alias("w"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("value").alias("sum_value"),
+    ).select(
+        F.col("w.start").alias("w_start"), "event_type", "cnt", "sum_value"
+    )
+
+
+def stream_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming variant of the lab2 flagship: case-sensitive whitespace
+    word count over documents.text (complete-mode aggregation)."""
+    docs = _read_stream_table(spark, sf_dir, "documents", _DOCUMENTS_SCHEMA)
+    words = docs.select(
+        F.explode(F.split(F.col("text"), r"\s+")).alias("word")
+    ).filter(F.col("word") != "")
+    return words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+_STATE_SCHEMA = "cnt BIGINT, max_value DOUBLE"
+_STATEFUL_OUT_SCHEMA = "user_id BIGINT, cnt BIGINT, max_value DOUBLE"
+
+
+def stream_user_event_counts_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    event count + running max(value).
+
+    This is the §7.1-M6 "custom stateful op" exemplar — semantics a
+    built-in agg could also express, chosen precisely so the oracle can
+    verify the stateful machinery end-to-end.
+
+    The state function emits per-batch deltas (count) plus the running
+    max, so downstream re-aggregation (sum of deltas, max of maxes) is
+    invariant to micro-batch boundaries. It is defined NESTED and fully
+    self-contained: a module-level function would pickle by reference to
+    hadoop_lab_spark, which the consuming driver's Python workers cannot
+    import (repo is on the driver's sys.path only).
+    """
+
+    def count_events_with_state(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        cnt = 0
+        mx = None
+        for pdf in pdf_iter:
+            cnt += len(pdf)
+            if len(pdf):
+                m = float(pdf["value"].max())
+                mx = m if mx is None else max(mx, m)
+        if state.exists:
+            old_cnt, old_mx = state.get
+        else:
+            old_cnt, old_mx = 0, None
+        new_mx = old_mx if mx is None else (mx if old_mx is None else max(mx, old_mx))
+        state.update((old_cnt + cnt, new_mx))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "cnt": [cnt],
+                "max_value": [mx if mx is None else new_mx],
+            }
+        )
+
+    events = stream_events(spark, sf_dir)
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            count_events_with_state,
+            outputStructType=_STATEFUL_OUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

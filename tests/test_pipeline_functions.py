@@ -132,3 +132,26 @@ def test_cosine_self_similarity(spark):
     row = S.cosine_topk(emb.filter("vec_id = 1"), emb, 1).collect()[0]
     assert row["neighbor_id"] == 2
     assert row["cos"] == 1.0
+
+
+def test_multimodal_stub_and_plumbing(spark):
+    """Real decode is stubbed (no image libs); fake path emits the
+    declared schema with bounded frame fan-out."""
+    from hadoop_lab_spark.functions import multimodal as M
+
+    df = spark.createDataFrame([(1, "x" * 250), (2, "y" * 950)], ["doc_id", "text"])
+    wp = df.select("doc_id", M.payload_from_text("text").alias("payload"))
+
+    feats = {r["doc_id"]: r for r in M.extract_image_features(wp).collect()}
+    assert feats[1]["n_bytes"] == 250
+    assert len(feats[1]["sha_prefix"]) == 16
+    assert 64 <= feats[1]["width"] < 256 and 64 <= feats[1]["height"] < 256
+
+    frames = M.sample_frames(wp).groupBy("doc_id").count().collect()
+    got = {r["doc_id"]: r["count"] for r in frames}
+    assert got == {1: 2, 2: M.MAX_FRAMES}
+
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        M.decode_image_real(wp).collect()
