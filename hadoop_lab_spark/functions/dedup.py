@@ -31,50 +31,75 @@ SHINGLE_N = 3
 SIMHASH_BITS = 64
 
 
-def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = SHINGLE_N) -> DataFrame:
-    """(id, shingle) pairs: distinct n-word shingles per document.
+def word_shingle_arrays(
+    df: DataFrame, id_col: str, text_col: str, n: int = SHINGLE_N
+) -> DataFrame:
+    """(id, sh_arr): each document's DISTINCT n-word shingle set as an
+    array — built in ONE projection (tokenize → slide → distinct), no
+    explode, no shuffle. The array form is the workhorse for MinHash
+    (fold per seed) and pair verification (array_intersect): per-doc
+    state stays O(|doc|) and never crosses an Exchange until something
+    genuinely relational (a bucket join) needs it.
 
     Documents with fewer than n tokens are dropped (no shingle exists);
     mirrored in the oracle SQL with ``len(toks) >= n``.
+
+    The sequence end is clamped to ≥1 so the expression is TOTAL: the
+    optimizer may evaluate it on rows the arity filter later drops
+    (InferFiltersFromGenerate pushes a size(sh_arr)>0 predicate below
+    the filter), and an unclamped ``sequence(1, 0)`` counts backwards
+    into ``slice(…, 0, …)``, which throws. Short rows produce a junk
+    partial shingle that the filter then discards.
     """
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     df = df.select(F.col(id_col), toks.alias("_toks")).filter(F.size("_toks") >= n)
     shingles = F.transform(
-        F.sequence(F.lit(1), F.size("_toks") - (n - 1)),
+        F.sequence(F.lit(1), F.greatest(F.size("_toks") - (n - 1), F.lit(1))),
         lambda i: F.array_join(F.slice("_toks", i, n), " "),
     )
-    return (
-        df.select(F.col(id_col), F.explode(shingles).alias("shingle"))
-        .distinct()
-    )
+    return df.select(F.col(id_col), F.array_distinct(shingles).alias("sh_arr"))
+
+
+def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = SHINGLE_N) -> DataFrame:
+    """(id, shingle) pairs: the exploded form of
+    :func:`word_shingle_arrays`, for plans that join ON the shingle
+    (the exhaustive n-gram blocking join)."""
+    arr = word_shingle_arrays(df, id_col, text_col, n)
+    return arr.select(F.col(id_col), F.explode("sh_arr").alias("shingle"))
 
 
 def _band_signatures(
-    shingles: DataFrame, id_col: str, seeds: int, bands: int
+    doc_sets: DataFrame, id_col: str, seeds: int, bands: int
 ) -> DataFrame:
-    """(id, band, band_sig): LSH band signatures from minhashes."""
+    """(id, band, band_sig): LSH band signatures from minhashes.
+
+    Fully shuffle-free: each seed's minhash is ``array_min`` over the
+    md5-seeded shingle array — a projection, not an aggregation — so
+    the entire signature stage (seeds minhashes → band md5s) runs inside
+    the scan's codegen stage. The only rows that ever reach an Exchange
+    are the (doc, band, sig) triples the bucket join actually needs.
+    """
     rows_per_band = seeds // bands
-    seeded = shingles.select(
-        F.col(id_col),
-        F.col("shingle"),
-        F.explode(F.sequence(F.lit(0), F.lit(seeds - 1))).alias("seed"),
+
+    def mh(s: int) -> Column:
+        return F.array_min(
+            F.transform(
+                F.col("sh_arr"),
+                lambda sh: F.md5(F.concat(F.lit(f"{s}#"), sh).cast("binary")),
+            )
+        )
+
+    band_sigs = F.array(
+        *[
+            F.md5(
+                F.concat_ws("|", *[mh(b * rows_per_band + r) for r in range(rows_per_band)]).cast(
+                    "binary"
+                )
+            )
+            for b in range(bands)
+        ]
     )
-    h = F.md5(
-        F.concat(F.col("seed").cast("string"), F.lit("#"), F.col("shingle")).cast("binary")
-    )
-    minhashes = seeded.groupBy(id_col, "seed").agg(F.min(h).alias("mh"))
-    banded = minhashes.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
-    return banded.groupBy(id_col, "band").agg(
-        F.md5(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("seed", "mh"))),
-                    lambda s: s["mh"],
-                ),
-                "|",
-            ).cast("binary")
-        ).alias("band_sig")
-    )
+    return doc_sets.select(F.col(id_col), F.posexplode(band_sigs).alias("band", "band_sig"))
 
 
 def lsh_candidate_pairs(
@@ -93,8 +118,8 @@ def lsh_candidate_pairs(
     collisions. With seeds=12, bands=4 (r=3), the match curve passes
     ~50% at Jaccard ≈ 0.44.
     """
-    sh = word_shingles(df, id_col, text_col, n)
-    bands_df = _band_signatures(sh, id_col, seeds, bands)
+    doc_sets = word_shingle_arrays(df, id_col, text_col, n)
+    bands_df = _band_signatures(doc_sets, id_col, seeds, bands)
     left = bands_df.select(
         F.col(id_col).alias("id_a"), F.col("band"), F.col("band_sig")
     )
@@ -110,34 +135,30 @@ def lsh_candidate_pairs(
 
 
 def exact_jaccard(
-    shingles: DataFrame, pairs: DataFrame, id_col: str
+    doc_sets: DataFrame, pairs: DataFrame, id_col: str
 ) -> DataFrame:
     """(id_a, id_b, jaccard): exact shingle-set Jaccard for given pairs.
 
-    |A∩B| comes from one join on (pair, shingle); |A|,|B| from a tiny
-    per-doc count. jaccard = inter / (|A|+|B|−inter) — integer ratio,
-    bit-identical across engines.
+    Pair verification joins each candidate pair against the per-doc
+    shingle ARRAYS (two hash joins keyed on doc id), then computes
+    |A∩B| with ``array_intersect`` per pair — O(|doc|²) per candidate
+    pair but zero extra shuffles, which is the right trade: LSH exists
+    precisely to make the candidate set small. jaccard =
+    inter / (|A|+|B|−inter) — an integer ratio, bit-identical across
+    engines.
     """
-    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = shingles.select(F.col(id_col).alias("id_a"), "shingle")
-    b = shingles.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
-        pairs.join(a, "id_a")
-        .join(b, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    a = doc_sets.select(F.col(id_col).alias("id_a"), F.col("sh_arr").alias("_sa"))
+    b = doc_sets.select(F.col(id_col).alias("id_b"), F.col("sh_arr").alias("_sb"))
+    inter = F.size(F.array_intersect(F.col("_sa"), F.col("_sb")))
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
         .select(
             "id_a",
             "id_b",
             (
-                F.col("inter")
-                / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+                inter.cast("long")
+                / (F.size("_sa") + F.size("_sb") - inter).cast("long")
             ).alias("jaccard"),
         )
     )
@@ -153,10 +174,27 @@ def minhash_near_dups(
     bands: int = LSH_BANDS,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: candidates by band collision,
-    verified by exact Jaccard ≥ threshold. Returns (id_a, id_b, jaccard)."""
-    sh = word_shingles(df, id_col, text_col, n)
-    pairs = lsh_candidate_pairs(df, id_col, text_col, n, seeds, bands)
-    return exact_jaccard(sh, pairs, id_col).filter(F.col("jaccard") >= threshold)
+    verified by exact Jaccard ≥ threshold. Returns (id_a, id_b, jaccard).
+
+    The doc-set subtree is pinned behind one explicit Exchange
+    (``repartition(id)``): signatures, the bucket join, and the verify
+    step all reference it, and without a shuffle boundary Spark
+    re-derives the full text→shingle projection for EACH reference
+    (plus once more inside an optimizer-inferred predicate). With it,
+    every consumer reads the same ReusedExchange output — the 100 TB
+    equivalent is materializing the tokenized bronze table once.
+    """
+    doc_sets = word_shingle_arrays(df, id_col, text_col, n).repartition(F.col(id_col))
+    bands_df = _band_signatures(doc_sets, id_col, seeds, bands)
+    left = bands_df.select(F.col(id_col).alias("id_a"), "band", "band_sig")
+    right = bands_df.select(F.col(id_col).alias("id_b"), "band", "band_sig")
+    pairs = (
+        left.join(right, ["band", "band_sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return exact_jaccard(doc_sets, pairs, id_col).filter(F.col("jaccard") >= threshold)
 
 
 def ngram_jaccard_pairs(
@@ -167,24 +205,61 @@ def ngram_jaccard_pairs(
     n: int = SHINGLE_N,
     max_shingle_freq: int = 1000,
 ) -> DataFrame:
-    """Exhaustive n-gram Jaccard near-dups: candidates are documents
-    sharing ≥1 shingle (blocking join on the shingle itself), then exact
-    Jaccard ≥ threshold. Unlike LSH this has perfect recall w.r.t.
-    shingle overlap; `max_shingle_freq` drops degenerate boilerplate
-    shingles to bound the blocking join's fan-out at scale."""
-    sh = word_shingles(df, id_col, text_col, n)
-    rare = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
-    rare = rare.filter(F.col("df_") <= max_shingle_freq).select("shingle")
-    blocked = sh.join(rare, "shingle")
-    a = blocked.select(F.col(id_col).alias("id_a"), "shingle")
-    b = blocked.select(F.col(id_col).alias("id_b"), "shingle")
-    pairs = (
+    """Exhaustive n-gram Jaccard near-dups over the CAPPED shingle
+    representation: shingles appearing in more than `max_shingle_freq`
+    documents (boilerplate) are dropped from every document's set, then
+    Jaccard is exact over what remains. Perfect recall w.r.t. the capped
+    representation; the cap is what bounds the Σ df² join mass at scale.
+
+    Single-chain plan (this is the exhaustive-dedup hot path): one
+    self-join on the shingle produces intersection counts directly via
+    groupBy(id_a, id_b) — no candidate-pair materialization followed by
+    a per-pair re-join against the full shingle sets (that design
+    re-explodes every pair by its ~|doc| shingles; this one touches each
+    co-shingle occurrence exactly once). Set sizes are a tiny per-doc
+    aggregate joined afterwards (broadcast at any realistic doc count
+    relative to the pair table).
+    """
+    doc_sets = word_shingle_arrays(df, id_col, text_col, n).repartition(F.col(id_col))
+    sh = doc_sets.select(F.col(id_col), F.explode("sh_arr").alias("shingle"))
+    # Hot (boilerplate) shingles as ONE collected row, broadcast-crossed
+    # onto every doc: capping becomes array_except in a projection, so
+    # capped set SIZES are free (F.size) instead of a second pass over
+    # the capped join. The hot list is small by construction — it's the
+    # df > cap tail of the frequency distribution.
+    hot = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
+    hot = hot.filter(F.col("df_") > max_shingle_freq).agg(
+        F.collect_set("shingle").alias("_hot")
+    )
+    doc_capped = (
+        doc_sets.crossJoin(F.broadcast(hot))
+        .select(F.col(id_col), F.array_except("sh_arr", "_hot").alias("sh_arr"))
+        .filter(F.size("sh_arr") > 0)
+    )
+    a = doc_capped.select(F.col(id_col).alias("id_a"), F.explode("sh_arr").alias("shingle"))
+    b = doc_capped.select(F.col(id_col).alias("id_b"), F.explode("sh_arr").alias("shingle"))
+    inter = (
         a.join(b, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
     )
-    return exact_jaccard(sh, pairs, id_col).filter(F.col("jaccard") >= threshold)
+    sizes = doc_capped.select(F.col(id_col), F.size("sh_arr").alias("n_sh"))
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("inter").cast("long")
+                / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("long")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 def simhash_bits(

@@ -92,25 +92,54 @@ def hyperplane_weight(plane: Column | int, dim: Column) -> Column:
     return nib.cast("double") - 7.5
 
 
-def lsh_signature(vec_col: Column, planes: int = LSH_PLANES) -> Column:
+def _plane_weights(plane: int, dims: int) -> list[float]:
+    """Driver-side twin of :func:`hyperplane_weight`: identical values
+    (md5 of the same '<plane>_<dim>' string), computed once at
+    plan-build time instead of per row per element in the JVM."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"{plane}_{d}".encode()).hexdigest()[0], 16) - 7.5
+        for d in range(dims)
+    ]
+
+
+def lsh_signature(vec_col: Column, planes: int = LSH_PLANES, max_dim: int = 64) -> Column:
     """Sign signature: one char per hyperplane ('1' if v·w ≥ 0).
 
-    Dot products fold over posexploded dims via transform+aggregate so
-    everything stays in one projection — no join, no shuffle.
+    Plane weights are embedded as LITERAL arrays (computed driver-side —
+    same md5-derived values as :func:`hyperplane_weight`, verified by a
+    unit test), so the per-row work is one zip_with+fold per plane in
+    whole-stage codegen: no per-element hashing, no join, no shuffle.
+
+    ``max_dim`` bounds the supported vector width; wider vectors raise
+    at runtime rather than silently mis-hashing (zip_with would pad the
+    weight side with nulls).
     """
+
     def bit(p: int) -> Column:
+        w = F.array(*[F.lit(x) for x in _plane_weights(p, max_dim)])
         proj = F.aggregate(
             F.zip_with(
                 vec_col,
-                F.sequence(F.lit(0), F.size(vec_col) - 1),
-                lambda v, d: v.cast("double") * hyperplane_weight(p, d),
+                F.slice(w, 1, F.size(vec_col)),
+                lambda v, wt: v.cast("double") * wt,
             ),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
         return F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0"))
 
-    return F.concat(*[bit(p) for p in range(planes)])
+    guard = F.size(vec_col) <= max_dim
+    sig = F.concat(*[bit(p) for p in range(planes)])
+    return F.when(guard, sig).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"lsh_signature: vector wider than max_dim={max_dim}: "),
+                F.size(vec_col).cast("string"),
+            )
+        )
+    )
 
 
 def lsh_ann_topk(

@@ -264,21 +264,29 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ngram_jaccard",
     oracle=f"""
         WITH sh AS ({_SHINGLES_SQL}),
-        pairs AS (
-            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-            FROM (SELECT doc_id, shingle FROM sh
-                  WHERE shingle IN (SELECT shingle FROM sh
-                                    GROUP BY 1 HAVING count(*) <= 1000)) a
-            JOIN (SELECT doc_id, shingle FROM sh
-                  WHERE shingle IN (SELECT shingle FROM sh
-                                    GROUP BY 1 HAVING count(*) <= 1000)) b
-              ON a.shingle = b.shingle
+        capped AS (
+            SELECT doc_id, shingle FROM sh
+            WHERE shingle IN (SELECT shingle FROM sh
+                              GROUP BY 1 HAVING count(*) <= 1000)
+        ),
+        i AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(count(*) AS BIGINT) AS inter
+            FROM capped a JOIN capped b ON a.shingle = b.shingle
             WHERE a.doc_id < b.doc_id
-        )
-        SELECT * FROM ({_JACCARD_SQL}) WHERE jaccard >= {NGRAM_THRESHOLD}
+            GROUP BY 1, 2
+        ),
+        s AS (SELECT doc_id, count(*) AS n_sh FROM capped GROUP BY 1)
+        SELECT id_a, id_b,
+               i.inter / (sa.n_sh + sb.n_sh - i.inter) AS jaccard
+        FROM i
+        JOIN s sa ON sa.doc_id = i.id_a
+        JOIN s sb ON sb.doc_id = i.id_b
+        WHERE i.inter / (sa.n_sh + sb.n_sh - i.inter) >= {NGRAM_THRESHOLD}
     """,
-    doc="n-gram Jaccard near-dedup: shingle-blocked candidate join + exact verify "
-    "(perfect recall w.r.t. shared shingles; hot shingles capped)",
+    doc="n-gram Jaccard near-dedup over the capped shingle representation "
+    "(boilerplate shingles dropped): one self-join computes intersections, "
+    "perfect recall w.r.t. the capped sets",
     tags=("pipeline", "dedup"),
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:

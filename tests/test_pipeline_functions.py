@@ -95,9 +95,9 @@ def test_minhash_candidates_subset_of_shingle_pairs(spark, docs):
 def test_exact_jaccard_values(spark, docs):
     """Jaccard(1,3): 13-token docs, 3-shingles → 11 each, differing only
     in the last token → 10 shared ⇒ 10/12."""
-    sh = D.word_shingles(docs, "doc_id", "text")
+    doc_sets = D.word_shingle_arrays(docs, "doc_id", "text")
     pairs = spark.createDataFrame([(1, 3)], ["id_a", "id_b"])
-    row = D.exact_jaccard(sh, pairs, "doc_id").collect()[0]
+    row = D.exact_jaccard(doc_sets, pairs, "doc_id").collect()[0]
     assert row["jaccard"] == pytest.approx(10 / 12)
 
 
@@ -155,3 +155,30 @@ def test_multimodal_stub_and_plumbing(spark):
 
     with _pytest.raises(NotImplementedError):
         M.decode_image_real(wp).collect()
+
+
+def test_plane_weights_literal_equals_column_md5(spark):
+    """The driver-side literal weights must equal the engine-side
+    md5-derived hyperplane_weight for every (plane, dim)."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(1).select(
+        *[
+            S.hyperplane_weight(p, F.lit(d)).alias(f"w_{p}_{d}")
+            for p in range(3)
+            for d in range(8)
+        ]
+    )
+    row = df.collect()[0]
+    for p in range(3):
+        lit = S._plane_weights(p, 8)
+        for d in range(8):
+            assert row[f"w_{p}_{d}"] == lit[d], (p, d)
+
+
+def test_lsh_signature_rejects_wide_vectors(spark):
+    from pyspark.sql import functions as F
+
+    emb = spark.createDataFrame([(1, [0.1] * 70)], ["vec_id", "embedding"])
+    with pytest.raises(Exception, match="wider than max_dim"):
+        emb.select(S.lsh_signature(F.col("embedding"), max_dim=64)).collect()
