@@ -29,6 +29,7 @@ MINHASH_SEEDS = 12
 LSH_BANDS = 4  # rows per band = MINHASH_SEEDS / LSH_BANDS
 SHINGLE_N = 3
 SIMHASH_BITS = 64
+SIMHASH_CHUNKS = 4  # Hamming-band chunks: r<=chunks-1 guaranteed recall... see below
 
 
 def word_shingle_arrays(
@@ -307,4 +308,58 @@ def simhash_bits(
                 "",
             ).alias("simhash")
         )
+    )
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int,
+    bits: int = SIMHASH_BITS,
+    chunks: int = SIMHASH_CHUNKS,
+) -> DataFrame:
+    """(id_a, id_b, hamming): SimHash near-duplicate pairs within a
+    Hamming radius, banded for scale.
+
+    Pigeonhole blocking: split the `bits`-char signature into `chunks`
+    equal substrings and self-join on (chunk_idx, chunk). Any pair with
+    hamming < chunks must agree on ≥1 whole chunk, so recall is exact
+    for radii < chunks; larger radii (like the defaults here) trade
+    recall for the same bounded join — the standard SimHash-index
+    compromise. Hamming is verified exactly on the full signatures of
+    candidates only.
+    """
+    per = bits // chunks
+    sims = simhash_bits(df, id_col, text_col, bits).repartition(F.col(id_col))
+    chunked = sims.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(
+            F.array(
+                *[F.substring("simhash", c * per + 1, per) for c in range(chunks)]
+            )
+        ).alias("chunk", "cs"),
+    )
+    a = chunked.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("_ha"), "chunk", "cs"
+    )
+    b = chunked.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("_hb"), "chunk", "cs"
+    )
+    cand = (
+        a.join(b, ["chunk", "cs"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_ha", "_hb")
+        .distinct()
+    )
+    ham = F.aggregate(
+        F.sequence(F.lit(1), F.lit(bits)),
+        F.lit(0),
+        lambda acc, i: acc
+        + F.when(F.substring("_ha", i, 1) == F.substring("_hb", i, 1), 0).otherwise(1),
+    )
+    return (
+        cand.select("id_a", "id_b", ham.cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
     )

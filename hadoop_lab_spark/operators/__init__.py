@@ -21,8 +21,18 @@ from hadoop_lab_spark.operators.transforms import (
     row_greatest,
 )
 from hadoop_lab_spark.operators.matmul import coo_matmul
+from hadoop_lab_spark.operators.asof import asof_join_backward
+from hadoop_lab_spark.operators.sampling import (
+    collect_per_group_salted,
+    deterministic_sample,
+    hash_bucket,
+)
 
 __all__ = [
+    "asof_join_backward",
+    "collect_per_group_salted",
+    "deterministic_sample",
+    "hash_bucket",
     "tokenize",
     "wordcount",
     "count_per_group",

@@ -1,0 +1,84 @@
+"""Deterministic sampling + skew-safe aggregation escape hatches.
+
+``df.sample()`` is seed-dependent per partition split and not
+reproducible across engines or even across repartitions — useless for
+an oracle-checked pipeline and dangerous for incremental 100 TB runs
+(membership changes when file splits change). Hash-bucket sampling
+fixes membership per KEY: a row's inclusion depends only on its key
+bytes, so reruns, engines, and partitionings all agree.
+
+``collect_per_group_salted`` is the documented escape hatch for hot
+keys in collect-style aggregations (SURVEY §7.3.5): a two-level
+aggregate whose first level fans one pathological key out over
+``buckets`` salted sub-keys so no single task materializes the whole
+group.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Sampling-hash domain: first 2 hex chars of md5 → 256 buckets.
+HASH_BUCKETS = 256
+
+
+def hash_bucket(key: Column | str, buckets: int = HASH_BUCKETS) -> Column:
+    """Deterministic, engine-portable bucket in [0, buckets): integer
+    value of the md5 hex prefix. md5 is uniform, so buckets are too.
+    DuckDB twin: the instr-nibble arithmetic (see plans/advanced.py).
+
+    For non-oracle production paths, ``xxhash64`` is the cheaper choice;
+    md5 keeps the DuckDB oracle bit-exact.
+    """
+    c = F.col(key) if isinstance(key, str) else key
+    hexlen = max(1, -(-(buckets - 1).bit_length() // 4))  # ceil(bits/4)
+    return (
+        F.conv(F.substring(F.md5(c.cast("string").cast("binary")), 1, hexlen), 16, 10)
+        .cast("int")
+        % buckets
+    )
+
+
+def deterministic_sample(
+    df: DataFrame, key: str, keep_buckets: int, buckets: int = HASH_BUCKETS
+) -> DataFrame:
+    """Keep rows whose key hashes into the first ``keep_buckets`` of
+    ``buckets`` — a keep_buckets/buckets fraction with per-key
+    stability (all rows of a key are kept or dropped together)."""
+    return df.filter(hash_bucket(key, buckets) < keep_buckets)
+
+
+def collect_per_group_salted(
+    df: DataFrame,
+    keys: str | Sequence[str],
+    value: str | Column,
+    buckets: int = 16,
+    out: str = "collected",
+    sep: str = ", ",
+) -> DataFrame:
+    """Sorted string-collect per key, salted: level 1 collects per
+    (key, salt) sub-group, level 2 merges the ≤``buckets`` partial
+    arrays per key. Result is identical to the unsalted
+    ``collect_per_group`` (elements sorted before joining) — only the
+    shuffle shape changes: the hottest key costs |key|/buckets rows per
+    task at level 1 instead of |key| in one task.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    value_col = F.col(value) if isinstance(value, str) else value
+    salt = hash_bucket(value_col, buckets).alias("_salt")
+    partial = (
+        df.select(*keys, value_col.alias("_v"), salt)
+        .groupBy(*keys, "_salt")
+        .agg(F.collect_list("_v").alias("_part"))
+    )
+    return (
+        partial.groupBy(*keys)
+        .agg(
+            F.array_join(
+                F.array_sort(F.flatten(F.collect_list("_part"))), sep
+            ).alias(out)
+        )
+    )

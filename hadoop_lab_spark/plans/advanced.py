@@ -1,0 +1,207 @@
+"""Advanced extension queries: as-of join, deterministic sampling,
+salted aggregation, scalar-function surface, JSON extraction.
+
+These round out SURVEY §2.11 (categories the reference lacks entirely)
+with the operators a real analytics engine must have; each has a full
+DuckDB oracle. Scale notes live on the operator docstrings
+(operators/asof.py, operators/sampling.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_lab_spark.operators import (
+    asof_join_backward,
+    collect_per_group_salted,
+    deterministic_sample,
+)
+from hadoop_lab_spark.plans.registry import register
+from hadoop_lab_spark.session import tune_session
+from hadoop_lab_spark.sources import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    tune_session(spark)
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# As-of (temporal) join
+# ---------------------------------------------------------------------------
+@register(
+    "asof_purchase_last_signup",
+    oracle="""
+        SELECT p.event_id, p.user_id, p.ts,
+               l.event_id AS signup_event_id, l.ts AS signup_ts
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') l
+          ON p.user_id = l.user_id AND p.ts >= l.ts
+    """,
+    doc="as-of backward join: each purchase paired with the user's most recent "
+    "signup at-or-before it (union-sort plan, no range-join row explosion)",
+    tags=("advanced", "asof", "join"),
+)
+def q_asof_purchase_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = events.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("event_id"), F.col("ts")
+    )
+    joined = asof_join_backward(
+        purchases, signups, keys="user_id", left_ts="ts", right_ts="ts"
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("r_event_id").alias("signup_event_id"),
+        F.col("r_ts").alias("signup_ts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic (hash-bucket) sampling
+# ---------------------------------------------------------------------------
+_HEXPAIR = (
+    "((instr('0123456789abcdef', substring(md5(CAST({k} AS VARCHAR)), 1, 1)) - 1) * 16"
+    " + (instr('0123456789abcdef', substring(md5(CAST({k} AS VARCHAR)), 2, 1)) - 1))"
+)
+
+
+@register(
+    "sampled_orders_per_priority",
+    oracle=f"""
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS cnt,
+               round(sum(o_totalprice), 2) AS sum_price
+        FROM orders
+        WHERE {_HEXPAIR.format(k="o_orderkey")} % 256 < 64
+        GROUP BY o_orderpriority
+    """,
+    doc="deterministic 25% sample (md5 hash-bucket on the key — stable across "
+    "engines, partitionings and reruns) + aggregate; df.sample() can't do this",
+    tags=("advanced", "sampling", "aggregate"),
+)
+def q_sampled_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    sampled = deterministic_sample(orders, "o_orderkey", keep_buckets=64)
+    return sampled.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Salted (skew-safe) collect — result identical to the plain collect
+# ---------------------------------------------------------------------------
+@register(
+    "salted_collect_types_per_user",
+    oracle="""
+        SELECT user_id,
+               string_agg(event_type, ', ' ORDER BY event_type) AS collected
+        FROM events
+        GROUP BY user_id
+    """,
+    doc="two-level salted collect (hot-key escape hatch, SURVEY §7.3.5): "
+    "level 1 collects per (key, salt), level 2 merges — result provably equals "
+    "the unsalted sorted collect",
+    tags=("advanced", "skew", "collect"),
+)
+def q_salted_collect_types_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    return collect_per_group_salted(events, "user_id", "event_type", buckets=8)
+
+
+# ---------------------------------------------------------------------------
+# Scalar function surface (date / math / string in one pass)
+# ---------------------------------------------------------------------------
+@register(
+    "scalar_function_sampler",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(year(o_orderdate) AS INTEGER) AS y,
+               CAST(month(o_orderdate) AS INTEGER) AS m,
+               CAST(day(o_orderdate) AS INTEGER) AS d,
+               CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS plus30,
+               last_day(o_orderdate) AS eom,
+               CAST(date_diff('day', DATE '2024-01-01', o_orderdate) AS INTEGER)
+                   AS days_since,
+               abs(o_totalprice - 100000.0) AS abs_dev,
+               floor(o_totalprice) AS price_floor,
+               ceil(o_totalprice) AS price_ceil,
+               sqrt(o_totalprice) AS price_sqrt,
+               CAST(o_orderkey % 97 AS BIGINT) AS key_mod,
+               CAST(sign(o_totalprice - 150000.0) AS DOUBLE) AS price_sign,
+               upper(o_orderpriority) AS prio_upper,
+               lower(o_orderstatus) AS status_lower,
+               length(o_orderpriority) AS prio_len,
+               substring(o_orderpriority, 1, 1) AS prio_head,
+               replace(o_orderpriority, '-', '_') AS prio_repl,
+               concat(o_orderstatus, '#', o_orderpriority) AS tag,
+               lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS key_pad,
+               reverse(o_orderstatus) AS status_rev
+        FROM orders
+    """,
+    doc="scalar-function parity sampler: 20 date/math/string built-ins in one "
+    "codegen stage, every one matching the oracle bit-for-bit",
+    tags=("advanced", "functions"),
+)
+def q_scalar_function_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All single-op, exactly-defined scalars — no rounding policy
+    needed: identical inputs give identical outputs per function. sqrt
+    is IEEE correctly-rounded and therefore safe; ln/exp are NOT (libm
+    vs JVM differ in the last ulp) and are deliberately excluded from
+    the oracle-checked surface."""
+    o = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).alias("y"),
+        F.month(d).alias("m"),
+        F.dayofmonth(d).alias("d"),
+        F.date_add(d, 30).alias("plus30"),
+        F.last_day(d).alias("eom"),
+        F.datediff(d, F.lit("2024-01-01").cast("date")).alias("days_since"),
+        F.abs(F.col("o_totalprice") - 100000.0).alias("abs_dev"),
+        F.floor("o_totalprice").cast("double").alias("price_floor"),
+        F.ceil("o_totalprice").cast("double").alias("price_ceil"),
+        F.sqrt("o_totalprice").alias("price_sqrt"),
+        (F.col("o_orderkey") % 97).alias("key_mod"),
+        F.signum(F.col("o_totalprice") - 150000.0).alias("price_sign"),
+        F.upper("o_orderpriority").alias("prio_upper"),
+        F.lower("o_orderstatus").alias("status_lower"),
+        F.length("o_orderpriority").alias("prio_len"),
+        F.substring("o_orderpriority", 1, 1).alias("prio_head"),
+        F.replace(F.col("o_orderpriority"), F.lit("-"), F.lit("_")).alias("prio_repl"),
+        F.concat(F.col("o_orderstatus"), F.lit("#"), F.col("o_orderpriority")).alias("tag"),
+        F.lpad(F.col("o_orderkey").cast("string"), 12, "0").alias("key_pad"),
+        F.reverse(F.col("o_orderstatus")).alias("status_rev"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON extraction
+# ---------------------------------------------------------------------------
+@register(
+    "json_extract_sum",
+    oracle="""
+        SELECT event_type,
+               CAST(sum(CAST(props->>'$.k' AS INT)) AS BIGINT) AS sum_k,
+               CAST(max(CAST(props->>'$.k' AS INT)) AS INTEGER) AS max_k
+        FROM events
+        GROUP BY event_type
+    """,
+    doc="JSON path extraction from a string column (get_json_object) feeding "
+    "an aggregate — the semi-structured column pattern",
+    tags=("advanced", "json", "aggregate"),
+)
+def q_json_extract_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return events.groupBy("event_type").agg(
+        F.sum(k).cast("long").alias("sum_k"), F.max(k).alias("max_k")
+    )

@@ -295,9 +295,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", "jaccard")
 
 
-@register(
-    "dedup_simhash",
-    oracle=f"""
+_SIMHASH_SQL = f"""
         WITH tf AS (
             SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS w, md5(tok) AS h
             FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
@@ -316,7 +314,12 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS simhash
         FROM bits
         GROUP BY doc_id
-    """,
+"""
+
+
+@register(
+    "dedup_simhash",
+    oracle=_SIMHASH_SQL,
     doc="SimHash document signatures: tf-weighted signed bit sums over md5 token "
     "hashes, 64-bit '0'/'1' string",
     tags=("pipeline", "dedup", "simhash"),
@@ -324,6 +327,51 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return D.simhash_bits(docs, "doc_id", "text")
+
+
+#: Hamming radius for SimHash near-dup pairs (banded candidates; see
+#: dedup.simhash_near_dups for the recall trade at radii >= chunks).
+SIMHASH_HAMMING_MAX = 10
+
+_SIMHASH_PER_CHUNK = D.SIMHASH_BITS // D.SIMHASH_CHUNKS
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=f"""
+        WITH s AS ({_SIMHASH_SQL}),
+        c AS (SELECT doc_id, simhash, unnest(range(0, {D.SIMHASH_CHUNKS})) AS chunk
+              FROM s),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                   a.simhash AS ha, b.simhash AS hb
+            FROM (SELECT doc_id, simhash, chunk,
+                         substring(simhash, CAST(chunk * {_SIMHASH_PER_CHUNK} + 1 AS INT),
+                                   {_SIMHASH_PER_CHUNK}) AS cs FROM c) a
+            JOIN (SELECT doc_id, simhash, chunk,
+                         substring(simhash, CAST(chunk * {_SIMHASH_PER_CHUNK} + 1 AS INT),
+                                   {_SIMHASH_PER_CHUNK}) AS cs FROM c) b
+              ON a.chunk = b.chunk AND a.cs = b.cs
+            WHERE a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b,
+               CAST(list_sum(list_transform(range(1, {D.SIMHASH_BITS} + 1),
+                    i -> CASE WHEN substring(ha, CAST(i AS INT), 1)
+                                 = substring(hb, CAST(i AS INT), 1)
+                              THEN 0 ELSE 1 END)) AS BIGINT) AS hamming
+        FROM cand
+        WHERE list_sum(list_transform(range(1, {D.SIMHASH_BITS} + 1),
+              i -> CASE WHEN substring(ha, CAST(i AS INT), 1)
+                           = substring(hb, CAST(i AS INT), 1)
+                        THEN 0 ELSE 1 END)) <= {SIMHASH_HAMMING_MAX}
+    """,
+    doc="SimHash near-dup pairs: pigeonhole-banded candidate join on signature "
+    "chunks, exact Hamming verify within a radius",
+    tags=("pipeline", "dedup", "simhash"),
+)
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return D.simhash_near_dups(docs, "doc_id", "text", SIMHASH_HAMMING_MAX)
 
 
 # ---------------------------------------------------------------------------

@@ -82,3 +82,7 @@ def load_all_query_modules() -> None:
         from hadoop_lab_spark.plans import stream_queries  # noqa: F401
     except ImportError:
         pass
+    try:
+        from hadoop_lab_spark.plans import advanced  # noqa: F401
+    except ImportError:
+        pass

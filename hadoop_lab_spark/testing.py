@@ -50,9 +50,7 @@ def _value_kind(v) -> str:
 
 def _col_kinds(cols: list[str], rows: list[tuple]) -> dict[str, str]:
     kinds: dict[str, str] = {}
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    names = [cols[i] for i in order]
-    for j, name in enumerate(names):
+    for j, name in enumerate(cols):  # rows are in original column order
         kind = "null"
         for row in rows:
             k = _value_kind(row[j])

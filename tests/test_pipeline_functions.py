@@ -182,3 +182,59 @@ def test_lsh_signature_rejects_wide_vectors(spark):
     emb = spark.createDataFrame([(1, [0.1] * 70)], ["vec_id", "embedding"])
     with pytest.raises(Exception, match="wider than max_dim"):
         emb.select(S.lsh_signature(F.col("embedding"), max_dim=64)).collect()
+
+
+def test_asof_join_backward_semantics(spark):
+    """Inclusive backward as-of: equal ts matches; no prior row → NULLs;
+    latest-preceding wins."""
+    from hadoop_lab_spark.operators import asof_join_backward
+
+    left = spark.createDataFrame(
+        [(1, 10, "l1"), (1, 20, "l2"), (2, 5, "l3")], ["k", "ts", "lv"]
+    )
+    right = spark.createDataFrame(
+        [(1, 10, "r10"), (1, 15, "r15"), (2, 9, "r9")], ["k", "ts", "rv"]
+    )
+    out = {
+        r["lv"]: r["r_rv"]
+        for r in asof_join_backward(left, right, "k", "ts", "ts").collect()
+    }
+    assert out == {"l1": "r10", "l2": "r15", "l3": None}
+
+
+def test_deterministic_sample_stability(spark):
+    """Same keys in, same keys out — regardless of partitioning."""
+    from hadoop_lab_spark.operators import deterministic_sample
+
+    df = spark.range(1000).withColumnRenamed("id", "k")
+    s1 = {r["k"] for r in deterministic_sample(df, "k", 64).collect()}
+    s2 = {r["k"] for r in deterministic_sample(df.repartition(13), "k", 64).collect()}
+    assert s1 == s2
+    assert 0.15 < len(s1) / 1000 < 0.35  # ~25% expected
+
+
+def test_salted_collect_equals_plain(spark):
+    from hadoop_lab_spark.operators import collect_per_group, collect_per_group_salted
+
+    df = spark.createDataFrame(
+        [(i % 3, f"v{i}") for i in range(50)], ["k", "v"]
+    )
+    plain = {r["k"]: r["collected"] for r in collect_per_group(df, "k", "v").collect()}
+    salted = {
+        r["k"]: r["collected"]
+        for r in collect_per_group_salted(df, "k", "v", buckets=4).collect()
+    }
+    assert plain == salted
+
+
+def test_simhash_near_dups_symmetric_radius(spark, docs):
+    from hadoop_lab_spark.functions import dedup as D2
+
+    pairs = D2.simhash_near_dups(docs, "doc_id", "text", max_hamming=64).collect()
+    sig = {r["doc_id"]: r["simhash"] for r in D2.simhash_bits(docs, "doc_id", "text").collect()}
+    for r in pairs:
+        ham = sum(x != y for x, y in zip(sig[r["id_a"]], sig[r["id_b"]]))
+        assert ham == r["hamming"]
+    # near-identical docs 1/3 must be candidates (share a chunk) & close
+    close = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    assert (1, 3) in close
