@@ -436,3 +436,170 @@ def q_sessions_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.sum("new_session").cast("long").alias("n_sessions"))
     )
+
+
+# ---------------------------------------------------------------------------
+# CUBE — all grouping-set combinations (extends the ROLLUP query)
+# ---------------------------------------------------------------------------
+@register(
+    "orders_cube",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS cnt
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="CUBE over (status, priority): every grouping-set combination, "
+    "including both one-dimension margins",
+    tags=("relational", "grouping-sets"),
+)
+def q_orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+# ---------------------------------------------------------------------------
+# PIVOT — long→wide conditional aggregation
+# ---------------------------------------------------------------------------
+@register(
+    "pivot_revenue_by_status",
+    oracle="""
+        SELECT o_orderpriority,
+               round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS F,
+               round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS O,
+               round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS P
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    doc="pivot (long→wide): order revenue per priority with one column per "
+    "status — compiles to conditional aggregation, same single-shuffle plan "
+    "as the oracle's CASE form",
+    tags=("relational", "pivot"),
+)
+def q_pivot_revenue_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot values are declared explicitly — at 100 TB an implicit pivot
+    needs an extra distinct pass to discover columns."""
+    orders = _t(spark, sf_dir, "orders")
+    out = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.round(F.sum("o_totalprice"), 2))
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# UNION ALL — multi-source concatenation (each lab reads exactly one input)
+# ---------------------------------------------------------------------------
+@register(
+    "union_all_key_activity",
+    oracle="""
+        SELECT src, CAST(count(*) AS BIGINT) AS cnt, CAST(count(DISTINCT k) AS BIGINT) AS uniq
+        FROM (
+            SELECT 'order' AS src, o_custkey AS k FROM orders
+            UNION ALL
+            SELECT 'lineitem' AS src, l_orderkey AS k FROM lineitem
+        )
+        GROUP BY src
+    """,
+    doc="UNION ALL across two sources feeding one aggregate (the reference "
+    "reads exactly one input per job — SURVEY §2.11)",
+    tags=("relational", "set-op"),
+)
+def q_union_all_key_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select(
+        F.lit("order").alias("src"), F.col("o_custkey").alias("k")
+    )
+    lines = _t(spark, sf_dir, "lineitem").select(
+        F.lit("lineitem").alias("src"), F.col("l_orderkey").alias("k")
+    )
+    return (
+        orders.unionByName(lines)
+        .groupBy("src")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.count_distinct(F.col("k")).alias("uniq"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# LAG — per-key ordered deltas
+# ---------------------------------------------------------------------------
+@register(
+    "event_value_deltas",
+    oracle="""
+        SELECT event_id,
+               value - lag(value) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS delta
+        FROM events
+    """,
+    doc="lag window: per-user event-over-event value delta in timestamp order "
+    "(deterministic tie-break on event_id; single subtraction — IEEE-exact)",
+    tags=("relational", "window"),
+)
+def q_event_value_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    win = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return events.select(
+        "event_id", (F.col("value") - F.lag("value").over(win)).alias("delta")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Moving-window frame — 7-row trailing sum over daily revenue
+# ---------------------------------------------------------------------------
+@register(
+    "moving_weekly_revenue",
+    oracle="""
+        SELECT day,
+               round(sum(rev) OVER (
+                   ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2)
+                   AS rev_7d
+        FROM (
+            SELECT o_orderdate AS day, sum(o_totalprice) AS rev
+            FROM orders GROUP BY 1
+        )
+    """,
+    doc="ROWS frame window: trailing-7-day revenue sum over pre-aggregated "
+    "daily totals (the unpartitioned window runs over |days| rows, already "
+    "reduced — never over the raw fact table)",
+    tags=("relational", "window", "frame"),
+)
+def q_moving_weekly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum("o_totalprice").alias("rev")
+    )
+    win = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    return daily.select("day", F.round(F.sum("rev").over(win), 2).alias("rev_7d"))
+
+
+# ---------------------------------------------------------------------------
+# Correlated scalar subquery — decorrelated to a join
+# ---------------------------------------------------------------------------
+@register(
+    "customers_above_nation_avg",
+    oracle="""
+        SELECT c_nationkey, CAST(count(*) AS BIGINT) AS cnt
+        FROM customer c
+        WHERE c_acctbal > (
+            SELECT avg(c_acctbal) FROM customer i WHERE i.c_nationkey = c.c_nationkey
+        )
+        GROUP BY c_nationkey
+    """,
+    doc="correlated scalar subquery (count customers above their nation's "
+    "average balance) — expressed as the decorrelated aggregate+join Catalyst "
+    "would produce; comparison-only float use needs no rounding",
+    tags=("relational", "subquery"),
+)
+def q_customers_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    nation_avg = cust.groupBy("c_nationkey").agg(F.avg("c_acctbal").alias("_avg"))
+    return (
+        cust.join(F.broadcast(nation_avg), "c_nationkey")
+        .filter(F.col("c_acctbal") > F.col("_avg"))
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
