@@ -208,3 +208,61 @@ def cosine_near_dup_pairs(
         .select("id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("cos"))
         .filter(F.col("cos") >= threshold)
     )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    list_col: str = "label",
+) -> DataFrame:
+    """IVF-style approximate top-k: coarse quantizer → probe lists →
+    exact rerank. The third ANN tier next to brute force and
+    hyperplane LSH.
+
+    The inverted lists are the existing ``list_col`` partitions; each
+    list's centroid is its seed member (the vector with the smallest id
+    — a deterministic, engine-portable choice where a k-means mean would
+    differ across engines in accumulation ulps). A query scores every
+    centroid (tiny broadcast cross join), probes its ``nprobe`` nearest
+    lists, and reranks only those lists' members exactly.
+
+    Scan cost per query: O(N · nprobe / n_lists) expected, vs O(N)
+    brute force. At 100 TB the corpus would be stored partitioned by
+    list id so probing prunes partitions at the source.
+    """
+    centroids = corpus.groupBy(list_col).agg(
+        F.min_by(F.col(vec_col), F.col(id_col)).alias("_cent")
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    probe_scores = q.crossJoin(F.broadcast(centroids)).select(
+        "query_id",
+        "_qv",
+        F.col(list_col),
+        cosine(F.col("_qv"), F.col("_cent")).alias("_cs"),
+    )
+    probe_win = Window.partitionBy("query_id").orderBy(
+        F.col("_cs").desc(), F.col(list_col).asc()
+    )
+    probes = (
+        probe_scores.withColumn("_pr", F.row_number().over(probe_win))
+        .filter(F.col("_pr") <= nprobe)
+        .select("query_id", "_qv", list_col)
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"), F.col(list_col)
+    )
+    scored = (
+        c.join(F.broadcast(probes), list_col)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id", cosine(F.col("_qv"), F.col("_cv")).alias("cos")
+        )
+    )
+    win = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rk", F.row_number().over(win)).filter(F.col("rk") <= k)

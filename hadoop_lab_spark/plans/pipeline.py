@@ -506,6 +506,64 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", "cos")
 
 
+_IVF_NPROBE = 2
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"(floor((({_dot_sql(a, b)}) / "
+        f"(sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)}))) * 1000000) / 1000000)"
+    )
+
+
+@register(
+    "sim_topk_ivf",
+    oracle=f"""
+        WITH cent AS (
+            SELECT label, arg_min(embedding, vec_id) AS cent
+            FROM embeddings GROUP BY label
+        ),
+        q AS (SELECT vec_id AS query_id, embedding AS qv
+              FROM embeddings WHERE vec_id < {_N_QUERIES}),
+        ps AS (
+            SELECT query_id, qv, label, {_cos_sql("qv", "cent")} AS cs
+            FROM q CROSS JOIN cent
+        ),
+        probes AS (
+            SELECT query_id, qv, label
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY query_id ORDER BY cs DESC, label ASC) AS pr
+                  FROM ps)
+            WHERE pr <= {_IVF_NPROBE}
+        ),
+        scored AS (
+            SELECT query_id, neighbor_id, {_cos_sql("qv", "cv")} AS cos
+            FROM (SELECT vec_id AS neighbor_id, embedding AS cv, label
+                  FROM embeddings) c
+            JOIN probes USING (label)
+            WHERE neighbor_id <> query_id
+        )
+        SELECT query_id, neighbor_id, cos, CAST(rk AS INTEGER) AS rk
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rk
+              FROM scored)
+        WHERE rk <= {_TOP_K}
+    """,
+    doc="IVF-style approximate top-k: seeded coarse quantizer (deterministic "
+    "min-id centroid per list), nprobe nearest lists probed, exact rerank "
+    "within probed lists only",
+    tags=("pipeline", "similarity", "ivf"),
+)
+def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    out = S.ivf_topk(
+        queries, emb, _TOP_K, nprobe=_IVF_NPROBE,
+        id_col="vec_id", vec_col="embedding", list_col="label",
+    )
+    return out.select("query_id", "neighbor_id", "cos", "rk")
+
+
 # ---------------------------------------------------------------------------
 # Multimodal (binary payload columns + mapInPandas decode plumbing)
 # ---------------------------------------------------------------------------

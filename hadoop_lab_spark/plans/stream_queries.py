@@ -114,3 +114,69 @@ def q_stream_user_counts_stateful(spark: SparkSession, sf_dir: str) -> DataFrame
     return snap.groupBy("user_id").agg(
         F.sum("cnt").alias("cnt"), F.max("max_value").alias("max_value")
     )
+
+
+@register(
+    "stream_session_window_counts",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, ts,
+                   CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                             > INTERVAL 1 HOUR
+                        OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+        ),
+        sessions AS (
+            SELECT user_id, ts,
+                   sum(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS sid
+            FROM flagged
+        )
+        SELECT user_id, min(ts) AS s_start, CAST(count(*) AS BIGINT) AS cnt
+        FROM sessions
+        GROUP BY user_id, sid
+    """,
+    doc="streaming session windows (1h inactivity gap) per user; bounded "
+    "replay must equal the batch lag-based sessionization",
+    tags=("streaming", "session-window", "stateful"),
+    bench=False,
+)
+def q_stream_session_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_lab_spark.streaming.jobs import stream_session_window_counts
+
+    stream = stream_session_window_counts(spark, sf_dir)
+    snap = _replay(spark, stream, "mem_sessions", "complete")
+    return snap.select("user_id", "s_start", "cnt")
+
+
+@register(
+    "stream_static_enrich_counts",
+    oracle="""
+        SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS cnt
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY c.c_mktsegment
+    """,
+    doc="stream-static join: streaming events enriched against the static "
+    "customer dimension (broadcast per micro-batch), counts per segment",
+    tags=("streaming", "join"),
+    bench=False,
+)
+def q_stream_static_enrich_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The static side is a plain DataFrame — Spark re-plans it per
+    micro-batch and broadcasts it under the threshold, the standard
+    dimension-enrichment shape for streaming ETL."""
+    from hadoop_lab_spark.sources import load_table
+    from hadoop_lab_spark.streaming.jobs import stream_events
+
+    tune_session(spark)
+    customers = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_mktsegment")
+    )
+    enriched = stream_events(spark, sf_dir).join(
+        customers, F.col("user_id") == F.col("c_custkey")
+    )
+    agg = enriched.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("cnt"))
+    snap = _replay(spark, agg, "mem_enrich", "complete")
+    return snap.select("c_mktsegment", "cnt")

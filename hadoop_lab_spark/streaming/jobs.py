@@ -184,3 +184,24 @@ def stream_user_event_counts_stateful(spark: SparkSession, sf_dir: str) -> DataF
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stream_session_window_counts(
+    spark: SparkSession, sf_dir: str, gap: str = "1 hour", watermark: str = "1 hour"
+) -> DataFrame:
+    """Session windows: per-user event counts over dynamic windows that
+    close after `gap` of inactivity — the streaming twin of the batch
+    lag-based sessionization (plans/relational.py sessions_per_user).
+
+    State is one open session per (user, window) merged as events
+    arrive; the watermark finalizes and evicts sessions whose close time
+    passed it, bounding state to active sessions only.
+    """
+    events = stream_events(spark, sf_dir).withWatermark("ts", watermark)
+    return events.groupBy(
+        F.session_window("ts", gap).alias("w"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("cnt")).select(
+        "user_id",
+        F.col("w.start").alias("s_start"),
+        "cnt",
+    )
