@@ -7,10 +7,13 @@
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS   (local[N], default all cores).
 
-Each query is executed to completion with a count() action (forces every
-exchange and aggregate; avoids driver-side materialization cost that
-collect() would add). A warmup pass on the smallest table absorbs JVM/
-codegen startup so per-query numbers reflect the plans, not the JIT.
+Each query is executed to completion with a noop-sink write: unlike
+count() — under which Catalyst prunes every column the count doesn't
+need, making projection-heavy queries measure as nearly free — the noop
+sink materializes ALL output columns through the full plan while adding
+no write cost (and no driver-side materialization like collect()). A
+warmup pass on the smallest table absorbs JVM/codegen startup so
+per-query numbers reflect the plans, not the JIT.
 """
 
 from __future__ import annotations
@@ -42,7 +45,7 @@ def main() -> None:
         if not spec.bench:
             continue
         start = time.perf_counter()
-        spec.fn(spark, sf_dir).count()
+        spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - start, 3)
 
     total = round(sum(timings.values()), 3)

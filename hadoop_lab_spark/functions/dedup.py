@@ -332,32 +332,34 @@ def simhash_near_dups(
     """
     per = bits // chunks
     sims = simhash_bits(df, id_col, text_col, bits).repartition(F.col(id_col))
+    # Chunk bitstrings → ints ONCE per doc; Hamming over a candidate pair
+    # is then `chunks` xor+bit_count ops instead of `bits` char compares
+    # (the verify stage dominates: chunk collisions are common on
+    # correlated corpora, so candidates ≫ final pairs).
+    ints = F.transform(
+        F.sequence(F.lit(0), F.lit(chunks - 1)),
+        lambda c: F.conv(F.substring("simhash", c * per + 1, per), 2, 10).cast("long"),
+    )
     chunked = sims.select(
         F.col(id_col),
-        F.col("simhash"),
+        ints.alias("_iv"),
         F.posexplode(
             F.array(
                 *[F.substring("simhash", c * per + 1, per) for c in range(chunks)]
             )
         ).alias("chunk", "cs"),
     )
-    a = chunked.select(
-        F.col(id_col).alias("id_a"), F.col("simhash").alias("_ha"), "chunk", "cs"
-    )
-    b = chunked.select(
-        F.col(id_col).alias("id_b"), F.col("simhash").alias("_hb"), "chunk", "cs"
-    )
+    a = chunked.select(F.col(id_col).alias("id_a"), F.col("_iv").alias("_ia"), "chunk", "cs")
+    b = chunked.select(F.col(id_col).alias("id_b"), F.col("_iv").alias("_ib"), "chunk", "cs")
     cand = (
         a.join(b, ["chunk", "cs"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "_ha", "_hb")
+        .select("id_a", "id_b", "_ia", "_ib")
         .distinct()
     )
-    ham = F.aggregate(
-        F.sequence(F.lit(1), F.lit(bits)),
-        F.lit(0),
-        lambda acc, i: acc
-        + F.when(F.substring("_ha", i, 1) == F.substring("_hb", i, 1), 0).otherwise(1),
+    ham = sum(
+        F.bit_count(F.element_at("_ia", c + 1).bitwiseXOR(F.element_at("_ib", c + 1)))
+        for c in range(chunks)
     )
     return (
         cand.select("id_a", "id_b", ham.cast("long").alias("hamming"))
