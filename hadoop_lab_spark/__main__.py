@@ -1,0 +1,77 @@
+"""CLI — the engine's answer to the reference's ``./<Lab>.sh`` scripts.
+
+    python -m hadoop_lab_spark list
+    python -m hadoop_lab_spark run-lab 2 /path/to/input2.txt [-o OUT_DIR]
+    python -m hadoop_lab_spark query wordcount [--sf-dir DIR] [-n 20]
+
+A reference user's whole workflow (`./WordCount.sh` → cat part-r-00000)
+becomes ``run-lab 2 input2.txt -o out`` — same input file, same output
+shape (tab-separated, key-sorted, single file), no compile/stage/submit
+ceremony.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="hadoop_lab_spark")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    sub.add_parser("list", help="list registered queries and labs")
+
+    p_lab = sub.add_parser("run-lab", help="run a reference lab on a raw text input")
+    p_lab.add_argument("lab", type=int, choices=range(2, 12))
+    p_lab.add_argument("input", help="path to the lab's text/CSV input file")
+    p_lab.add_argument("-o", "--output", help="write reference-shaped output dir")
+    p_lab.add_argument("-n", "--rows", type=int, default=20, help="rows to show")
+
+    p_q = sub.add_parser("query", help="run a registered query on the star schema")
+    p_q.add_argument("name")
+    p_q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    p_q.add_argument("-n", "--rows", type=int, default=20)
+
+    args = parser.parse_args(argv)
+
+    from hadoop_lab_spark.plans.registry import REGISTRY, load_all_query_modules
+
+    load_all_query_modules()
+
+    if args.cmd == "list":
+        from hadoop_lab_spark.labs import LABS
+
+        print("labs (run-lab):")
+        for n, fn in sorted(LABS.items()):
+            print(f"  {n:3d}  {fn.__name__}")
+        print("queries (query):")
+        for name, spec in sorted(REGISTRY.items()):
+            oracle = "oracle" if spec.oracle else "rows-only"
+            print(f"  {name:35s} [{oracle}] {spec.doc.splitlines()[0][:70]}")
+        return 0
+
+    from hadoop_lab_spark.session import get_spark
+
+    spark = get_spark(app_name=f"hadoop-lab-spark-{args.cmd}")
+    spark.sparkContext.setLogLevel("WARN")
+    try:
+        if args.cmd == "run-lab":
+            from hadoop_lab_spark.labs import run_lab
+
+            df = run_lab(spark, args.lab, args.input, args.output)
+            df.show(args.rows, truncate=False)
+            if args.output:
+                print(f"wrote reference-shaped output to {args.output}")
+        else:
+            if args.name not in REGISTRY:
+                print(f"unknown query {args.name!r}; see `list`", file=sys.stderr)
+                return 2
+            REGISTRY[args.name].fn(spark, args.sf_dir).show(args.rows, truncate=False)
+        return 0
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -205,3 +205,37 @@ def q_json_extract_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.groupBy("event_type").agg(
         F.sum(k).cast("long").alias("sum_k"), F.max(k).alias("max_k")
     )
+
+
+# ---------------------------------------------------------------------------
+# Approximate aggregates — accuracy-contract oracle
+# ---------------------------------------------------------------------------
+@register(
+    "approx_distinct_accuracy",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_uniq,
+               TRUE AS within_5pct
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    doc="approximate distinct count (HyperLogLog++) with an accuracy CONTRACT "
+    "as the oracle: the query returns exact counts plus a boolean asserting "
+    "|approx-exact|/exact <= 5%; the oracle expects TRUE, so sketch drift "
+    "fails the differential",
+    tags=("advanced", "approx", "aggregate"),
+)
+def q_approx_distinct_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The approx value itself is engine-specific (HLL internals), so it
+    can't be hash-compared — but its error bound CAN be. At 100 TB
+    approx_count_distinct is the difference between one pass with a
+    16KB sketch per group and a full distinct shuffle."""
+    orders = _t(spark, sf_dir, "orders")
+    agg = orders.groupBy("o_orderpriority").agg(
+        F.count_distinct("o_custkey").alias("exact_uniq"),
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("_approx"),
+    )
+    within = (
+        F.abs(F.col("_approx") - F.col("exact_uniq")) / F.col("exact_uniq") <= 0.05
+    )
+    return agg.select("o_orderpriority", "exact_uniq", within.alias("within_5pct"))
