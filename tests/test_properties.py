@@ -1,0 +1,117 @@
+"""Property-based tests (hypothesis): random inputs, independent
+pure-Python twins, and invariants — the §5.3 layer of the test strategy.
+
+One Spark action per example is slow, so each property collects a BATCH
+of hypothesis-generated rows into one DataFrame and checks all rows in
+one action (hypothesis still drives generation + shrinking).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from hadoop_lab_spark.functions import text as X
+from hadoop_lab_spark.operators import bucketize, hash_bucket
+
+# ASCII-ish text lines (printable, no exotic whitespace beyond space/tab)
+_text = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126), min_size=0, max_size=80
+)
+
+_SETTINGS = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+@given(st.lists(_text, min_size=1, max_size=30))
+@_SETTINGS
+def test_token_count_matches_python(spark, texts):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["i", "t"])
+    got = {
+        r["i"]: r["n"]
+        for r in df.select("i", X.token_count("t").alias("n")).collect()
+    }
+    for i, t in enumerate(texts):
+        expected = len(re.split(r"\s+", t.strip()))
+        assert got[i] == expected, (t,)
+
+
+@given(st.lists(st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=50))
+@_SETTINGS
+def test_bucketize_matches_python_ladder(spark, marks):
+    df = spark.createDataFrame([(i, m) for i, m in enumerate(marks)], ["i", "m"])
+    got = {r["i"]: r["g"] for r in df.select("i", bucketize("m").alias("g")).collect()}
+
+    def ladder(m: int) -> str:
+        return "A" if m >= 90 else "B" if m >= 80 else "C" if m >= 70 else "D" if m >= 60 else "F"
+
+    for i, m in enumerate(marks):
+        assert got[i] == ladder(m)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=10**12), min_size=1, max_size=50))
+@_SETTINGS
+def test_hash_bucket_range_and_python_twin(spark, keys):
+    import hashlib
+
+    df = spark.createDataFrame([(k,) for k in set(keys)], ["k"])
+    got = {
+        r["k"]: r["b"]
+        for r in df.select("k", hash_bucket("k", 256).alias("b")).collect()
+    }
+    for k in set(keys):
+        expected = int(hashlib.md5(str(k).encode()).hexdigest()[:2], 16) % 256
+        assert got[k] == expected
+        assert 0 <= got[k] < 256
+
+
+@given(st.lists(_text.filter(lambda t: t.strip()), min_size=2, max_size=12))
+@_SETTINGS
+def test_quality_score_bounded_everywhere(spark, texts):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["i", "t"])
+    vals = [
+        r["q"] for r in df.select(X.quality_score("t").alias("q")).collect()
+    ]
+    assert all(v is None or 0.0 <= v <= 1.0 for v in vals)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 100), st.text(st.sampled_from("ab"), min_size=1, max_size=3)),
+        min_size=1,
+        max_size=40,
+    )
+)
+@_SETTINGS
+def test_asof_matches_python_scan(spark, rows):
+    """asof_join_backward against a brute-force Python scan on random
+    (key, ts, payload) rows used as both sides."""
+    from hadoop_lab_spark.operators import asof_join_backward
+
+    left = [(k, ts, f"L{i}") for i, (k, ts, _) in enumerate(rows)]
+    right = [(k, ts + 1 if p.startswith("a") else ts, f"R{i}") for i, (k, ts, p) in enumerate(rows)]
+    ldf = spark.createDataFrame(left, ["k", "ts", "lv"])
+    rdf = spark.createDataFrame(right, ["k", "ts", "rv"])
+    out = {
+        r["lv"]: r["r_rv"]
+        for r in asof_join_backward(ldf, rdf, "k", "ts", "ts").collect()
+    }
+    for k, ts, lv in left:
+        cands = [(rts, rv) for (rk, rts, rv) in right if rk == k and rts <= ts]
+        if not cands:
+            assert out[lv] is None
+        else:
+            # union-sort picks the row latest in (ts, arrival) order;
+            # ties on ts are arbitrary-but-deterministic — accept any
+            # max-ts witness
+            best_ts = max(rts for rts, _ in cands)
+            assert out[lv] in {rv for rts, rv in cands if rts == best_ts}
