@@ -266,3 +266,54 @@ def ivf_topk(
         F.col("cos").desc(), F.col("neighbor_id").asc()
     )
     return scored.withColumn("rk", F.row_number().over(win)).filter(F.col("rk") <= k)
+
+
+def lsh_ann_topk_multiprobe(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = LSH_PLANES,
+) -> DataFrame:
+    """Multi-probe LSH top-k: each query scans its own bucket PLUS the
+    `planes` buckets one Hamming bit away (flip each signature bit).
+
+    The standard recall lever without re-hashing: a true neighbor lost
+    to a single hyperplane disagreement is recovered by the flipped
+    probe. Candidate cost grows ×(planes+1) per query but stays
+    O(N·(planes+1)/2^planes) expected — still bucket-bounded, never a
+    corpus scan. Results are a superset of single-probe
+    :func:`lsh_ann_topk` candidates with identical cosines.
+    """
+    sig = lsh_signature(F.col(vec_col), planes)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        sig.alias("sig"),
+    )
+
+    def flip(s: Column, p: int) -> Column:
+        ch = F.substring(s, p + 1, 1)
+        flipped = F.when(ch == "1", F.lit("0")).otherwise(F.lit("1"))
+        return F.concat(F.substring(s, 1, p), flipped, F.substring(s, p + 2, planes - p - 1))
+
+    base = sig.alias("_s0")
+    probes = F.array(F.col("_s0"), *[flip(F.col("_s0"), p) for p in range(planes)])
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"), base
+        )
+        .select("query_id", "_qv", F.explode(probes).alias("sig"))
+    )
+    scored = (
+        c.join(F.broadcast(q), "sig")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id", cosine(F.col("_qv"), F.col("_cv")).alias("cos")
+        )
+    )
+    win = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rk", F.row_number().over(win)).filter(F.col("rk") <= k)

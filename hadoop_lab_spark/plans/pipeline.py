@@ -506,6 +506,53 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", "cos")
 
 
+_FLIP_SQL = (
+    "substring(sig0, 1, CAST(i AS INT) - 1) || "
+    "(CASE substring(sig0, CAST(i AS INT), 1) WHEN '1' THEN '0' ELSE '1' END) || "
+    f"substring(sig0, CAST(i AS INT) + 1, {S.LSH_PLANES})"
+)
+
+
+@register(
+    "sim_topk_lsh_multiprobe",
+    oracle=f"""
+        WITH tagged AS (
+            SELECT vec_id, embedding, {_sig_sql("embedding")} AS sig
+            FROM embeddings
+        ),
+        q AS (
+            SELECT query_id, qv, CASE WHEN i = 0 THEN sig0 ELSE {_FLIP_SQL} END AS sig
+            FROM (SELECT vec_id AS query_id, embedding AS qv, sig AS sig0
+                  FROM tagged WHERE vec_id < {_N_QUERIES}),
+                 UNNEST(range(0, {S.LSH_PLANES} + 1)) AS u(i)
+        ),
+        c AS (SELECT vec_id AS neighbor_id, embedding AS cv, sig FROM tagged),
+        scored AS (
+            SELECT query_id, neighbor_id, {_COS_SQL} AS cos
+            FROM c JOIN q USING (sig)
+            WHERE neighbor_id <> query_id
+        )
+        SELECT query_id, neighbor_id, cos, CAST(rk AS INTEGER) AS rk
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rk
+            FROM scored
+        )
+        WHERE rk <= {_TOP_K}
+    """,
+    doc="multi-probe LSH top-k: each query also probes the planes buckets one "
+    "Hamming bit away — the recall lever that keeps cost bucket-bounded",
+    tags=("pipeline", "similarity", "lsh"),
+)
+def q_sim_topk_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    out = S.lsh_ann_topk_multiprobe(
+        queries, emb, _TOP_K, id_col="vec_id", vec_col="embedding"
+    )
+    return out.select("query_id", "neighbor_id", "cos", "rk")
+
+
 _IVF_NPROBE = 2
 
 

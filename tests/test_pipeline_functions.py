@@ -238,3 +238,23 @@ def test_simhash_near_dups_symmetric_radius(spark, docs):
     # near-identical docs 1/3 must be candidates (share a chunk) & close
     close = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
     assert (1, 3) in close
+
+
+def test_multiprobe_recall_superset_of_single_probe(spark):
+    """Multi-probe candidates ⊇ single-probe candidates, cosines equal."""
+    import math
+
+    rows = [(i, [math.sin(i * 3.7 + d * 0.41) for d in range(8)]) for i in range(30)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = emb.filter(F.col("vec_id") < 4)
+    single = {
+        (r["query_id"], r["neighbor_id"]): r["cos"]
+        for r in S.lsh_ann_topk(q, emb, 29).collect()
+    }
+    multi = {
+        (r["query_id"], r["neighbor_id"]): r["cos"]
+        for r in S.lsh_ann_topk_multiprobe(q, emb, 29).collect()
+    }
+    assert set(single) <= set(multi)
+    for pair, cos in single.items():
+        assert multi[pair] == cos
