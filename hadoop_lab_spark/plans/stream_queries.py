@@ -180,3 +180,30 @@ def q_stream_static_enrich_counts(spark: SparkSession, sf_dir: str) -> DataFrame
     agg = enriched.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("cnt"))
     snap = _replay(spark, agg, "mem_enrich", "complete")
     return snap.select("c_mktsegment", "cnt")
+
+
+@register(
+    "stream_stream_purchase_signup_join",
+    oracle="""
+        SELECT p.event_id AS p_event_id, s.event_id AS s_event_id,
+               p.user_id, p.ts AS p_ts, s.ts AS s_ts
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+          ON p.user_id = s.user_id
+         AND s.ts <= p.ts
+         AND s.ts >= p.ts - INTERVAL 7 DAY
+    """,
+    doc="stream-stream inner join with watermarks + event-time range bound "
+    "(state evicted past the eligibility window); bounded replay equals the "
+    "batch range join",
+    tags=("streaming", "join", "stream-stream"),
+    bench=False,
+)
+def q_stream_stream_purchase_signup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append mode: each matched pair is emitted exactly once, so the
+    sink content IS the join result regardless of batching."""
+    from hadoop_lab_spark.streaming.jobs import stream_stream_purchase_signup_join
+
+    stream = stream_stream_purchase_signup_join(spark, sf_dir)
+    snap = _replay(spark, stream, "mem_ssjoin", "append")
+    return snap.select("p_event_id", "s_event_id", "user_id", "p_ts", "s_ts")

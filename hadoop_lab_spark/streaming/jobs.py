@@ -205,3 +205,44 @@ def stream_session_window_counts(
         F.col("w.start").alias("s_start"),
         "cnt",
     )
+
+
+def stream_stream_purchase_signup_join(
+    spark: SparkSession, sf_dir: str, within: str = "7 days", watermark: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream inner join: purchases matched to the same user's
+    signups within a trailing time bound.
+
+    Both sides carry watermarks and the join has an explicit event-time
+    range — the two ingredients that let Spark bound join state (a side's
+    rows are evicted once the other side's watermark passes their
+    eligibility window). Without the range condition, state grows
+    forever; this is THE canonical stream-stream join discipline.
+    """
+    events = stream_events(spark, sf_dir)
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_event_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    signups = (
+        events.filter(F.col("event_type") == "signup")
+        .select(
+            F.col("event_id").alias("s_event_id"),
+            F.col("user_id").alias("s_user"),
+            F.col("ts").alias("s_ts"),
+        )
+        .withWatermark("s_ts", watermark)
+    )
+    cond = (
+        (F.col("p_user") == F.col("s_user"))
+        & (F.col("s_ts") <= F.col("p_ts"))
+        & (F.col("s_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {within}"))
+    )
+    return purchases.join(signups, cond).select(
+        "p_event_id", "s_event_id", F.col("p_user").alias("user_id"), "p_ts", "s_ts"
+    )

@@ -1,0 +1,81 @@
+"""Plan-shape regression tests: pin the physical-plan properties the
+100 TB story depends on (PERFORMANCE.md), so a refactor that silently
+de-optimizes a query fails CI, not the benchmark.
+
+These assert structural facts (exchange counts, join strategies, scan
+schemas), not full plan strings — robust to cosmetic plan changes.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from hadoop_lab_spark.plans.registry import REGISTRY, load_all_query_modules
+
+from tests.conftest import SF_DIR
+
+load_all_query_modules()
+
+
+def _plan(spark, name: str) -> str:
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def _exchanges(plan: str) -> int:
+    return len(re.findall(r"\(\d+\) Exchange", plan))
+
+
+def test_wordcount_single_shuffle_pruned_scan(spark):
+    plan = _plan(spark, "wordcount")
+    assert _exchanges(plan) == 1  # partial→final count needs exactly one
+    assert "ReadSchema: struct<text:string>" in plan  # only `text` read
+
+
+def test_count_per_priority_single_shuffle(spark):
+    plan = _plan(spark, "count_per_priority")
+    assert _exchanges(plan) == 1
+    assert "ReadSchema: struct<o_orderpriority:string>" in plan
+
+
+def test_revenue_per_nation_broadcasts_dims(spark):
+    plan = _plan(spark, "revenue_per_nation")
+    assert "BroadcastHashJoin" in plan
+    # the star join must not sort-merge the small dims
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_matmul_broadcasts_small_side(spark):
+    plan = _plan(spark, "matmul_coo")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bruteforce_topk_never_shuffles_corpus(spark):
+    """The corpus side must reach the scoring join with zero exchanges —
+    only the window over pruned candidates may shuffle."""
+    plan = _plan(spark, "sim_topk_bruteforce")
+    assert "BroadcastNestedLoopJoin" in plan
+    scan_to_join = plan.split("BroadcastNestedLoopJoin")[0]
+    # format prints operators bottom-up per subtree; conservative check:
+    # exactly one Exchange in the whole plan (the row_number window)
+    assert _exchanges(plan) == 1, plan[:800]
+
+
+def test_grade_bucket_zero_shuffles(spark):
+    plan = _plan(spark, "grade_bucket")
+    assert _exchanges(plan) == 0  # pure row transform
+
+
+def test_scalar_sampler_zero_shuffles(spark):
+    plan = _plan(spark, "scalar_function_sampler")
+    assert _exchanges(plan) == 0
+
+
+def test_filters_pushed_to_parquet(spark):
+    plan = _plan(spark, "asof_purchase_last_signup")
+    assert re.search(r"PushedFilters: \[.*EqualTo\(event_type,purchase\)", plan)
