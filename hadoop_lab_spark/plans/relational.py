@@ -603,3 +603,34 @@ def q_customers_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+# ---------------------------------------------------------------------------
+# LIMIT/OFFSET pagination (SURVEY §2.6: absent from the reference)
+# ---------------------------------------------------------------------------
+@register(
+    "orders_page2_by_price",
+    oracle="""
+        SELECT o_orderkey, round(o_totalprice, 2) AS price
+        FROM orders
+        ORDER BY round(o_totalprice, 2) DESC, o_orderkey ASC
+        LIMIT 10 OFFSET 10
+    """,
+    doc="deterministic pagination: global ORDER BY (rounded measure + unique "
+    "key tie-break) with LIMIT 10 OFFSET 10 — the second page is only "
+    "well-defined because the sort is total",
+    tags=("relational", "limit", "offset"),
+)
+def q_orders_page2_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sort + limit plans as TakeOrderedAndProject: each partition
+    contributes its local top-(offset+limit), the driver merges — no full
+    range-partitioned sort of the table."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            "o_orderkey", F.round("o_totalprice", 2).alias("price")
+        )
+        .orderBy(F.col("price").desc(), F.col("o_orderkey").asc())
+        .offset(10)
+        .limit(10)
+    )
