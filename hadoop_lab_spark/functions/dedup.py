@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from hadoop_lab_spark.functions.text import WS_RE
+
 #: Defaults shared with the oracle SQL in plans/pipeline.py.
 MINHASH_SEEDS = 12
 LSH_BANDS = 4  # rows per band = MINHASH_SEEDS / LSH_BANDS
@@ -52,7 +54,7 @@ def word_shingle_arrays(
     into ``slice(…, 0, …)``, which throws. Short rows produce a junk
     partial shingle that the filter then discards.
     """
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = F.split(F.trim(F.col(text_col)), WS_RE)
     df = df.select(F.col(id_col), toks.alias("_toks")).filter(F.size("_toks") >= n)
     shingles = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size("_toks") - (n - 1), F.lit(1))),
@@ -245,12 +247,16 @@ def ngram_jaccard_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+    # Size tables are per-DOC aggregates — unbounded at corpus scale, so
+    # no broadcast hint (a hint overrides the size threshold and would
+    # force a multi-GB broadcast at 10⁹ docs). AQE broadcasts them when
+    # they are actually below the threshold and shuffle-joins otherwise.
     sizes = doc_capped.select(F.col(id_col), F.size("sh_arr").alias("n_sh"))
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     return (
-        inter.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
         .select(
             "id_a",
             "id_b",
@@ -280,7 +286,7 @@ def simhash_bits(
     per-partition would cut the explode at extreme scale; the relational
     form keeps it oracle-checkable and still scales linearly.)
     """
-    toks = F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok")
+    toks = F.explode(F.split(F.trim(F.col(text_col)), WS_RE)).alias("tok")
     tf = (
         df.select(F.col(id_col), toks)
         .groupBy(id_col, "tok")

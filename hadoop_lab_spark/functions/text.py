@@ -13,8 +13,14 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-#: Whitespace tokenizer shared with the oracle SQL.
-WS_RE = r"\s+"
+#: Whitespace tokenizer shared with the oracle SQL. An EXPLICIT character
+#: class, not ``\s+``: Java regex's ``\s`` includes U+000B (vertical tab)
+#: while DuckDB's RE2 ``\s`` does not, so ``\s+`` silently diverges
+#: between the Spark plan and its oracle on text containing ``\x0b``.
+#: The raw string below contains literal backslash escapes, which both
+#: Java regex and RE2 parse identically — the SAME constant is embedded
+#: in the oracle SQL, so the two sides cannot drift.
+WS_RE = r"[ \t\n\r\f]+"
 
 #: BPE-ish token pattern: runs of word chars OR single non-space symbols.
 #: Approximates subword-tokenizer token counts well enough for budget
@@ -63,7 +69,7 @@ def tokens(text: Column | str) -> Column:
 
 
 def token_count(text: Column | str) -> Column:
-    """Whitespace token count. DuckDB twin: len(regexp_split_to_array(trim(x), '\\s+'))."""
+    """Whitespace token count. DuckDB twin: len(regexp_split_to_array(trim(x), WS_RE))."""
     return F.size(tokens(text))
 
 

@@ -30,9 +30,21 @@ def hash_bucket(key: Column | str, buckets: int = HASH_BUCKETS) -> Column:
     value of the md5 hex prefix. md5 is uniform, so buckets are too.
     DuckDB twin: the instr-nibble arithmetic (see plans/advanced.py).
 
+    ``buckets`` must be a power of two: the prefix domain is 16^hexlen,
+    and ``% buckets`` is only uniform when buckets divides it (e.g.
+    buckets=100 over 16² would give buckets 0-55 a 3/256 share vs 2/256
+    for the rest — exactly the modulo bias a deterministic sampler must
+    not have). Powers of two always divide the power-of-two domain, so
+    enforcing them makes every reachable configuration exactly uniform.
+
     For non-oracle production paths, ``xxhash64`` is the cheaper choice;
     md5 keeps the DuckDB oracle bit-exact.
     """
+    if buckets < 1 or (buckets & (buckets - 1)) != 0:
+        raise ValueError(
+            f"buckets must be a power of two for an unbiased modulo over the "
+            f"hex-prefix domain, got {buckets}"
+        )
     c = F.col(key) if isinstance(key, str) else key
     hexlen = max(1, -(-(buckets - 1).bit_length() // 4))  # ceil(bits/4)
     return (

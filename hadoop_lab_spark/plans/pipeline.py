@@ -46,7 +46,10 @@ def _sql_list(items: tuple[str, ...]) -> str:
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
-_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
+# The SAME explicit whitespace class as the Spark side (text.WS_RE):
+# Java \s includes U+000B, RE2 \s does not — the shared constant removes
+# the divergence class entirely.
+_TOKS = f"regexp_split_to_array(trim(text), '{X.WS_RE}')"
 
 
 @register(
@@ -56,7 +59,7 @@ _TOKS = "regexp_split_to_array(trim(text), '\\s+')"
                CAST(len({_TOKS}) AS INTEGER) AS n_tokens,
                CAST(len(regexp_extract_all(text, '{X.BPE_TOKEN_RE}')) AS INTEGER)
                    AS n_bpe_tokens,
-               length(regexp_replace(text, '\\s+', '', 'g'))
+               length(regexp_replace(text, '{X.WS_RE}', '', 'g'))
                    / len({_TOKS}) AS mean_token_len
         FROM documents
     """,
@@ -84,7 +87,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                    len({_TOKS}) AS n_tok,
                    len(regexp_extract_all(text, '[!-/:-@\\[-`{{-~]')) / length(text)
                        AS punct,
-                   length(regexp_replace(text, '\\s+', '', 'g')) AS non_space
+                   length(regexp_replace(text, '{X.WS_RE}', '', 'g')) AS non_space
             FROM documents
         )
         SELECT doc_id,
@@ -109,7 +112,7 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
         WITH t AS (
             SELECT doc_id,
-                   regexp_split_to_array(trim(lower(text)), '\\s+') AS toks,
+                   regexp_split_to_array(trim(lower(text)), '{X.WS_RE}') AS toks,
                    len(regexp_extract_all(text, '{X.CJK_RE}')) AS cjk
             FROM documents
         ),
@@ -142,7 +145,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_fingerprints",
     oracle=f"""
         SELECT doc_id,
-               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp_canon,
+               md5(trim(regexp_replace(lower(text), '{X.WS_RE}', ' ', 'g'))) AS fp_canon,
                list_min(list_transform(
                    range(1, greatest(length(text) - {X.FINGERPRINT_K - 1}, 1) + 1),
                    i -> md5(substring(text, CAST(i AS INT), {X.FINGERPRINT_K}))
@@ -166,8 +169,8 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "dedup_exact",
-    oracle="""
-        SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+    oracle=f"""
+        SELECT md5(trim(regexp_replace(lower(text), '{X.WS_RE}', ' ', 'g'))) AS fp,
                CAST(count(*) AS BIGINT) AS cnt,
                min(doc_id) AS keeper
         FROM documents

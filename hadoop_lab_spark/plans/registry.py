@@ -65,24 +65,18 @@ def register(
 
 
 def load_all_query_modules() -> None:
-    """Import every module that registers queries (idempotent)."""
-    # Imports are inside the function to avoid circular imports at package
-    # import time; each module's top-level @register calls populate REGISTRY.
-    from hadoop_lab_spark.plans import parity  # noqa: F401
+    """Import every module that registers queries (idempotent).
 
-    try:
-        from hadoop_lab_spark.plans import relational  # noqa: F401
-    except ImportError:
-        pass
-    try:
-        from hadoop_lab_spark.plans import pipeline  # noqa: F401
-    except ImportError:
-        pass
-    try:
-        from hadoop_lab_spark.plans import stream_queries  # noqa: F401
-    except ImportError:
-        pass
-    try:
-        from hadoop_lab_spark.plans import advanced  # noqa: F401
-    except ImportError:
-        pass
+    Imports are inside the function to avoid circular imports at package
+    import time; each module's top-level @register calls populate
+    REGISTRY. Import errors propagate: a broken plan module must FAIL the
+    driver contract loudly, not silently shrink ``queries()`` (a swallowed
+    ImportError here is indistinguishable from "fewer features").
+    """
+    from hadoop_lab_spark.plans import (  # noqa: F401
+        advanced,
+        parity,
+        pipeline,
+        relational,
+        stream_queries,
+    )

@@ -412,8 +412,8 @@ def q_value_quartiles_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT user_id,
                    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                              IS NULL THEN 1
-                        WHEN epoch(ts) - epoch(lag(ts) OVER (
-                             PARTITION BY user_id ORDER BY ts, event_id)) > 3600 THEN 1
+                        WHEN floor(epoch(ts)) - floor(epoch(lag(ts) OVER (
+                             PARTITION BY user_id ORDER BY ts, event_id))) > 3600 THEN 1
                         ELSE 0 END AS new_session
             FROM events
         )
@@ -424,8 +424,12 @@ def q_value_quartiles_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("extension", "window", "sessionize"),
 )
 def q_sessions_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Integer epoch math only — no cross-engine float risk. One shuffle
-    on user_id for the window, one aggregate reusing the partitioning."""
+    """Spark's unix_timestamp() truncates each timestamp to whole
+    seconds BEFORE subtracting; the oracle mirrors that exactly with
+    floor(epoch(ts)) per timestamp (DuckDB epoch() is a fractional
+    DOUBLE — un-floored, a gap in (3600, 3601) flips the predicate
+    between engines). One shuffle on user_id for the window, one
+    aggregate reusing the partitioning."""
     events = _t(spark, sf_dir, "events")
     win = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(win))

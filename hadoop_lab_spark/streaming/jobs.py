@@ -27,6 +27,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from hadoop_lab_spark.operators.wordcount import wordcount as wordcount_op
+
 #: Raw parquet schema of `events` as the streaming reader sees it:
 #: ts is TIMESTAMP(NANOS) in the file → int64 nanos under
 #: spark.sql.legacy.parquet.nanosAsLong (set by session tuning).
@@ -120,12 +122,14 @@ def stream_windowed_event_counts(
 
 def stream_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming variant of the lab2 flagship: case-sensitive whitespace
-    word count over documents.text (complete-mode aggregation)."""
+    word count over documents.text (complete-mode aggregation).
+
+    Tokenization is the SAME operator as the batch query it must equal
+    exactly (operators/wordcount.py StringTokenizer class) — a private
+    ``\\s+`` here would diverge from batch and oracle on vertical tabs.
+    """
     docs = _read_stream_table(spark, sf_dir, "documents", _DOCUMENTS_SCHEMA)
-    words = docs.select(
-        F.explode(F.split(F.col("text"), r"\s+")).alias("word")
-    ).filter(F.col("word") != "")
-    return words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    return wordcount_op(docs, "text", "word", "cnt")
 
 
 _STATE_SCHEMA = "cnt BIGINT, max_value DOUBLE"
