@@ -1,0 +1,104 @@
+"""Distributed connected components over a DataFrame edge list.
+
+Near-dup *pairs* alone don't dedup a corpus: the pipeline needs a keeper
+assignment — every document mapped to the minimum doc id of its
+transitive near-duplicate cluster (``dedup_exact``'s keeper=min(doc_id)
+is the 1-hop special case of this). This module provides that closure as
+pure DataFrame iterations: min-label propagation plus pointer jumping,
+the standard alternating-contraction scheme for MapReduce-style engines
+(cf. Kiveris et al., "Connected Components in MapReduce and Beyond",
+SoCC'14 — the small-star/large-star family this converges like).
+
+Scale design (100 TB / 10⁹ nodes):
+
+- Each iteration is one join keyed on the node id plus one groupBy —
+  both hash-shuffles on uniformly distributed ids, no all-pairs stage,
+  no per-component hotspot (the min-label flows along edges, it is
+  never gathered to one task).
+- Pointer jumping (label(v) ← label(label(v))) halves the remaining
+  label-tree depth each round, so convergence is O(log n) iterations
+  even for path-shaped clusters; near-dup clusters in practice are
+  dense and converge in 2-3 rounds.
+- ``localCheckpoint`` truncates lineage each round: without it the plan
+  doubles per iteration and the optimizer re-derives every previous
+  round.
+- The per-round convergence test aggregates ONE scalar (changed-row
+  count) to the driver — the canonical iterative-algorithm driver loop,
+  not a data collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Iteration cap: pointer jumping converges in O(log₂ n) rounds, so 25
+#: covers any graph below ~2³⁰ nodes of pathological path shape.
+MAX_CC_ITERATIONS = 25
+
+
+def connected_components(
+    nodes: DataFrame, edges: DataFrame, id_col: str = "id"
+) -> DataFrame:
+    """(id, comp): each node labeled with the MINIMUM node id reachable
+    through the undirected edge set — the canonical component keeper.
+
+    `nodes` is one column (`id_col`) of distinct node ids (singletons
+    allowed: they keep comp = their own id). `edges` has columns
+    (id_a, id_b); direction is ignored.
+
+    Deterministic: the fixpoint (min reachable id per node) is unique,
+    so the result is independent of iteration order, partitioning, and
+    engine — which is what makes it oracle-checkable against a DuckDB
+    recursive CTE.
+    """
+    sym = (
+        edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # Iterate ONLY over edge-incident nodes: in a near-dup graph the
+    # overwhelming majority of a corpus is singletons, and they must not
+    # pay per-iteration join cost. They rejoin (comp = own id) at the end.
+    labels = sym.select(F.col("src").alias("id"), F.col("src").alias("comp")).distinct()
+    labels = labels.localCheckpoint(eager=True)
+
+    for _ in range(MAX_CC_ITERATIONS):
+        # 1. Neighbor-min: the smallest label among each node's neighbors.
+        nbr_min = (
+            sym.join(labels, sym["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        stepped = (
+            labels.join(nbr_min, labels["id"] == nbr_min["src"], "left")
+            .select(
+                "id",
+                F.least("comp", F.coalesce("nbr_comp", "comp")).alias("comp"),
+                F.col("comp").alias("_prev"),
+            )
+        )
+        # 2. Pointer jumping: comp ← comp's own current label. Labels are
+        # always node ids, so the self-join below is total.
+        l2 = labels.select(F.col("id").alias("_pid"), F.col("comp").alias("_pcomp"))
+        jumped = (
+            stepped.join(l2, stepped["comp"] == l2["_pid"])
+            .select("id", F.least("comp", "_pcomp").alias("comp"), "_prev")
+        )
+        jumped = jumped.localCheckpoint(eager=True)
+        changed = jumped.filter(F.col("comp") != F.col("_prev")).limit(1).count()
+        labels = jumped.select("id", "comp")
+        if changed == 0:
+            return _attach_singletons(nodes, labels, id_col)
+    raise RuntimeError(
+        f"connected_components did not converge in {MAX_CC_ITERATIONS} iterations"
+    )
+
+
+def _attach_singletons(nodes: DataFrame, labels: DataFrame, id_col: str) -> DataFrame:
+    """Every node not incident to any edge is its own component."""
+    base = nodes.select(F.col(id_col).alias("id"))
+    return base.join(labels, "id", "left").select(
+        "id", F.coalesce("comp", "id").alias("comp")
+    )

@@ -377,6 +377,56 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_near_dups(docs, "doc_id", "text", SIMHASH_HAMMING_MAX)
 
 
+@register(
+    "dedup_clusters",
+    oracle=f"""
+        WITH RECURSIVE sh AS ({_SHINGLES_SQL}),
+        bands AS ({_BANDS_SQL}),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.band_sig = b.band_sig
+            WHERE a.doc_id < b.doc_id
+        ),
+        jac AS (
+            SELECT id_a, id_b FROM ({_JACCARD_SQL})
+            WHERE jaccard >= {MINHASH_THRESHOLD}
+        ),
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM jac
+            UNION
+            SELECT id_b AS src, id_a AS dst FROM jac
+        ),
+        reach(root, node) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT r.root, e.dst FROM reach r JOIN edges e ON e.src = r.node
+        )
+        SELECT root AS doc_id, min(node) AS keeper
+        FROM reach GROUP BY root
+    """,
+    doc="near-dup cluster resolution: connected components over the "
+    "MinHash-LSH pair graph; every document mapped to the min doc_id of "
+    "its transitive near-duplicate cluster (singletons keep themselves)",
+    tags=("pipeline", "dedup", "graph"),
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs alone don't dedup a corpus — filtering needs one keeper per
+    transitive cluster. Spark side: iterative min-label propagation with
+    pointer jumping over DataFrames (operators/graph.py — O(log n)
+    rounds, per-round cost one edge join + one groupBy, no per-component
+    hotspot). Oracle: DuckDB recursive CTE computing min reachable id.
+    The fixpoint is unique, so both engines agree exactly."""
+    from hadoop_lab_spark.operators.graph import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_near_dups(docs, "doc_id", "text", MINHASH_THRESHOLD).select(
+        "id_a", "id_b"
+    )
+    cc = connected_components(docs.select("doc_id"), pairs, "doc_id")
+    return cc.select(F.col("id").alias("doc_id"), F.col("comp").alias("keeper"))
+
+
 # ---------------------------------------------------------------------------
 # Similarity search (embeddings: array<float>, 64-dim)
 # ---------------------------------------------------------------------------
