@@ -9,6 +9,10 @@ DuckDB oracle. Scale notes live on the operator docstrings
 
 from __future__ import annotations
 
+import hashlib
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -17,6 +21,7 @@ from hadoop_lab_spark.operators import (
     collect_per_group_salted,
     deterministic_sample,
 )
+from hadoop_lab_spark.operators.sampling import hash_bucket
 from hadoop_lab_spark.plans.registry import register
 from hadoop_lab_spark.session import tune_session
 from hadoop_lab_spark.sources import load_table
@@ -239,3 +244,157 @@ def q_approx_distinct_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(F.col("_approx") - F.col("exact_uniq")) / F.col("exact_uniq") <= 0.05
     )
     return agg.select("o_orderpriority", "exact_uniq", within.alias("within_5pct"))
+
+
+# ---------------------------------------------------------------------------
+# Scalar function surface v2 (regex / JSON-schema / array / map / string)
+# ---------------------------------------------------------------------------
+@register(
+    "scalar_function_sampler2",
+    oracle="""
+        SELECT event_id,
+               CAST(from_json(props, '{"k": "INT"}').k AS INT) AS json_k,
+               map(['et'], [event_type])['et'][1] AS map_et,
+               array_to_string(list_sort(['z', event_type, 'a']), ',') AS arr_sorted,
+               CAST(levenshtein(event_type, 'purchase') AS INTEGER) AS lev,
+               regexp_extract(event_type, '([aeiou]+)', 1) AS vowels,
+               regexp_replace(event_type, '[aeiou]', '*', 'g') AS starred,
+               left(event_type, 3) AS head3,
+               right(event_type, 2) AS tail2,
+               repeat(event_type, 2) AS doubled,
+               translate(event_type, 'aeiou', 'AEIOU') AS upvowel,
+               CAST(instr(event_type, 'e') AS BIGINT) AS pos_e,
+               contains(event_type, 'ick') AS has_ick,
+               starts_with(event_type, 'p') AS p_start,
+               str_split(event_type, 'u')[1] AS first_seg,
+               CAST(bit_count(event_id) AS INTEGER) AS key_bits,
+               CAST(hour(ts) AS INTEGER) AS h,
+               CAST(minute(ts) AS INTEGER) AS mi,
+               greatest(value, 50.0) AS hi,
+               least(value, 50.0) AS lo
+        FROM events
+    """,
+    doc="scalar-function parity sampler v2: schema'd from_json, map/array "
+    "constructors, regexp_extract/replace, levenshtein, and 10 more string/"
+    "date built-ins in one codegen stage",
+    tags=("advanced", "functions"),
+)
+def q_scalar_function_sampler2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second sampler (VERDICT r01 #5): the semi-structured + regex +
+    collection-constructor surface. All single-op exact scalars — no
+    float policy needed (greatest/least select, never accumulate).
+    DuckDB unwraps its map access with [1] because map extraction yields
+    a list there; Spark map access is already scalar."""
+    e = _t(spark, sf_dir, "events")
+    et = F.col("event_type")
+    return e.select(
+        "event_id",
+        F.from_json("props", "k INT").getField("k").alias("json_k"),
+        F.map_from_arrays(F.array(F.lit("et")), F.array(et))[F.lit("et")].alias("map_et"),
+        F.array_join(F.array_sort(F.array(F.lit("z"), et, F.lit("a"))), ",").alias(
+            "arr_sorted"
+        ),
+        F.levenshtein(et, F.lit("purchase")).alias("lev"),
+        F.regexp_extract(et, "([aeiou]+)", 1).alias("vowels"),
+        F.regexp_replace(et, "[aeiou]", "*").alias("starred"),
+        F.left(et, F.lit(3)).alias("head3"),
+        F.right(et, F.lit(2)).alias("tail2"),
+        F.repeat(et, 2).alias("doubled"),
+        F.translate(et, "aeiou", "AEIOU").alias("upvowel"),
+        F.instr(et, "e").cast("long").alias("pos_e"),
+        et.contains("ick").alias("has_ick"),
+        et.startswith("p").alias("p_start"),
+        F.split(et, "u").getItem(0).alias("first_seg"),
+        F.bit_count("event_id").alias("key_bits"),
+        F.hour("ts").alias("h"),
+        F.minute("ts").alias("mi"),
+        F.greatest("value", F.lit(50.0)).alias("hi"),
+        F.least("value", F.lit(50.0)).alias("lo"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Partition pruning over a partitioned parquet layout
+# ---------------------------------------------------------------------------
+@register(
+    "partitioned_scan_prune",
+    oracle="""
+        SELECT o_orderstatus,
+               CAST(count(*) AS BIGINT) AS cnt,
+               round(sum(o_totalprice), 2) AS sum_price
+        FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+        GROUP BY o_orderstatus
+    """,
+    doc="hive-style partitioned write + pruned read: orders partitioned by "
+    "priority on disk, the filter becomes a PartitionFilter (directory "
+    "pruning — non-matching partitions are never opened)",
+    tags=("advanced", "partitioning", "storage"),
+)
+def q_partitioned_scan_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At 100 TB, partition pruning is the difference between reading one
+    directory and reading the lake: the predicate is satisfied from
+    FILE PATHS, so pruned partitions cost zero I/O (tests/
+    test_plan_shapes.py pins `PartitionFilters` in the scan node).
+    The demo writes the partitioned layout to scratch space each run —
+    the write is part of the measured operator (a real pipeline pays it
+    once at ingest)."""
+    orders = _t(spark, sf_dir, "orders")
+    sf_tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    out = os.path.join(tempfile.gettempdir(), f"hls_partition_demo_{sf_tag}")
+    orders.write.partitionBy("o_orderpriority").mode("overwrite").parquet(out)
+    pruned = spark.read.parquet(out).filter(F.col("o_orderpriority") == "1-URGENT")
+    return pruned.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Skew-safe salted JOIN (the join twin of the salted collect)
+# ---------------------------------------------------------------------------
+@register(
+    "skew_salted_join",
+    oracle="""
+        WITH d AS (
+            SELECT event_type,
+                   floor(avg(value) * 1000000) / 1000000 AS type_avg
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_type,
+               CAST(count(*) AS BIGINT) AS cnt,
+               CAST(count(*) FILTER (e.value > d.type_avg) AS BIGINT) AS cnt_above
+        FROM events e JOIN d USING (event_type)
+        GROUP BY e.event_type
+    """,
+    doc="salted equi-join for skewed keys: the dim side is replicated across "
+    "16 salt values and the fact side salted deterministically, so one hot "
+    "key spreads over 16 tasks; result provably equals the unsalted join",
+    tags=("advanced", "skew", "join"),
+)
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """event_type has 5 values over 10⁴·SF rows — a worst-case skewed
+    join key. The unsalted join would put entire key-partitions on
+    single tasks; salting bounds any task at |key|/16. (AQE's runtime
+    skew split solves the same problem reactively when partitions
+    exceed its threshold; salting is the deterministic, planning-time
+    form that also works under AQE-off and for collect-style aggs.)
+    The salt is a deterministic hash of event_id, so the query stays
+    reproducible and oracle-checkable — the oracle runs the UNSALTED
+    join, proving result equality."""
+    buckets = 16
+    e = _t(spark, sf_dir, "events")
+    dim = e.groupBy("event_type").agg(
+        (F.floor(F.avg("value") * 1_000_000) / 1_000_000).alias("type_avg")
+    )
+    dim_rep = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
+    )
+    fact = e.withColumn("_salt", hash_bucket(F.col("event_id"), buckets))
+    joined = fact.join(dim_rep, ["event_type", "_salt"])
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.count(F.when(F.col("value") > F.col("type_avg"), 1)).cast("long").alias(
+            "cnt_above"
+        ),
+    )

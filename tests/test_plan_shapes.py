@@ -95,3 +95,25 @@ def test_ngram_jaccard_no_forced_broadcast_of_unbounded_side(spark):
 def test_filters_pushed_to_parquet(spark):
     plan = _plan(spark, "asof_purchase_last_signup")
     assert re.search(r"PushedFilters: \[.*EqualTo\(event_type,purchase\)", plan)
+
+
+def test_partitioned_scan_prunes_directories(spark):
+    """The priority filter must be satisfied from file paths
+    (PartitionFilters), not row-level data filters — directory pruning
+    is the zero-I/O path at 100 TB."""
+    plan = _plan(spark, "partitioned_scan_prune")
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "o_orderpriority" in m.group(1), plan[:1200]
+
+
+def test_skew_salted_join_fans_out_dim(spark):
+    """The replicated-dim side must show the salt explode feeding the
+    join, and the join key must include the salt column."""
+    plan = _plan(spark, "skew_salted_join")
+    assert ") Generate" in plan and "explode(" in plan
+    assert re.search(r"keys \[2\]: \[event_type#\d+, _salt#\d+\]", plan), plan[:1200]
+
+
+def test_scalar_sampler2_zero_shuffles(spark):
+    plan = _plan(spark, "scalar_function_sampler2")
+    assert _exchanges(plan) == 0
