@@ -48,6 +48,18 @@ def main() -> None:
         spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - start, 3)
 
+    # Streaming lane: startup-dominated (state store + availableNow
+    # machinery), so the wall times live in their own section instead of
+    # polluting the headline set — but they ARE recorded, so a state-store
+    # regression shows up round-over-round.
+    streaming: dict[str, float] = {}
+    for name, spec in sorted(REGISTRY.items()):
+        if spec.bench or "streaming" not in spec.tags:
+            continue
+        start = time.perf_counter()
+        spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        streaming[name] = round(time.perf_counter() - start, 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -56,6 +68,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "streaming": streaming,
                 "sf": sf,
             }
         )

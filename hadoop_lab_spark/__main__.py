@@ -13,7 +13,26 @@ ceremony.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
+
+
+def _fetch_input(path_or_url: str) -> str:
+    """Resolve a lab input: local paths pass through; http(s)/file URLs
+    are downloaded to a temp file first — the engine-side equivalent of
+    the reference's interactive URL prompt + wget
+    (lab2/WordCount.sh:36-56), minus the prompt."""
+    if not path_or_url.split(":", 1)[0] in ("http", "https", "file"):
+        return path_or_url
+    import tempfile
+    import urllib.request
+
+    suffix = os.path.splitext(path_or_url)[1] or ".txt"
+    fd, local = tempfile.mkstemp(prefix="hls_input_", suffix=suffix)
+    os.close(fd)
+    urllib.request.urlretrieve(path_or_url, local)  # noqa: S310 — user-supplied CLI arg
+    print(f"downloaded {path_or_url} -> {local}", file=sys.stderr)
+    return local
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -24,7 +43,11 @@ def main(argv: list[str] | None = None) -> int:
 
     p_lab = sub.add_parser("run-lab", help="run a reference lab on a raw text input")
     p_lab.add_argument("lab", type=int, choices=range(2, 12))
-    p_lab.add_argument("input", help="path to the lab's text/CSV input file")
+    p_lab.add_argument(
+        "input",
+        help="path OR http(s)/file URL of the lab's text/CSV input "
+        "(URLs are downloaded first, matching the reference's wget step)",
+    )
     p_lab.add_argument("-o", "--output", help="write reference-shaped output dir")
     p_lab.add_argument("-n", "--rows", type=int, default=20, help="rows to show")
 
@@ -59,7 +82,7 @@ def main(argv: list[str] | None = None) -> int:
         if args.cmd == "run-lab":
             from hadoop_lab_spark.labs import run_lab
 
-            df = run_lab(spark, args.lab, args.input, args.output)
+            df = run_lab(spark, args.lab, _fetch_input(args.input), args.output)
             df.show(args.rows, truncate=False)
             if args.output:
                 print(f"wrote reference-shaped output to {args.output}")

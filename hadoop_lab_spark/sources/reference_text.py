@@ -105,5 +105,15 @@ def to_reference_lines(df: DataFrame, *cols: str) -> DataFrame:
 def write_reference_output(df: DataFrame, path: str, *cols: str) -> None:
     """Reference sink parity: single tab-separated text file, key-sorted
     (the default 1-reduce-task shape, `lab2/WordCount.sh:155`).
-    coalesce(1) is sink-only — upstream stages keep full parallelism."""
+    coalesce(1) is sink-only — upstream stages keep full parallelism.
+
+    The part file is renamed to ``part-r-00000`` — the exact MapReduce
+    reducer-output name every reference walkthrough ``cat``s
+    (`lab2/WordCount.sh:158`), so existing muscle memory works verbatim."""
     to_reference_lines(df, *cols).coalesce(1).write.mode("overwrite").text(path)
+    import glob as _glob
+    import os as _os
+
+    parts = _glob.glob(_os.path.join(path, "part-*"))
+    if len(parts) == 1 and _os.path.basename(parts[0]) != "part-r-00000":
+        _os.replace(parts[0], _os.path.join(path, "part-r-00000"))
