@@ -398,3 +398,73 @@ def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cnt_above"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Approximate percentile — accuracy-contract oracle (HLL pattern)
+# ---------------------------------------------------------------------------
+@register(
+    "approx_percentile_accuracy",
+    oracle="""
+        SELECT l_returnflag,
+               round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_median,
+               TRUE AS within_1pct
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    doc="approximate percentile with an accuracy CONTRACT as the oracle: "
+    "exact interpolated median per group plus a boolean asserting the "
+    "approx_percentile sketch lands within 1% — sketch drift fails the "
+    "differential",
+    tags=("advanced", "approx", "percentile"),
+)
+def q_approx_percentile_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same pattern as approx_distinct_accuracy: the sketch value is
+    engine-specific, its error bound is not. At 100 TB approx_percentile
+    (a KLL-style mergeable sketch) is one pass + tiny state per group;
+    the exact interpolated percentile is a full sort per group — the
+    exact side is here AS the contract, production ships the sketch."""
+    li = _t(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("_exact"),
+        F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("_approx"),
+    )
+    within = F.abs(F.col("_approx") - F.col("_exact")) / F.col("_exact") <= 0.01
+    return agg.select(
+        "l_returnflag",
+        F.round("_exact", 4).alias("exact_median"),
+        within.alias("within_1pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ORC round-trip (second columnar format beside parquet)
+# ---------------------------------------------------------------------------
+@register(
+    "orc_roundtrip_supplier",
+    oracle="""
+        SELECT s_nationkey,
+               CAST(count(*) AS BIGINT) AS cnt,
+               round(sum(s_acctbal), 2) AS bal_sum
+        FROM supplier
+        GROUP BY s_nationkey
+    """,
+    doc="ORC sink + source fidelity: supplier written to ORC, read back, "
+    "aggregated — values must survive the round-trip bit-for-bit (oracle "
+    "reads the original parquet)",
+    tags=("advanced", "storage", "orc"),
+)
+def q_orc_roundtrip_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC is the second first-class columnar format (Hive ecosystems):
+    same pushdown/pruning machinery as parquet in Spark's DSv1 path.
+    The oracle aggregates the ORIGINAL parquet, so any round-trip value
+    corruption (type coercion, precision loss) fails the hash gate."""
+    sup = _t(spark, sf_dir, "supplier")
+    sf_tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    out = os.path.join(tempfile.gettempdir(), f"hls_orc_demo_{sf_tag}")
+    sup.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return back.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("s_acctbal"), 2).alias("bal_sum"),
+    )

@@ -733,3 +733,36 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", M.payload_from_text("text").alias("payload")
     )
     return M.sample_frames(with_payload)
+
+
+# ---------------------------------------------------------------------------
+# Embedding centroids (vector aggregation)
+# ---------------------------------------------------------------------------
+@register(
+    "embedding_centroids",
+    oracle="""
+        SELECT label,
+               CAST(i - 1 AS INTEGER) AS pos,
+               floor(avg(CAST(embedding[CAST(i AS INT)] AS DOUBLE)) * 1000000)
+                   / 1000000 AS centroid_v
+        FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)
+        GROUP BY label, i
+    """,
+    doc="per-label embedding centroids: posexplode to (label, dim) cells, "
+    "mean per cell — the distributed form of a vector mean (k-means update "
+    "step / class prototype computation)",
+    tags=("pipeline", "similarity", "vector-agg"),
+)
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scalable vector mean: exploding to (label, pos, v) cells makes
+    the aggregation a plain hash-groupBy on (label, pos) — ×dim row
+    blowup, but every cell is 16 bytes and the shuffle is uniformly
+    keyed, so it scales to any corpus (the alternative — zip_with fold
+    over collected arrays per group — concentrates whole groups on
+    single tasks). Mean is fold-accumulated float → 6dp truncation on
+    both sides (cross-engine float policy)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cells = emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+    return cells.groupBy("label", "pos").agg(
+        X.trunc(F.avg("v"), 6).alias("centroid_v")
+    )

@@ -638,3 +638,147 @@ def q_orders_page2_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         .offset(10)
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Ranking-window surface: ntile / rank / dense_rank / percent_rank /
+# cume_dist / row_number / lead / first_value in ONE window
+# ---------------------------------------------------------------------------
+@register(
+    "order_rank_metrics",
+    oracle="""
+        SELECT o_orderkey,
+               o_orderpriority,
+               CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+               CAST(rank() OVER w AS BIGINT) AS rnk,
+               CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+               CAST(row_number() OVER w AS BIGINT) AS rn,
+               percent_rank() OVER w AS pct_rank,
+               cume_dist() OVER w AS cdist,
+               lead(o_orderkey) OVER w AS next_key,
+               first_value(o_orderkey) OVER w AS cheapest_key
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice ASC, o_orderkey ASC)
+    """,
+    doc="ranking-window sampler: ntile/rank/dense_rank/row_number/"
+    "percent_rank/cume_dist/lead/first_value sharing one window spec "
+    "(one shuffle + one sort for all eight)",
+    tags=("relational", "window", "rank"),
+)
+def q_order_rank_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All eight functions share a single WindowSpec, so the plan is ONE
+    Exchange on the partition key + ONE sort — Spark evaluates the whole
+    batch in a single Window operator pass. The ordering includes the
+    unique key, so every rank is deterministic, and percent_rank /
+    cume_dist are integer ratios evaluated in one IEEE division —
+    bit-identical across engines with no rounding policy."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("quartile"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cdist"),
+        F.lead("o_orderkey").over(w).alias("next_key"),
+        F.first_value("o_orderkey").over(w).alias("cheapest_key"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q3-shaped: segment-filtered 3-way star join, top unshipped revenue
+# ---------------------------------------------------------------------------
+@register(
+    "building_unshipped_top10",
+    oracle="""
+        SELECT l_orderkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               o_orderdate
+        FROM customer, orders, lineitem
+        WHERE c_mktsegment = 'BUILDING'
+          AND c_custkey = o_custkey
+          AND l_orderkey = o_orderkey
+          AND o_orderdate < TIMESTAMP '1998-06-01'
+          AND l_shipdate > TIMESTAMP '1998-06-01'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, l_orderkey ASC
+        LIMIT 10
+    """,
+    doc="TPC-H Q3 shape: segment-filtered customer ⨝ orders ⨝ lineitem, "
+    "revenue per unshipped order, deterministic top-10",
+    tags=("relational", "join", "tpch"),
+)
+def q_building_unshipped_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic shipping-priority query: both date filters push to the
+    parquet scans, the filtered customer side broadcasts, and the final
+    top-10 compiles to TakeOrderedAndProject (per-partition top-k merged
+    on the driver — no global sort). Tie-break on the unique order key
+    keeps LIMIT membership deterministic across engines."""
+    cutoff = "1998-06-01"
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(rev), 2).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Funnel analysis: signup → subsequent purchases per user
+# ---------------------------------------------------------------------------
+@register(
+    "signup_purchase_funnel",
+    oracle="""
+        WITH s AS (
+            SELECT user_id, min(ts) AS first_signup
+            FROM events WHERE event_type = 'signup' GROUP BY user_id
+        )
+        SELECT s.user_id,
+               s.first_signup,
+               CAST(count(e.event_id) AS BIGINT) AS purchases_after
+        FROM s LEFT JOIN events e
+          ON e.user_id = s.user_id
+         AND e.event_type = 'purchase'
+         AND e.ts >= s.first_signup
+        GROUP BY s.user_id, s.first_signup
+    """,
+    doc="funnel analysis: per user, first signup time and number of purchases "
+    "at-or-after it (conversion counting — min-agg + conditional self-join)",
+    tags=("relational", "funnel", "join"),
+)
+def q_signup_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both sides prune to one event_type at the scan (pushed filters),
+    then join on user_id — the fact table is read twice but each read is
+    a pushed-down slice, and both shuffles key on the uniform user_id.
+    At 100 TB the signup side is a tiny fraction of events; AQE
+    broadcasts it when below threshold."""
+    events = _t(spark, sf_dir, "events")
+    signups = (
+        events.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_signup"))
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"), "event_id"
+    )
+    joined = signups.join(
+        purchases,
+        (F.col("p_user") == F.col("user_id")) & (F.col("p_ts") >= F.col("first_signup")),
+        "left",
+    )
+    return joined.groupBy("user_id", "first_signup").agg(
+        F.count("event_id").alias("purchases_after")
+    )

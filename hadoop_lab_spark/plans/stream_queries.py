@@ -207,3 +207,22 @@ def q_stream_stream_purchase_signup_join(spark: SparkSession, sf_dir: str) -> Da
     stream = stream_stream_purchase_signup_join(spark, sf_dir)
     snap = _replay(spark, stream, "mem_ssjoin", "append")
     return snap.select("p_event_id", "s_event_id", "user_id", "p_ts", "s_ts")
+
+
+@register(
+    "stream_dedup_user_type",
+    oracle="""
+        SELECT DISTINCT user_id, event_type FROM events
+    """,
+    doc="streaming dedup (dropDuplicatesWithinWatermark): first-seen "
+    "(user_id, event_type) pairs emitted exactly once, state evicted past "
+    "the watermark horizon; bounded replay equals batch DISTINCT",
+    tags=("streaming", "dedup", "stateful"),
+    bench=False,
+)
+def q_stream_dedup_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_lab_spark.streaming.jobs import stream_dedup_user_type
+
+    stream = stream_dedup_user_type(spark, sf_dir)
+    snap = _replay(spark, stream, "mem_dedup", "append")
+    return snap.select("user_id", "event_type")

@@ -250,3 +250,22 @@ def stream_stream_purchase_signup_join(
     return purchases.join(signups, cond).select(
         "p_event_id", "s_event_id", F.col("p_user").alias("user_id"), "p_ts", "s_ts"
     )
+
+
+def stream_dedup_user_type(
+    spark: SparkSession, sf_dir: str, delay: str = "35 days"
+) -> DataFrame:
+    """Streaming deduplication: first-seen (user_id, event_type) pairs,
+    exactly once each (append mode).
+
+    ``dropDuplicatesWithinWatermark`` keeps one state entry per key and
+    EVICTS it once the watermark passes key-arrival + delay — the
+    production form of streaming dedup (plain ``dropDuplicates`` on
+    non-event-time keys never evicts). The delay here exceeds the
+    bounded replay's whole time span, so the replay dedups exactly and
+    equals batch DISTINCT; in production the delay is the dedup horizon
+    (state is O(keys within horizon), not O(stream))."""
+    events = stream_events(spark, sf_dir).withWatermark("ts", delay)
+    return events.select("user_id", "event_type", "ts").dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
