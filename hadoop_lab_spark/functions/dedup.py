@@ -239,25 +239,36 @@ def ngram_jaccard_pairs(
         .select(F.col(id_col), F.array_except("sh_arr", "_hot").alias("sh_arr"))
         .filter(F.size("sh_arr") > 0)
     )
-    a = doc_capped.select(F.col(id_col).alias("id_a"), F.explode("sh_arr").alias("shingle"))
-    b = doc_capped.select(F.col(id_col).alias("id_b"), F.explode("sh_arr").alias("shingle"))
+    # Set sizes ride ALONG the exploded rows instead of joining back
+    # afterwards: n_sh is functionally dependent on the doc id, so the
+    # pair aggregate recovers it with first() — zero extra joins, zero
+    # extra shuffles, and no per-doc size table that would need a
+    # broadcast-or-shuffle decision at 10⁹ docs (VERDICT r01 #3: a
+    # broadcast HINT there overrides the size threshold and OOMs; this
+    # design removes the join entirely). Cost: +8 bytes/row in the one
+    # existing shuffle.
+    a = doc_capped.select(
+        F.col(id_col).alias("id_a"),
+        F.explode("sh_arr").alias("shingle"),
+        F.size("sh_arr").alias("n_a"),
+    )
+    b = doc_capped.select(
+        F.col(id_col).alias("id_b"),
+        F.explode("sh_arr").alias("shingle"),
+        F.size("sh_arr").alias("n_b"),
+    )
     inter = (
         a.join(b, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+        )
     )
-    # Size tables are per-DOC aggregates — unbounded at corpus scale, so
-    # no broadcast hint (a hint overrides the size threshold and would
-    # force a multi-GB broadcast at 10⁹ docs). AQE broadcasts them when
-    # they are actually below the threshold and shuffle-joins otherwise.
-    sizes = doc_capped.select(F.col(id_col), F.size("sh_arr").alias("n_sh"))
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select(
+        inter.select(
             "id_a",
             "id_b",
             (

@@ -468,3 +468,119 @@ def q_orc_roundtrip_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt"),
         F.round(F.sum("s_acctbal"), 2).alias("bal_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Range (interval) join — rewritten as a bucket equi-join
+# ---------------------------------------------------------------------------
+@register(
+    "range_join_value_bands",
+    oracle="""
+        WITH bands AS (
+            SELECT CAST(i AS INTEGER) AS band_id,
+                   i * 50.0 AS lo, (i + 1) * 50.0 AS hi
+            FROM (SELECT unnest(range(0, 10)) AS i)
+        )
+        SELECT b.band_id,
+               CAST(count(*) AS BIGINT) AS cnt,
+               round(sum(e.value), 2) AS sum_value
+        FROM events e JOIN bands b
+          ON e.value >= b.lo AND e.value < b.hi
+        GROUP BY b.band_id
+    """,
+    doc="range/interval join: events matched to [lo, hi) value bands — the "
+    "oracle states it as a BETWEEN theta-join, the Spark plan rewrites it to "
+    "a bucket EQUI-join (floor(value/width) = band_id), which hash-joins "
+    "instead of nested-looping",
+    tags=("advanced", "range-join", "join"),
+)
+def q_range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A naive interval join is O(|fact|·|bands|) nested-loop; aligning
+    the bands to a fixed width makes bucket = floor(value/width) a
+    NUMBER, turning it into a plain hash equi-join — the standard range-
+    join rewrite when intervals are regular (for irregular intervals,
+    overlap-bucket replication generalizes this). Both sides compute
+    floor() identically on IEEE doubles, so bucket membership is
+    bit-identical across engines."""
+    width, nbands = 50.0, 10
+    e = _t(spark, sf_dir, "events")
+    bands = spark.range(nbands).select(
+        F.col("id").cast("int").alias("band_id"),
+        (F.col("id") * width).alias("lo"),
+        ((F.col("id") + 1) * width).alias("hi"),
+    )
+    fact = e.withColumn("_bucket", F.floor(F.col("value") / width).cast("int"))
+    joined = fact.join(F.broadcast(bands), F.col("_bucket") == F.col("band_id"))
+    return joined.groupBy("band_id").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CSV and JSON round-trips (complete the format matrix beside parquet/ORC)
+# ---------------------------------------------------------------------------
+@register(
+    "csv_roundtrip_nation",
+    oracle="""
+        SELECT r.r_name,
+               CAST(count(*) AS BIGINT) AS n_nations
+        FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+    """,
+    doc="CSV sink + source fidelity: nation written to headered CSV, read "
+    "back with an explicit schema, joined to region — schema/values must "
+    "survive the text round-trip (oracle reads the original parquet)",
+    tags=("advanced", "storage", "csv"),
+)
+def q_csv_roundtrip_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit read schema (never inferSchema at scale: inference is an
+    extra full pass over the data). CSV is the interchange format every
+    ingest pipeline meets; the oracle aggregating the ORIGINAL parquet
+    catches any type coercion the text hop introduces."""
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    sf_tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    out = os.path.join(tempfile.gettempdir(), f"hls_csv_demo_{sf_tag}")
+    nation.write.mode("overwrite").option("header", True).csv(out)
+    back = spark.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT").option(
+        "header", True
+    ).csv(out)
+    return (
+        back.join(F.broadcast(region), back["n_regionkey"] == region["r_regionkey"])
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_nations"))
+    )
+
+
+@register(
+    "json_roundtrip_events_daily",
+    oracle="""
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS cnt,
+               round(sum(value), 2) AS sum_value
+        FROM events
+        WHERE event_type = 'purchase'
+        GROUP BY 1
+    """,
+    doc="JSON-lines sink + source fidelity: purchase events written to JSONL "
+    "(timestamps serialized ISO-8601), read back with an explicit schema, "
+    "re-aggregated — must equal the parquet-direct answer",
+    tags=("advanced", "storage", "json"),
+)
+def q_json_roundtrip_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines is the landing format of most event streams. Timestamps
+    make the fidelity check non-trivial: the write serializes ISO-8601
+    with microseconds, the schema'd read parses them back; a lossy hop
+    (second truncation, timezone shift) would change the daily sums."""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    sf_tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    out = os.path.join(tempfile.gettempdir(), f"hls_json_demo_{sf_tag}")
+    e.select("event_id", "ts", "value").write.mode("overwrite").json(out)
+    back = spark.read.schema("event_id BIGINT, ts TIMESTAMP, value DOUBLE").json(out)
+    return back.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )

@@ -115,3 +115,46 @@ def test_asof_matches_python_scan(spark, rows):
             # max-ts witness
             best_ts = max(rts for rts, _ in cands)
             assert out[lv] in {rv for rts, rv in cands if rts == best_ts}
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 24), st.integers(0, 24)),
+        min_size=0,
+        max_size=40,
+    )
+)
+def test_connected_components_equals_union_find(spark, edges):
+    """connected_components must match an independent pure-Python
+    union-find on arbitrary random graphs over nodes 0..24."""
+    from hadoop_lab_spark.operators.graph import connected_components
+
+    n = 25
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    # expected keeper: min node id per root
+    keeper: dict[int, int] = {}
+    for v in range(n):
+        r = find(v)
+        keeper[r] = min(keeper.get(r, v), v)
+    expected = {v: keeper[find(v)] for v in range(n)}
+
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id bigint")
+    edf = spark.createDataFrame(
+        [(a, b) for a, b in edges], "id_a bigint, id_b bigint"
+    ) if edges else spark.createDataFrame([], "id_a bigint, id_b bigint")
+    got = dict(connected_components(nodes, edf, "id").collect())
+    assert got == expected
