@@ -584,3 +584,182 @@ def q_json_roundtrip_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.lit(1)).alias("cnt"),
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bucketed co-located join (promoted from tests/test_bucketing.py)
+# ---------------------------------------------------------------------------
+@register(
+    "bucketed_join_order_lines",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS cnt,
+               round(sum(l_extendedprice), 2) AS sum_price
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+    """,
+    doc="bucketed co-located fact-fact join: both tables written bucketed on "
+    "the join key (8 buckets, sorted), SortMergeJoin reads matching buckets "
+    "with NO Exchange on either side; oracle runs the plain shuffled join",
+    tags=("advanced", "bucketing", "join", "storage"),
+)
+def q_bucketed_join_order_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At 100 TB the dominant cost of a fact-fact equi-join is shuffling
+    both sides; pre-bucketing both on the key (same count) removes both
+    Exchanges — each task merges matching, pre-sorted buckets. The merge
+    HINT stands in for the production setting where fact tables exceed
+    the broadcast threshold (without it, this small demo side would
+    broadcast and never exercise the bucketed path). Plan pinned in
+    tests/test_plan_shapes.py: no Exchange below the join."""
+    from hadoop_lab_spark.sources.bucketing import read_table, write_bucketed
+
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    sf_tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"hls_bucketed_{sf_tag}")
+    t_o, t_l = f"hls_b_orders_{sf_tag}", f"hls_b_lines_{sf_tag}"
+    write_bucketed(o, t_o, ["o_orderkey"], 8, sort_cols=["o_orderkey"],
+                   path=os.path.join(base, "orders"))
+    write_bucketed(l, t_l, ["l_orderkey"], 8, sort_cols=["l_orderkey"],
+                   path=os.path.join(base, "lines"))
+    bo, bl = read_table(spark, t_o), read_table(spark, t_l)
+    joined = bo.hint("merge").join(bl, bo["o_orderkey"] == bl["l_orderkey"])
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS + grouping_id (beyond rollup/cube)
+# ---------------------------------------------------------------------------
+@register(
+    "orders_grouping_sets",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+               CAST(count(*) AS BIGINT) AS cnt,
+               round(sum(o_totalprice), 2) AS sum_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    doc="explicit GROUPING SETS (two one-dimension margins + grand total — a "
+    "set rollup/cube can't express) with grouping_id disambiguating which "
+    "margin each row belongs to",
+    tags=("advanced", "grouping-sets", "aggregate"),
+)
+def q_orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """grouping_id is the only way to tell a genuine NULL key apart from
+    an aggregated-away dimension; both engines use the same bitmask
+    convention (leftmost column = MSB). One Expand + one aggregate —
+    the |sets|× row expansion happens map-side, pre-shuffle."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "gid", "cnt", "sum_price")
+    )
+
+
+# ---------------------------------------------------------------------------
+# NULL-semantics sampler (three-valued logic parity)
+# ---------------------------------------------------------------------------
+@register(
+    "null_semantics_sampler",
+    oracle="""
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS cnt_star,
+               CAST(count(CASE WHEN value >= 50 THEN value END) AS BIGINT)
+                   AS cnt_highs,
+               round(sum(CASE WHEN value >= 50 THEN value END), 2) AS sum_highs,
+               round(sum(CASE WHEN value < 0 THEN value END), 2) AS sum_never,
+               coalesce(max(nullif(event_type, 'error')), 'none') AS type_or_none,
+               CAST(count(*) FILTER (nullif(event_type, 'error')
+                   IS NOT DISTINCT FROM NULL) AS BIGINT) AS null_safe_hits
+        FROM events
+        GROUP BY event_type
+    """,
+    doc="NULL-semantics parity: count(*) vs count(expr), sum over an all-NULL "
+    "group (stays NULL), nullif/coalesce, and null-safe equality (<=> / IS "
+    "NOT DISTINCT FROM) — three-valued logic must agree across engines",
+    tags=("advanced", "functions", "null"),
+)
+def q_null_semantics_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL handling is where engines classically diverge (count skips
+    NULLs, SUM of nothing is NULL not 0, <=> treats NULL as a value).
+    Every construct here is pinned against the oracle; sum_never stays
+    NULL in every group on both engines — round(NULL) must propagate,
+    not zero-fill."""
+    e = _t(spark, sf_dir, "events")
+    highs = F.when(F.col("value") >= 50, F.col("value"))
+    nv_type = F.nullif(F.col("event_type"), F.lit("error"))
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt_star"),
+        F.count(highs).alias("cnt_highs"),
+        F.round(F.sum(highs), 2).alias("sum_highs"),
+        F.round(F.sum(F.when(F.col("value") < 0, F.col("value"))), 2).alias("sum_never"),
+        F.coalesce(F.max(nv_type), F.lit("none")).alias("type_or_none"),
+        F.count(F.when(nv_type.eqNullSafe(F.lit(None)), 1)).alias("null_safe_hits"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Calendar densification (gap-fill) via sequence + left join
+# ---------------------------------------------------------------------------
+@register(
+    "daily_revenue_gapfill",
+    oracle="""
+        WITH b AS (
+            SELECT CAST(min(date_trunc('day', ts)) AS DATE) AS lo,
+                   CAST(max(date_trunc('day', ts)) AS DATE) AS hi
+            FROM events
+        ),
+        d AS (
+            SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+                AS day
+            FROM b
+        ),
+        r AS (
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                   round(sum(value), 2) AS rev
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY 1
+        )
+        SELECT d.day, coalesce(r.rev, 0.0) AS rev
+        FROM d LEFT JOIN r USING (day)
+    """,
+    doc="calendar densification: the observed [min, max] day range generated "
+    "as a sequence, left-joined to daily purchase revenue, gaps zero-filled — "
+    "the time-series gap-fill every reporting pipeline needs",
+    tags=("advanced", "timeseries", "gapfill"),
+)
+def q_daily_revenue_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The day spine is |days| rows generated from ONE aggregated bounds
+    row (sequence + explode) — never a driver-side loop; the left join
+    broadcasts the spine. Zero-filling happens AFTER the rounded
+    aggregate, so the float policy is untouched."""
+    e = _t(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.min(F.date_trunc("day", "ts").cast("date")).alias("lo"),
+        F.max(F.date_trunc("day", "ts").cast("date")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    daily = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(F.round(F.sum("value"), 2).alias("rev"))
+    )
+    return spine.join(daily, "day", "left").select(
+        "day", F.coalesce("rev", F.lit(0.0)).alias("rev")
+    )

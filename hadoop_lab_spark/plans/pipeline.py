@@ -766,3 +766,48 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cells.groupBy("label", "pos").agg(
         X.trunc(F.avg("v"), 6).alias("centroid_v")
     )
+
+
+# ---------------------------------------------------------------------------
+# Inverted index (posting lists)
+# ---------------------------------------------------------------------------
+@register(
+    "inverted_index_rare_tokens",
+    oracle=f"""
+        SELECT tok,
+               CAST(count(*) AS BIGINT) AS df_,
+               string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+                   AS postings
+        FROM (
+            SELECT DISTINCT doc_id, unnest({_TOKS}) AS tok
+            FROM documents
+        )
+        WHERE length(tok) >= 9
+        GROUP BY tok
+    """,
+    doc="inverted index over rare (long) tokens: per-token document-frequency "
+    "+ sorted posting list — the IR/dedup-support structure, built as one "
+    "explode + one groupBy",
+    tags=("pipeline", "text", "index"),
+)
+def q_inverted_index_rare_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Posting lists are per-token collects — the classic skew hazard
+    (a stopword's list is the corpus). Restricting to long tokens bounds
+    df; the unrestricted production form pairs this with the salted
+    collect (operators/sampling.py) for the hot tail. Postings render as
+    a canonical comma-joined string so the oracle can hash-match the
+    LIST layout across engines."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.trim("text"), X.WS_RE))).alias("tok"),
+    ).filter(F.length("tok") >= 9)
+    return toks.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("df_"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("doc_id")), lambda x: x.cast("string")
+            ),
+            ",",
+        ).alias("postings"),
+    )

@@ -24,15 +24,21 @@ def write_bucketed(
     bucket_cols: list[str],
     buckets: int,
     sort_cols: list[str] | None = None,
+    path: str | None = None,
 ) -> None:
-    """Save as a bucketed (and optionally sorted) managed table.
+    """Save as a bucketed (and optionally sorted) table.
 
     Sorting within buckets upgrades the join to a merge without a
-    per-task sort step.
+    per-task sort step. ``path`` makes the table EXTERNAL at that
+    location (otherwise it lands in the session warehouse dir) — bucket
+    metadata lives in the catalog either way, which is why bucketing
+    can't go through bare ``parquet(path)``.
     """
     writer = df.write.mode("overwrite").bucketBy(buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
+    if path:
+        writer = writer.option("path", path)
     writer.saveAsTable(table)
 
 

@@ -117,3 +117,22 @@ def test_skew_salted_join_fans_out_dim(spark):
 def test_scalar_sampler2_zero_shuffles(spark):
     plan = _plan(spark, "scalar_function_sampler2")
     assert _exchanges(plan) == 0
+
+
+def test_bucketed_join_no_exchange_below_join(spark):
+    """Both scan sides of the bucketed SortMergeJoin must read buckets
+    directly — the ONLY Exchange allowed is the one above the join for
+    the final groupBy."""
+    plan = _plan(spark, "bucketed_join_order_lines")
+    assert "SortMergeJoin" in plan
+    # exactly ONE Exchange in the whole plan — the partial→final groupBy
+    # above the join; the join inputs read buckets directly
+    assert _exchanges(plan) == 1, plan[:1500]
+    assert plan.count("Bucketed: true") == 2
+
+
+def test_gapfill_spine_is_generated_not_collected(spark):
+    """The day spine must come from sequence+explode over the aggregated
+    bounds row (Generate in-plan), never a driver-side date loop."""
+    plan = _plan(spark, "daily_revenue_gapfill")
+    assert ") Generate" in plan and "sequence(" in plan
