@@ -763,3 +763,173 @@ def q_daily_revenue_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spine.join(daily, "day", "left").select(
         "day", F.coalesce("rev", F.lit(0.0)).alias("rev")
     )
+
+
+# ---------------------------------------------------------------------------
+# Statistical aggregate surface (corr / covar / stddev / var / regression)
+# ---------------------------------------------------------------------------
+@register(
+    "stats_aggregate_sampler",
+    oracle="""
+        SELECT event_type,
+               floor(corr(value, CAST(user_id AS DOUBLE)) * 1000000)
+                   / 1000000 AS corr_vu,
+               floor(covar_pop(value, CAST(user_id AS DOUBLE)) * 1000000)
+                   / 1000000 AS covar_vu,
+               floor(covar_samp(value, CAST(user_id AS DOUBLE)) * 1000000)
+                   / 1000000 AS covars_vu,
+               floor(stddev_pop(value) * 1000000) / 1000000 AS sd_pop,
+               floor(stddev_samp(value) * 1000000) / 1000000 AS sd_samp,
+               floor(var_pop(value) * 1000000) / 1000000 AS var_pop_,
+               floor(var_samp(value) * 1000000) / 1000000 AS var_samp_,
+               floor(regr_slope(value, CAST(user_id AS DOUBLE)) * 1000000)
+                   / 1000000 AS slope,
+               floor(regr_intercept(value, CAST(user_id AS DOUBLE)) * 1000000)
+                   / 1000000 AS intercept,
+               CAST(regr_count(value, CAST(user_id AS DOUBLE)) AS BIGINT)
+                   AS n_pairs
+        FROM events
+        GROUP BY event_type
+    """,
+    doc="statistical aggregate surface: corr, covar pop/samp, stddev pop/samp, "
+    "var pop/samp, regr_slope/intercept/count — one pass, 6dp-truncated under "
+    "the cross-engine float policy",
+    tags=("advanced", "aggregate", "stats"),
+)
+def q_stats_aggregate_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass moment aggregates (Welford-style merge, shuffle carries
+    constant-size state per group). All 6dp-truncated: both engines
+    compute the same textbook formulas but accumulate in different
+    orders. skewness/kurtosis are deliberately EXCLUDED from the oracle
+    surface: Spark returns population (g1/g2) moments while DuckDB
+    returns bias-corrected sample moments — a formula difference, not an
+    accumulation ulp (verified empirically: 1.9348 vs 1.9362 on the same
+    group), same exclusion class as ln/exp."""
+    e = _t(spark, sf_dir, "events")
+    u = F.col("user_id").cast("double")
+    v = F.col("value")
+
+    def t6(c):
+        return F.floor(c * 1_000_000) / 1_000_000
+
+    return e.groupBy("event_type").agg(
+        t6(F.corr(v, u)).alias("corr_vu"),
+        t6(F.covar_pop(v, u)).alias("covar_vu"),
+        t6(F.covar_samp(v, u)).alias("covars_vu"),
+        t6(F.stddev_pop(v)).alias("sd_pop"),
+        t6(F.stddev_samp(v)).alias("sd_samp"),
+        t6(F.var_pop(v)).alias("var_pop_"),
+        t6(F.var_samp(v)).alias("var_samp_"),
+        t6(F.regr_slope(v, u)).alias("slope"),
+        t6(F.regr_intercept(v, u)).alias("intercept"),
+        F.regr_count(v, u).cast("long").alias("n_pairs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Higher-order array function surface (lambda expressions over vectors)
+# ---------------------------------------------------------------------------
+@register(
+    "array_lambda_sampler",
+    oracle="""
+        SELECT vec_id,
+               CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_pos,
+               CAST(list_reduce(list_transform(embedding,
+                        x -> CASE WHEN x > 0 THEN 1 ELSE 0 END),
+                        (a, b) -> a + b) AS INTEGER) AS n_pos_fold,
+               list_transform(embedding[1:4],
+                   x -> least(greatest(CAST(x AS DOUBLE), -0.1), 0.1)) AS clipped4,
+               floor(sqrt(list_reduce(list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                   (a, b) -> a + b)) * 1000000) / 1000000 AS l2_norm,
+               floor(list_reduce(list_transform(
+                       list_zip(embedding, list_reverse(embedding)),
+                       p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+                   (a, b) -> a + b) * 1000000) / 1000000 AS rev_dot
+        FROM embeddings
+    """,
+    doc="higher-order array functions: filter, transform, left-fold "
+    "(aggregate/list_reduce), zip_with over the embedding vectors — the "
+    "JVM-side lambda surface that keeps vector math out of Python",
+    tags=("advanced", "functions", "array", "vector"),
+)
+def q_array_lambda_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lambda expressions compile into the same codegen stage as the
+    scan — vector math with NO UDF and no shuffle. Both engines fold
+    left-to-right sequentially, but the 6dp truncation stays per policy.
+    clipped4 returns an ARRAY column: element-wise single-op math is
+    exact, so the list hashes bit-identically."""
+    emb = _t(spark, sf_dir, "embeddings")
+    x2d = lambda x: x.cast("double")  # noqa: E731
+    e = F.col("embedding")
+
+    def t6(c):
+        return F.floor(c * 1_000_000) / 1_000_000
+
+    return emb.select(
+        "vec_id",
+        F.size(F.filter(e, lambda x: x > 0)).alias("n_pos"),
+        F.aggregate(
+            F.transform(e, lambda x: F.when(x > 0, 1).otherwise(0)),
+            F.lit(0),
+            lambda a, b: a + b,
+        ).alias("n_pos_fold"),
+        F.transform(
+            F.slice(e, 1, 4),
+            lambda x: F.least(F.greatest(x2d(x), F.lit(-0.1)), F.lit(0.1)),
+        ).alias("clipped4"),
+        t6(
+            F.sqrt(
+                F.aggregate(
+                    F.transform(e, lambda x: x2d(x) * x2d(x)),
+                    F.lit(0.0),
+                    lambda a, b: a + b,
+                )
+            )
+        ).alias("l2_norm"),
+        t6(
+            F.aggregate(
+                F.zip_with(e, F.reverse(e), lambda a, b: x2d(a) * x2d(b)),
+                F.lit(0.0),
+                lambda a, b: a + b,
+            )
+        ).alias("rev_dot"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction (table-maintenance operator)
+# ---------------------------------------------------------------------------
+@register(
+    "compaction_roundtrip_orders",
+    oracle="""
+        SELECT o_orderstatus,
+               CAST(count(*) AS BIGINT) AS cnt,
+               round(sum(o_totalprice), 2) AS sum_price
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    doc="small-file compaction: orders deliberately fragmented into 64 files, "
+    "compacted to 4 with a round-robin repartition rewrite, re-read and "
+    "aggregated — values must survive both hops (oracle reads the original)",
+    tags=("advanced", "storage", "maintenance"),
+)
+def q_compaction_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The small-files problem is THE steady-state failure of streaming
+    ingestion into a lake (every micro-batch lands a file per partition;
+    scans then pay per-file open cost). The maintenance op is a plain
+    repartition(N) rewrite — here 64 fragments → 4 files, verified by
+    file count in tests and by the oracle hash for value fidelity. At
+    100 TB this runs per-partition-directory with target size
+    ~files·128 MB, exactly this plan."""
+    orders = _t(spark, sf_dir, "orders")
+    sf_tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    frag = os.path.join(tempfile.gettempdir(), f"hls_frag_{sf_tag}")
+    compact = os.path.join(tempfile.gettempdir(), f"hls_compact_{sf_tag}")
+    orders.repartition(64).write.mode("overwrite").parquet(frag)
+    spark.read.parquet(frag).repartition(4).write.mode("overwrite").parquet(compact)
+    back = spark.read.parquet(compact)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )

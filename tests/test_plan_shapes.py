@@ -136,3 +136,20 @@ def test_gapfill_spine_is_generated_not_collected(spark):
     bounds row (Generate in-plan), never a driver-side date loop."""
     plan = _plan(spark, "daily_revenue_gapfill")
     assert ") Generate" in plan and "sequence(" in plan
+
+
+def test_compaction_actually_reduces_file_count(spark):
+    """The maintenance op must leave exactly the target file count."""
+    import glob
+    import hashlib
+    import os
+    import tempfile
+
+    REGISTRY["compaction_roundtrip_orders"].fn(spark, SF_DIR).collect()
+    sf_tag = hashlib.md5(os.path.abspath(SF_DIR).encode()).hexdigest()[:8]
+    frag = glob.glob(os.path.join(tempfile.gettempdir(), f"hls_frag_{sf_tag}", "part-*"))
+    compact = glob.glob(
+        os.path.join(tempfile.gettempdir(), f"hls_compact_{sf_tag}", "part-*")
+    )
+    assert len(frag) == 64
+    assert len(compact) == 4
