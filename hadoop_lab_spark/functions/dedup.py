@@ -287,45 +287,60 @@ def simhash_bits(
 
     Token weights = term frequency. Bit j of a token's md5 is extracted
     from hex nibble j//4 (big-endian within the nibble): portable to any
-    engine with md5 + instr. Per-(doc, bit) signed weight sums flip to
+    engine with md5 + substring/conv. Per-bit signed weight sums flip to
     '1' when positive. A bitstring (not BIGINT) avoids sign pitfalls and
     diffs cheaply by char comparison.
 
-    Plan: tokens → tf per (doc, token) → ×bits explode → sum per
-    (doc, bit) → 1 collect per doc (bits rows). Bounded ×64 blowup,
-    all hash-partitioned aggregates. (A pandas_udf computing the same
-    per-partition would cut the explode at extreme scale; the relational
-    form keeps it oracle-checkable and still scales linearly.)
+    Plan: 100% scan-local — a left-fold over the token array accumulates
+    the `bits`-wide signed sum vector per document inside the scan's
+    projection (``aggregate``/``zip_with``), so the signature stage
+    performs ZERO shuffles and materializes zero intermediate rows.
+    (Folding every occurrence by ±1 per bit equals the tf-weighted
+    per-distinct-token sum exactly — integer math, order-free.) Each
+    token's 64 bit-signs come from two 32-bit ``conv`` words of its md5,
+    so md5 is computed twice per occurrence, not per bit. This replaces
+    the round-1 design (tf groupBy → ×bits explode → per-(doc,bit)
+    groupBy → collect) whose two wide Exchanges dominated the bench.
     """
-    toks = F.explode(F.split(F.trim(F.col(text_col)), WS_RE)).alias("tok")
-    tf = (
-        df.select(F.col(id_col), toks)
-        .groupBy(id_col, "tok")
-        .agg(F.count(F.lit(1)).alias("w"))
-        .withColumn("h", F.md5(F.col("tok").cast("binary")))
-    )
-    j = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j")
-    per_bit = tf.select(F.col(id_col), "w", "h", j)
-    # nibble value via position in the hex alphabet; bit extraction with
-    # integer shift/mask (expr: shift amount is itself a column).
-    signed = F.expr(
-        "w * (2 * ((( instr('0123456789abcdef', substring(h, CAST(j / 4 AS INT) + 1, 1)) - 1 )"
-        "          >> (3 - CAST(j % 4 AS INT))) & 1) - 1)"
-    )
-    sums = per_bit.groupBy(id_col, "j").agg(F.sum(signed).alias("s"))
-    bitchar = F.when(F.col("s") > 0, F.lit("1")).otherwise(F.lit("0"))
-    return (
-        sums.select(F.col(id_col), "j", bitchar.alias("b"))
-        .groupBy(id_col)
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("j", "b"))), lambda s: s["b"]
-                ),
-                "",
-            ).alias("simhash")
+    word_bits = 32
+    n_words = bits // word_bits
+
+    def hash_words(tok: Column) -> Column:
+        """md5 prefix of a token as `n_words` unsigned 32-bit ints."""
+        h = F.md5(tok.cast("binary"))
+        return F.array(
+            *[
+                F.conv(F.substring(h, 1 + 8 * w, 8), 16, 10).cast("long")
+                for w in range(n_words)
+            ]
         )
+
+    def signs(words: Column) -> Column:
+        """±1 per bit, big-endian across the hex string (bit j = nibble
+        j//4, nibble-internal bit 3 - j%4 == word bit 31 - j%32)."""
+        return F.array(
+            *[
+                F.shiftright(
+                    F.element_at(words, j // word_bits + 1),
+                    word_bits - 1 - j % word_bits,
+                ).bitwiseAND(F.lit(1))
+                * 2
+                - 1
+                for j in range(bits)
+            ]
+        )
+
+    toks = F.split(F.trim(F.col(text_col)), WS_RE)
+    sums = F.aggregate(
+        F.transform(toks, hash_words),
+        F.expr(f"array_repeat(0L, {bits})"),
+        lambda acc, words: F.zip_with(acc, signs(words), lambda a, b: a + b),
     )
+    bitstr = F.array_join(
+        F.transform(sums, lambda s: F.when(s > 0, F.lit("1")).otherwise(F.lit("0"))),
+        "",
+    )
+    return df.select(F.col(id_col), bitstr.alias("simhash"))
 
 
 def simhash_near_dups(
