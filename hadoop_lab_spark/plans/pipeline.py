@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from hadoop_lab_spark.functions import dedup as D
 from hadoop_lab_spark.functions import multimodal as M
 from hadoop_lab_spark.functions import similarity as S
+from hadoop_lab_spark.functions import sketch as K
 from hadoop_lab_spark.functions import text as X
 from hadoop_lab_spark.plans.registry import register
 from hadoop_lab_spark.session import tune_session
@@ -810,4 +811,90 @@ def q_inverted_index_rare_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             ",",
         ).alias("postings"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Frequency sketches (functions/sketch.py)
+# ---------------------------------------------------------------------------
+# 16-bit md5 prefix -> int, folded nibble-by-nibble (DuckDB has no
+# hex-literal cast); WIDTH is a power of two dividing 16^4, so the
+# modulo is exactly uniform on both engines.
+def _nib16_sql(h: str) -> str:
+    nib = "(instr('0123456789abcdef', substring({h}, {p}, 1)) - 1)"
+    return (
+        "((("
+        + nib.format(h=h, p=1)
+        + " * 16 + "
+        + nib.format(h=h, p=2)
+        + ") * 16 + "
+        + nib.format(h=h, p=3)
+        + ") * 16 + "
+        + nib.format(h=h, p=4)
+        + ")"
+    )
+
+
+_CMS_ROWS = ", ".join(str(d) for d in range(K.CMS_DEPTH))
+_CMS_BUCKET = _nib16_sql("md5(CAST(row AS VARCHAR) || '#' || tok)")
+
+
+@register(
+    "heavy_hitters_cms",
+    oracle=f"""
+        WITH tf AS (
+            SELECT tok, CAST(count(*) AS BIGINT) AS c
+            FROM (SELECT unnest({_TOKS}) AS tok FROM documents)
+            WHERE tok <> ''
+            GROUP BY tok
+        ),
+        fanout AS (
+            SELECT tok, c, row, {_CMS_BUCKET} % {K.CMS_WIDTH} AS bucket
+            FROM tf CROSS JOIN (SELECT unnest([{_CMS_ROWS}]) AS row) r
+        ),
+        sketch AS (
+            SELECT row, bucket, CAST(sum(c) AS BIGINT) AS total
+            FROM fanout GROUP BY row, bucket
+        ),
+        est AS (
+            SELECT tok, min(total) AS est
+            FROM fanout JOIN sketch USING (row, bucket)
+            GROUP BY tok
+        )
+        SELECT tok AS token, c AS exact_cnt, est AS est_cnt,
+               CAST(rk AS INTEGER) AS rk
+        FROM (
+            SELECT tf.tok, tf.c, est.est,
+                   row_number() OVER (ORDER BY tf.c DESC, tf.tok ASC) AS rk
+            FROM tf JOIN est ON tf.tok = est.tok
+        )
+        WHERE rk <= 20
+    """,
+    doc="count-min-sketch heavy hitters: fixed d*w counter grid "
+    "(map-side combined), broadcast sketch, per-token min estimate; "
+    "top-20 tokens with exact vs estimated counts",
+    tags=("pipeline", "sketch", "text"),
+)
+def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch shuffle is bounded at d*w keys regardless of corpus or
+    vocabulary size (see functions/sketch.py for the 100 TB analysis);
+    the exact tf table exists here as the verification contract — a
+    production run at scale ships only the sketch. CMS guarantees
+    est_cnt >= exact_cnt, property-tested in tests/test_sketch.py."""
+    docs = _t(spark, sf_dir, "documents")
+    tf = K.token_frequencies(docs, "text")
+    est = K.cms_estimates(tf)
+    # orderBy+limit compiles to TakeOrderedAndProject (per-partition
+    # top-20 heaps, no global sort of the vocabulary); the row_number
+    # window then runs over the already-bounded 20 rows.
+    top = tf.join(est, "tok").orderBy(F.col("c").desc(), F.col("tok").asc()).limit(20)
+    from pyspark.sql import Window
+
+    return top.select(
+        F.col("tok").alias("token"),
+        F.col("c").alias("exact_cnt"),
+        F.col("est").alias("est_cnt"),
+        F.row_number()
+        .over(Window.orderBy(F.col("c").desc(), F.col("tok").asc()))
+        .alias("rk"),
     )
