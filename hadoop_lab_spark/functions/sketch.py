@@ -62,13 +62,17 @@ def token_frequencies(df: DataFrame, text_col: str) -> DataFrame:
 def cms_estimates(tf: DataFrame) -> DataFrame:
     """Count-min estimates for every token in a (tok, c) frequency table.
 
-    Returns (tok, est) with est BIGINT, est >= true count always.
+    Returns (tok, c, est) with est BIGINT, est >= c always.
 
     Plan: the token table fans out x``CMS_DEPTH`` to (tok, c, row,
     bucket); the sketch is the bounded ``groupBy(row, bucket)`` sum
     (<= d*w rows, map-side combined); estimation broadcast-joins the
-    sketch back onto the fan-out and takes the per-token min. The
-    corpus-sized side is never shuffled after the initial tf groupBy.
+    sketch back onto the fan-out and takes the per-token min. The exact
+    count rides along in the same aggregate (c is functionally
+    dependent on tok), so no third pass over tf is needed — the tf
+    lineage is computed twice (sketch build + estimation); a production
+    run over 100 TB would checkpoint/cache tf between the two, which a
+    registry query must not do (the driver owns the session's storage).
     """
     rows = F.explode(
         F.array(
@@ -90,5 +94,5 @@ def cms_estimates(tf: DataFrame) -> DataFrame:
     return (
         fanout.join(F.broadcast(sketch), ["row", "bucket"])
         .groupBy("tok")
-        .agg(F.min("total").alias("est"))
+        .agg(F.min("c").alias("c"), F.min("total").alias("est"))
     )

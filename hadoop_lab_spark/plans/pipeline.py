@@ -883,11 +883,11 @@ def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     est_cnt >= exact_cnt, property-tested in tests/test_sketch.py."""
     docs = _t(spark, sf_dir, "documents")
     tf = K.token_frequencies(docs, "text")
-    est = K.cms_estimates(tf)
+    est = K.cms_estimates(tf)  # carries (tok, c, est) in one aggregate
     # orderBy+limit compiles to TakeOrderedAndProject (per-partition
     # top-20 heaps, no global sort of the vocabulary); the row_number
     # window then runs over the already-bounded 20 rows.
-    top = tf.join(est, "tok").orderBy(F.col("c").desc(), F.col("tok").asc()).limit(20)
+    top = est.orderBy(F.col("c").desc(), F.col("tok").asc()).limit(20)
     from pyspark.sql import Window
 
     return top.select(
@@ -896,5 +896,223 @@ def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("est").alias("est_cnt"),
         F.row_number()
         .over(Window.orderBy(F.col("c").desc(), F.col("tok").asc()))
+        .alias("rk"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repetition / PII / n-gram-LM quality signals
+# ---------------------------------------------------------------------------
+@register(
+    "quality_repetition",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        stats AS (
+            SELECT doc_id, len(toks) AS n, len(list_distinct(toks)) AS nd
+            FROM t
+        ),
+        bg AS (
+            SELECT doc_id,
+                   toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1] AS bg
+            FROM t, UNNEST(range(1, len(toks))) AS u(i)
+            WHERE len(toks) >= 2
+        ),
+        top AS (
+            SELECT doc_id, max(cnt) AS top_cnt
+            FROM (SELECT doc_id, bg, count(*) AS cnt FROM bg GROUP BY 1, 2)
+            GROUP BY doc_id
+        )
+        SELECT s.doc_id,
+               CAST(s.n AS INTEGER) AS n_tokens,
+               (s.n - s.nd) / s.n AS rep_token_ratio,
+               CAST(coalesce(top.top_cnt, 0) AS BIGINT) AS top_bigram_cnt,
+               CASE WHEN s.n > 1 THEN coalesce(top.top_cnt, 0) / (s.n - 1)
+                    ELSE 0.0 END AS top_bigram_frac
+        FROM stats s LEFT JOIN top ON s.doc_id = top.doc_id
+    """,
+    doc="Gopher-style repetition signals per document: repeated-token ratio "
+    "and most-frequent-bigram coverage — the filters a training-data "
+    "pipeline uses to drop boilerplate/spam",
+    tags=("pipeline", "text", "quality"),
+)
+def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratios are integer/integer divisions — bit-exact cross-engine, no
+    rounding needed (see registry float policy). The bigram mode is
+    keyed by (doc_id, bigram): per-doc cardinality bounds every group,
+    so there is no hot key at any corpus size; the distinct-count side
+    is scan-local array math (zero extra shuffles)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim("text"), X.WS_RE)
+    stats = docs.select(
+        "doc_id",
+        F.size(toks).alias("n"),
+        F.size(F.array_distinct(toks)).alias("nd"),
+    )
+    # bigrams only for docs with >= 2 tokens: zip the array with itself
+    # shifted by one (equal-length slices, so zip_with never null-pads)
+    n = F.size(toks)
+    bg_arr = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    bg = (
+        docs.filter(F.size(toks) >= 2)
+        .select("doc_id", F.explode(bg_arr).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("cnt").alias("top_cnt"))
+    )
+    joined = stats.join(bg, "doc_id", "left")
+    return joined.select(
+        "doc_id",
+        F.col("n").cast("int").alias("n_tokens"),
+        ((F.col("n") - F.col("nd")) / F.col("n")).alias("rep_token_ratio"),
+        F.coalesce(F.col("top_cnt"), F.lit(0)).cast("bigint").alias("top_bigram_cnt"),
+        F.when(
+            F.col("n") > 1,
+            F.coalesce(F.col("top_cnt"), F.lit(0)) / (F.col("n") - 1),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("top_bigram_frac"),
+    )
+
+
+#: Plain character-class patterns chosen to parse identically under
+#: Java regex (Spark) and RE2 (DuckDB) — no \s, no lookaround.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+1-555-[0-9]{4}"
+
+
+@register(
+    "pii_redaction",
+    oracle=f"""
+        WITH aug AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0
+                        THEN text || ' reach user' || CAST(doc_id AS VARCHAR)
+                             || '@example.com'
+                        ELSE text END
+                   || CASE WHEN doc_id % 5 = 0
+                           THEN ' call +1-555-'
+                                || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                           ELSE '' END AS t
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(t, '{PII_EMAIL_RE}')) AS INTEGER)
+                   AS n_emails,
+               CAST(len(regexp_extract_all(t, '{PII_PHONE_RE}')) AS INTEGER)
+                   AS n_phones,
+               md5(regexp_replace(regexp_replace(t, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                                  '{PII_PHONE_RE}', '<PHONE>', 'g')) AS red_md5
+        FROM aug
+    """,
+    doc="PII scrub: regex detection + redaction of emails/phone numbers "
+    "(synthetic PII injected deterministically so both engines see known "
+    "positives); full redacted text verified by md5",
+    tags=("pipeline", "text", "pii"),
+)
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan-local: detection, replacement, and hashing happen in one
+    codegen'd projection — zero shuffles, trivially linear at any scale.
+    DuckDB's regexp_replace needs the 'g' flag to match Spark's
+    replace-all default (registry header gotcha)."""
+    docs = _t(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" reach user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        ).otherwise(F.col("text")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" call +1-555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    red = F.regexp_replace(
+        F.regexp_replace(aug, PII_EMAIL_RE, "<EMAIL>"), PII_PHONE_RE, "<PHONE>"
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(aug, F.lit(PII_EMAIL_RE)).cast("int").alias("n_emails"),
+        F.regexp_count(aug, F.lit(PII_PHONE_RE)).cast("int").alias("n_phones"),
+        F.md5(red.cast("binary")).alias("red_md5"),
+    )
+
+
+@register(
+    "bigram_lm_topk",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        bg AS (
+            SELECT toks[CAST(i AS INT)] AS w1,
+                   toks[CAST(i AS INT) + 1] AS w2
+            FROM t, UNNEST(range(1, len(toks))) AS u(i)
+            WHERE len(toks) >= 2
+        ),
+        c2 AS (
+            SELECT w1, w2, CAST(count(*) AS BIGINT) AS cnt
+            FROM bg GROUP BY w1, w2
+        ),
+        cond AS (
+            SELECT w1, w2, cnt,
+                   cnt / sum(cnt) OVER (PARTITION BY w1) AS p_cond
+            FROM c2
+        )
+        SELECT w1, w2, cnt, p_cond, CAST(rk AS INTEGER) AS rk
+        FROM (
+            SELECT *, row_number() OVER (
+                ORDER BY cnt DESC, w1 ASC, w2 ASC) AS rk
+            FROM cond
+        )
+        WHERE rk <= 30
+    """,
+    doc="corpus bigram language-model counts: P(w2|w1) = c(w1,w2)/c(w1,*) "
+    "with the top-30 bigrams — the n-gram-LM statistics pass of a "
+    "text-corpus pipeline",
+    tags=("pipeline", "text", "ngram"),
+)
+def q_bigram_lm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One shuffle on (w1,w2), one w1-keyed window for the conditional
+    denominator (partitioned — never a global window over the vocab),
+    then TakeOrderedAndProject for the top-30; the final row_number runs
+    over 30 rows. p_cond is a single int/int division — bit-exact, no
+    rounding (registry float policy)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim("text"), X.WS_RE)
+    n = F.size(toks)
+    pairs = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    c2 = (
+        docs.filter(F.size(toks) >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    from pyspark.sql import Window
+
+    denom = Window.partitionBy("w1")
+    cond = c2.withColumn("p_cond", F.col("cnt") / F.sum("cnt").over(denom))
+    top = cond.orderBy(F.col("cnt").desc(), F.col("w1").asc(), F.col("w2").asc()).limit(30)
+    return top.select(
+        "w1",
+        "w2",
+        "cnt",
+        "p_cond",
+        F.row_number()
+        .over(Window.orderBy(F.col("cnt").desc(), F.col("w1").asc(), F.col("w2").asc()))
         .alias("rk"),
     )

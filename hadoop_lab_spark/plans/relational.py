@@ -782,3 +782,79 @@ def q_signup_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("user_id", "first_signup").agg(
         F.count("event_id").alias("purchases_after")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q13 shape: outer-join aggregate distribution
+# ---------------------------------------------------------------------------
+@register(
+    "custorder_distribution",
+    oracle="""
+        SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        FROM (
+            SELECT c.c_custkey,
+                   CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+            FROM customer c LEFT OUTER JOIN orders o
+              ON c.c_custkey = o.o_custkey
+            GROUP BY c.c_custkey
+        )
+        GROUP BY c_count
+    """,
+    doc="TPC-H Q13 shape: orders-per-customer distribution via left outer "
+    "join + two-level aggregation (customers with zero orders included)",
+    tags=("relational", "join", "aggregate"),
+)
+def q_custorder_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The outer join and first aggregate share the c_custkey shuffle key
+    (one Exchange feeds both); the second aggregate's domain is |max
+    orders per customer| — tiny at any scale, AQE coalesces it. count()
+    over the right side's key counts 0 for unmatched customers exactly
+    like SQL COUNT(col)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("bigint").alias("custdist")
+    )
+
+
+# ---------------------------------------------------------------------------
+# RANGE frame window (value-based, vs. moving_weekly_revenue's ROWS frame)
+# ---------------------------------------------------------------------------
+@register(
+    "range_frame_daily_revenue",
+    oracle="""
+        SELECT day,
+               round(sum(rev) OVER (
+                   ORDER BY datediff('day', DATE '1970-01-01', day)
+                   RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2)
+                   AS rev_7d_cal
+        FROM (
+            SELECT o_orderdate AS day, sum(o_totalprice) AS rev
+            FROM orders GROUP BY 1
+        )
+    """,
+    doc="RANGE (value-based) window frame: trailing 7 *calendar* days of "
+    "revenue — distinct from the ROWS frame (moving_weekly_revenue) "
+    "whenever days are missing from the data",
+    tags=("relational", "window", "frame"),
+)
+def q_range_frame_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rangeBetween needs a numeric ORDER BY key: epoch-day via datediff.
+    The unpartitioned window runs over pre-aggregated |days| rows
+    (bounded at any SF — same justification as the cumulative/moving
+    windows). Money sums round to 2dp (cent-exact inputs, registry
+    policy)."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum("o_totalprice").alias("rev")
+    )
+    day_num = F.datediff(F.col("day"), F.lit("1970-01-01"))
+    win = Window.orderBy(day_num).rangeBetween(-6, Window.currentRow)
+    return daily.select(
+        "day", F.round(F.sum("rev").over(win), 2).alias("rev_7d_cal")
+    )

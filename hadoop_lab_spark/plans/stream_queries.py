@@ -226,3 +226,44 @@ def q_stream_dedup_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = stream_dedup_user_type(spark, sf_dir)
     snap = _replay(spark, stream, "mem_dedup", "append")
     return snap.select("user_id", "event_type")
+
+
+@register(
+    "stream_foreachbatch_totals",
+    oracle="""
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS cnt,
+               round(sum(value), 2) AS sum_value
+        FROM events GROUP BY event_type
+    """,
+    doc="foreachBatch sink: per-micro-batch aggregates upserted to "
+    "batch_id-partitioned parquet with dynamic partition overwrite "
+    "(idempotent on retry); reader re-aggregates partials — equals the "
+    "batch groupBy",
+    tags=("streaming", "sink", "foreachbatch"),
+    bench=False,
+)
+def q_stream_foreachbatch_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each event lands in exactly one micro-batch, so partial (cnt,
+    sum) rows add back to the exact batch answer regardless of how the
+    replay was batched. Scratch output + checkpoint are recreated per
+    run (a stale checkpoint would skip already-seen files and write
+    nothing)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from hadoop_lab_spark.streaming.jobs import stream_foreachbatch_event_totals
+
+    tune_session(spark)
+    sf_tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    out = os.path.join(tempfile.gettempdir(), f"hls_feb_{sf_tag}")
+    for p in (out, out + "_ckpt"):
+        shutil.rmtree(p, ignore_errors=True)
+    stream_foreachbatch_event_totals(spark, sf_dir, out)
+    parts = spark.read.parquet(out)
+    return parts.groupBy("event_type").agg(
+        F.sum("cnt").cast("bigint").alias("cnt"),
+        F.round(F.sum("sum_value"), 2).alias("sum_value"),
+    )

@@ -269,3 +269,47 @@ def stream_dedup_user_type(
     return events.select("user_id", "event_type", "ts").dropDuplicatesWithinWatermark(
         ["user_id", "event_type"]
     )
+
+
+def stream_foreachbatch_event_totals(
+    spark: SparkSession, sf_dir: str, out_dir: str
+) -> None:
+    """foreachBatch sink: idempotent per-micro-batch parquet upsert.
+
+    The built-in file sink is append-only; ``foreachBatch`` is the
+    escape hatch for transactional/upsert targets. Each micro-batch
+    writes its per-type partial aggregates to a ``batch_id=N``
+    partition with DYNAMIC partition overwrite — a retried batch
+    replaces exactly its own partition, never touching others, which is
+    the standard exactly-once recipe for non-transactional stores
+    (batch_id is the idempotence key Spark guarantees stable on replay).
+
+    The reader re-aggregates partials across batch partitions, so the
+    result is batching-invariant: every event lands in exactly one
+    micro-batch, partial sums add. At 100 TB/day the same shape feeds
+    any idempotent bulk target (object store, JDBC staging table).
+    """
+    events = stream_events(spark, sf_dir)
+
+    def write_batch(bdf: DataFrame, batch_id: int) -> None:
+        # runs on the DRIVER per micro-batch; bdf is a normal DataFrame
+        (
+            bdf.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("cnt"),
+                F.sum("value").alias("sum_value"),
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
+
+    q = (
+        events.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", out_dir + "_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

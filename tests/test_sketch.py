@@ -10,10 +10,8 @@ SF = "/root/testdata/sf0.001"
 def test_cms_never_undercounts(spark):
     """est >= exact for EVERY token — the defining CMS guarantee."""
     docs = spark.read.parquet(f"{SF}/documents.parquet")
-    tf = K.token_frequencies(docs, "text")
-    est = K.cms_estimates(tf)
-    bad = tf.join(est, "tok").filter(F.col("est") < F.col("c")).count()
-    assert bad == 0
+    est = K.cms_estimates(K.token_frequencies(docs, "text"))
+    assert est.filter(F.col("est") < F.col("c")).count() == 0
 
 
 def test_cms_exact_for_isolated_token(spark):
@@ -21,10 +19,8 @@ def test_cms_exact_for_isolated_token(spark):
     with 4 rows x 512 buckets over a small vocab, at least one token
     must be exact (pigeonhole sanity, not a probabilistic flake)."""
     docs = spark.read.parquet(f"{SF}/documents.parquet")
-    tf = K.token_frequencies(docs, "text")
-    est = K.cms_estimates(tf)
-    exact = tf.join(est, "tok").filter(F.col("est") == F.col("c")).count()
-    assert exact > 0
+    est = K.cms_estimates(K.token_frequencies(docs, "text"))
+    assert est.filter(F.col("est") == F.col("c")).count() > 0
 
 
 def test_sketch_is_bounded(spark):
