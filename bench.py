@@ -1,19 +1,32 @@
 #!/usr/bin/env python
-"""Benchmark harness: run the headline query set and print ONE JSON line.
+"""Benchmark harness: run the headline query set, print a compact JSON line.
 
-    {"metric": "...", "value": <total sec>, "unit": "sec",
-     "queries": {"q": sec, ...}, "sf": <scale factor>}
+Output contract (driver captures the stdout TAIL, so the summary must be
+the LAST line and must be small — round 2's single giant line with all
+per-query timings inline was head-truncated and recorded as parsed:null):
 
-Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
-     SPARK_GRAFT_CPUS   (local[N], default all cores).
+  line 1..k : per-query detail JSON (one object per line, prefixed
+              "DETAIL ") — greppable, never part of the summary parse
+  last line : {"metric": "...", "value": <total sec>, "unit": "sec",
+               "sf": ..., "repeats": N, "n_queries": N} — COMPACT; the
+               per-query map stays OUT of this line by design (inlining
+               it is what overflowed the tail capture in round 2)
 
-Each query is executed to completion with a noop-sink write: unlike
+The full detail (median + min/max spread per query) is also written to
+bench_detail.json next to this script.
+
+Each query executes REPEATS times (median reported; env
+SPARK_GRAFT_BENCH_REPEATS, default 3) with a noop-sink write: unlike
 count() — under which Catalyst prunes every column the count doesn't
 need, making projection-heavy queries measure as nearly free — the noop
 sink materializes ALL output columns through the full plan while adding
 no write cost (and no driver-side materialization like collect()). A
 warmup pass on the smallest table absorbs JVM/codegen startup so
 per-query numbers reflect the plans, not the JIT.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS   (local[N], default all cores),
+     SPARK_GRAFT_BENCH_REPEATS (default 3; streaming lane always 1).
 """
 
 from __future__ import annotations
@@ -21,12 +34,23 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
 
+def _time_query(fn, spark, sf_dir: str, repeats: int) -> list[float]:
+    times = []
+    for _ in range(repeats):
+        start = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times.append(time.perf_counter() - start)
+    return times
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
     match = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(match.group(1).rstrip(".")) if match else -1.0
 
@@ -40,36 +64,60 @@ def main() -> None:
     # Warmup: touch the runtime (codegen, shuffle machinery) once.
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
+    detail: dict[str, dict[str, float]] = {}
     timings: dict[str, float] = {}
     for name, spec in sorted(REGISTRY.items()):
         if not spec.bench:
             continue
-        start = time.perf_counter()
-        spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - start, 3)
+        times = _time_query(spec.fn, spark, sf_dir, repeats)
+        timings[name] = round(statistics.median(times), 3)
+        detail[name] = {
+            "median": timings[name],
+            "min": round(min(times), 3),
+            "max": round(max(times), 3),
+            "runs": [round(t, 3) for t in times],
+        }
+        print(f"DETAIL {json.dumps({name: detail[name]})}", flush=True)
 
     # Streaming lane: startup-dominated (state store + availableNow
-    # machinery), so the wall times live in their own section instead of
-    # polluting the headline set — but they ARE recorded, so a state-store
-    # regression shows up round-over-round.
+    # machinery) and stateful-store-heavy, so one run each, recorded in
+    # the detail file but excluded from the headline figure.
     streaming: dict[str, float] = {}
     for name, spec in sorted(REGISTRY.items()):
         if spec.bench or "streaming" not in spec.tags:
             continue
-        start = time.perf_counter()
-        spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        streaming[name] = round(time.perf_counter() - start, 3)
+        times = _time_query(spec.fn, spark, sf_dir, 1)
+        streaming[name] = round(times[0], 3)
+        print(f"DETAIL {json.dumps({name: {'median': streaming[name], 'streaming': True}})}", flush=True)
 
     total = round(sum(timings.values()), 3)
+    out_dir = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(out_dir, "bench_detail.json"), "w") as f:
+        json.dump(
+            {
+                "sf": sf,
+                "repeats": repeats,
+                "total_median_sec": total,
+                "queries": detail,
+                "streaming": streaming,
+            },
+            f,
+            indent=1,
+            sort_keys=True,
+        )
+
+    # The compact summary MUST be the last stdout line (driver tail-parse).
+    sys.stdout.flush()
     print(
         json.dumps(
             {
                 "metric": "headline_query_set_wall_time",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "streaming": streaming,
                 "sf": sf,
+                "repeats": repeats,
+                "n_queries": len(timings),
+                "detail_file": "bench_detail.json",
             }
         )
     )

@@ -22,15 +22,25 @@ def _fetch_input(path_or_url: str) -> str:
     are downloaded to a temp file first — the engine-side equivalent of
     the reference's interactive URL prompt + wget
     (lab2/WordCount.sh:36-56), minus the prompt."""
-    if not path_or_url.split(":", 1)[0] in ("http", "https", "file"):
+    import urllib.parse
+
+    scheme = urllib.parse.urlparse(path_or_url).scheme.lower()
+    if scheme not in ("http", "https", "file"):
         return path_or_url
+    import shutil
     import tempfile
     import urllib.request
 
+    # Normalize the scheme case ('HTTP://…' is a valid URL but urllib's
+    # opener lookup is scheme-case-sensitive), and bound the fetch with a
+    # timeout so a stalled server can't hang the CLI indefinitely.
+    url = scheme + path_or_url[len(scheme):]
     suffix = os.path.splitext(path_or_url)[1] or ".txt"
     fd, local = tempfile.mkstemp(prefix="hls_input_", suffix=suffix)
     os.close(fd)
-    urllib.request.urlretrieve(path_or_url, local)  # noqa: S310 — user-supplied CLI arg
+    with urllib.request.urlopen(url, timeout=60) as resp:  # noqa: S310 — user CLI arg
+        with open(local, "wb") as out:
+            shutil.copyfileobj(resp, out)
     print(f"downloaded {path_or_url} -> {local}", file=sys.stderr)
     return local
 

@@ -291,56 +291,71 @@ def simhash_bits(
     '1' when positive. A bitstring (not BIGINT) avoids sign pitfalls and
     diffs cheaply by char comparison.
 
-    Plan: 100% scan-local — a left-fold over the token array accumulates
-    the `bits`-wide signed sum vector per document inside the scan's
-    projection (``aggregate``/``zip_with``), so the signature stage
-    performs ZERO shuffles and materializes zero intermediate rows.
-    (Folding every occurrence by ±1 per bit equals the tf-weighted
-    per-distinct-token sum exactly — integer math, order-free.) Each
-    token's 64 bit-signs come from two 32-bit ``conv`` words of its md5,
-    so md5 is computed twice per occurrence, not per bit. This replaces
-    the round-1 design (tf groupBy → ×bits explode → per-(doc,bit)
-    groupBy → collect) whose two wide Exchanges dominated the bench.
+    Plan: explode tokens → pack each token's 64 bit values into 32
+    lane-packed longs (two 32-bit lanes per long) → ONE
+    ``groupBy(doc_id)`` with 33 long aggregates (32 lane sums + token
+    count). Per-lane counts recover each bit's ones-count; bit j is '1'
+    iff ``2*cnt_j > n`` — algebraically identical to the tf-weighted
+    signed sum being positive (sum_j = 2*cnt_j - n).
+
+    Why this shape: every expression here (md5, conv, shifts, sums) is
+    whole-stage-codegen-able, and the aggregate count (33) stays under
+    the codegen field limit. The round-2 design folded a 64-wide
+    ``aggregate``/``zip_with`` lambda per token — Spark higher-order
+    functions are CodegenFallback, so the whole projection ran
+    interpreted and benched 1.6× SLOWER than round 1 despite its zero
+    shuffles. Here map-side partial aggregation collapses exploded rows
+    to ~1 per (partition, doc) before the single narrow shuffle
+    (n_docs × 33 longs), so at 100 TB the shuffle volume tracks the
+    DOCUMENT count, not the token count. 32-bit lanes overflow only
+    beyond 2^32 occurrences of one bit per document — unreachable.
     """
     word_bits = 32
     n_words = bits // word_bits
-
-    def hash_words(tok: Column) -> Column:
-        """md5 prefix of a token as `n_words` unsigned 32-bit ints."""
-        h = F.md5(tok.cast("binary"))
-        return F.array(
-            *[
-                F.conv(F.substring(h, 1 + 8 * w, 8), 16, 10).cast("long")
-                for w in range(n_words)
-            ]
-        )
-
-    def signs(words: Column) -> Column:
-        """±1 per bit, big-endian across the hex string (bit j = nibble
-        j//4, nibble-internal bit 3 - j%4 == word bit 31 - j%32)."""
-        return F.array(
-            *[
-                F.shiftright(
-                    F.element_at(words, j // word_bits + 1),
-                    word_bits - 1 - j % word_bits,
-                ).bitwiseAND(F.lit(1))
-                * 2
-                - 1
-                for j in range(bits)
-            ]
-        )
+    lanes = 2  # 32-bit lanes per 64-bit accumulator
+    n_packs = bits // lanes
 
     toks = F.split(F.trim(F.col(text_col)), WS_RE)
-    sums = F.aggregate(
-        F.transform(toks, hash_words),
-        F.expr(f"array_repeat(0L, {bits})"),
-        lambda acc, words: F.zip_with(acc, signs(words), lambda a, b: a + b),
+    ex = df.select(F.col(id_col), F.explode(toks).alias("_tok"))
+
+    # Two unsigned 32-bit words of the token's md5, hoisted into their own
+    # projection so md5/conv run ONCE per token (not re-inlined into each
+    # of the 32 partial_sum expressions); bit j = hex nibble j//4,
+    # nibble-internal bit 3 - j%4 == word bit 31 - j%32.
+    h = F.md5(F.col("_tok").cast("binary"))
+    ex = ex.select(
+        F.col(id_col),
+        *[
+            F.conv(F.substring(h, 1 + 8 * w, 8), 16, 10).cast("long").alias(f"_w{w}")
+            for w in range(n_words)
+        ],
     )
-    bitstr = F.array_join(
-        F.transform(sums, lambda s: F.when(s > 0, F.lit("1")).otherwise(F.lit("0"))),
-        "",
+
+    def bit(j: int) -> Column:
+        return F.shiftright(
+            F.col(f"_w{j // word_bits}"), word_bits - 1 - j % word_bits
+        ).bitwiseAND(F.lit(1))
+
+    def pack(g: int) -> Column:
+        p = F.shiftleft(bit(g * lanes), word_bits)
+        for l in range(1, lanes):
+            p = p + bit(g * lanes + l)
+        return p
+
+    agg = ex.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[F.sum(pack(g)).alias(f"_s{g}") for g in range(n_packs)],
     )
-    return df.select(F.col(id_col), bitstr.alias("simhash"))
+
+    def cnt(j: int) -> Column:
+        return F.shiftright(
+            F.col(f"_s{j // lanes}"), word_bits * (lanes - 1 - j % lanes)
+        ).bitwiseAND(F.lit(0xFFFFFFFF))
+
+    bitstr = F.concat(
+        *[F.when(cnt(j) * 2 > F.col("_n"), F.lit("1")).otherwise(F.lit("0")) for j in range(bits)]
+    )
+    return agg.select(F.col(id_col), bitstr.alias("simhash"))
 
 
 def simhash_near_dups(
@@ -363,7 +378,9 @@ def simhash_near_dups(
     candidates only.
     """
     per = bits // chunks
-    sims = simhash_bits(df, id_col, text_col, bits).repartition(F.col(id_col))
+    # simhash_bits ends in a HashAggregate whose Exchange both join sides
+    # reuse (ReusedExchange) — no extra repartition pin needed.
+    sims = simhash_bits(df, id_col, text_col, bits)
     # Chunk bitstrings → ints ONCE per doc; Hamming over a candidate pair
     # is then `chunks` xor+bit_count ops instead of `bits` char compares
     # (the verify stage dominates: chunk collisions are common on

@@ -69,10 +69,15 @@ def cms_estimates(tf: DataFrame) -> DataFrame:
     (<= d*w rows, map-side combined); estimation broadcast-joins the
     sketch back onto the fan-out and takes the per-token min. The exact
     count rides along in the same aggregate (c is functionally
-    dependent on tok), so no third pass over tf is needed — the tf
-    lineage is computed twice (sketch build + estimation); a production
-    run over 100 TB would checkpoint/cache tf between the two, which a
-    registry query must not do (the driver owns the session's storage).
+    dependent on tok), so no third pass over tf is needed.
+
+    The fan-out is pinned behind ``repartition(row, bucket)``: the
+    sketch's groupBy is then partition-local (its clustering is already
+    satisfied) and the estimation probe hits the SAME Exchange as a
+    ReusedExchange — so the upstream token-frequency scan+shuffle run
+    exactly once per query, without cache()/persist() (a registry query
+    must not touch the driver-owned session's storage). Previously the
+    unpinned lineage executed the tf aggregate twice (ADVICE r2).
     """
     rows = F.explode(
         F.array(
@@ -84,8 +89,10 @@ def cms_estimates(tf: DataFrame) -> DataFrame:
             ]
         )
     ).alias("rb")
-    fanout = tf.select("tok", "c", rows).select(
-        "tok", "c", F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket")
+    fanout = (
+        tf.select("tok", "c", rows)
+        .select("tok", "c", F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+        .repartition(F.col("row"), F.col("bucket"))
     )
     sketch = (
         fanout.groupBy("row", "bucket")

@@ -32,6 +32,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _scratch_tag(spark: SparkSession, sf_dir: str) -> str:
+    """Per-(session, sf_dir) token for storage-demo scratch paths and
+    catalog table names. Keying only on sf_dir raced concurrent runs
+    (bench + pytest overwriting a directory the other was mid-read on —
+    ADVICE r2); the applicationId is unique per SparkSession."""
+    app = spark.sparkContext.applicationId.replace("-", "")[-12:]
+    return hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8] + "_" + app
+
+
 # ---------------------------------------------------------------------------
 # As-of (temporal) join
 # ---------------------------------------------------------------------------
@@ -340,7 +349,7 @@ def q_partitioned_scan_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     the write is part of the measured operator (a real pipeline pays it
     once at ingest)."""
     orders = _t(spark, sf_dir, "orders")
-    sf_tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    sf_tag = _scratch_tag(spark, sf_dir)
     out = os.path.join(tempfile.gettempdir(), f"hls_partition_demo_{sf_tag}")
     orders.write.partitionBy("o_orderpriority").mode("overwrite").parquet(out)
     pruned = spark.read.parquet(out).filter(F.col("o_orderpriority") == "1-URGENT")
@@ -460,7 +469,7 @@ def q_orc_roundtrip_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle aggregates the ORIGINAL parquet, so any round-trip value
     corruption (type coercion, precision loss) fails the hash gate."""
     sup = _t(spark, sf_dir, "supplier")
-    sf_tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    sf_tag = _scratch_tag(spark, sf_dir)
     out = os.path.join(tempfile.gettempdir(), f"hls_orc_demo_{sf_tag}")
     sup.write.mode("overwrite").orc(out)
     back = spark.read.orc(out)
@@ -540,7 +549,7 @@ def q_csv_roundtrip_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     catches any type coercion the text hop introduces."""
     nation = _t(spark, sf_dir, "nation")
     region = _t(spark, sf_dir, "region")
-    sf_tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    sf_tag = _scratch_tag(spark, sf_dir)
     out = os.path.join(tempfile.gettempdir(), f"hls_csv_demo_{sf_tag}")
     nation.write.mode("overwrite").option("header", True).csv(out)
     back = spark.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT").option(
@@ -574,7 +583,7 @@ def q_json_roundtrip_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame
     with microseconds, the schema'd read parses them back; a lossy hop
     (second truncation, timezone shift) would change the daily sums."""
     e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
-    sf_tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    sf_tag = _scratch_tag(spark, sf_dir)
     out = os.path.join(tempfile.gettempdir(), f"hls_json_demo_{sf_tag}")
     e.select("event_id", "ts", "value").write.mode("overwrite").json(out)
     back = spark.read.schema("event_id BIGINT, ts TIMESTAMP, value DOUBLE").json(out)
@@ -616,7 +625,7 @@ def q_bucketed_join_order_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
     l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
-    sf_tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    sf_tag = _scratch_tag(spark, sf_dir)
     base = os.path.join(tempfile.gettempdir(), f"hls_bucketed_{sf_tag}")
     t_o, t_l = f"hls_b_orders_{sf_tag}", f"hls_b_lines_{sf_tag}"
     write_bucketed(o, t_o, ["o_orderkey"], 8, sort_cols=["o_orderkey"],
@@ -837,8 +846,9 @@ def q_stats_aggregate_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(list_reduce(list_transform(embedding,
                         x -> CASE WHEN x > 0 THEN 1 ELSE 0 END),
                         (a, b) -> a + b) AS INTEGER) AS n_pos_fold,
-               list_transform(embedding[1:4],
-                   x -> least(greatest(CAST(x AS DOUBLE), -0.1), 0.1)) AS clipped4,
+               array_to_string(list_transform(embedding[1:4],
+                   x -> CAST(floor(least(greatest(CAST(x AS DOUBLE), -0.1), 0.1)
+                             * 1000000) AS BIGINT)), ',') AS clipped4,
                floor(sqrt(list_reduce(list_transform(embedding,
                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
                    (a, b) -> a + b)) * 1000000) / 1000000 AS l2_norm,
@@ -857,8 +867,11 @@ def q_array_lambda_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lambda expressions compile into the same codegen stage as the
     scan — vector math with NO UDF and no shuffle. Both engines fold
     left-to-right sequentially, but the 6dp truncation stays per policy.
-    clipped4 returns an ARRAY column: element-wise single-op math is
-    exact, so the list hashes bit-identically."""
+    clipped4 is rendered as a comma-joined STRING of floor-scaled (1e6)
+    integers: the element math is exact, but a bare ARRAY output column
+    breaks the driver's pandas canonicalizer (unhashable ndarray — the
+    one red row of round 2), and integer rendering is engine-independent
+    where float-to-string formatting is not."""
     emb = _t(spark, sf_dir, "embeddings")
     x2d = lambda x: x.cast("double")  # noqa: E731
     e = F.col("embedding")
@@ -874,9 +887,14 @@ def q_array_lambda_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0),
             lambda a, b: a + b,
         ).alias("n_pos_fold"),
-        F.transform(
-            F.slice(e, 1, 4),
-            lambda x: F.least(F.greatest(x2d(x), F.lit(-0.1)), F.lit(0.1)),
+        F.array_join(
+            F.transform(
+                F.slice(e, 1, 4),
+                lambda x: F.floor(
+                    F.least(F.greatest(x2d(x), F.lit(-0.1)), F.lit(0.1)) * 1_000_000
+                ).cast("string"),
+            ),
+            ",",
         ).alias("clipped4"),
         t6(
             F.sqrt(
@@ -923,7 +941,7 @@ def q_compaction_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame
     100 TB this runs per-partition-directory with target size
     ~files·128 MB, exactly this plan."""
     orders = _t(spark, sf_dir, "orders")
-    sf_tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    sf_tag = _scratch_tag(spark, sf_dir)
     frag = os.path.join(tempfile.gettempdir(), f"hls_frag_{sf_tag}")
     compact = os.path.join(tempfile.gettempdir(), f"hls_compact_{sf_tag}")
     orders.repartition(64).write.mode("overwrite").parquet(frag)

@@ -32,11 +32,19 @@ def naive_split(line: Column, delim: str) -> Column:
     (operator S2/S3/S4). `delim` is a Java regex ('\\s+', ',', '::').
 
     Java split drops trailing empty strings; Spark's split keeps them.
-    The difference is immaterial for every parity semantics (arity
-    guards are >=, and indexed fields precede any trailing overflow) —
-    documented rather than emulated.
+    That difference IS reachable through the lab consumers — a line with
+    n-1 real fields plus a trailing delimiter ("a,b," with arity>=3 and
+    a STRING-typed last field, the lab8/9/10 shape) passes the Spark
+    arity guard with a phantom '' field where Java drops the row — so
+    Java semantics are emulated by stripping the trailing delimiter run
+    before splitting (tests/test_java_split_semantics.py proves the
+    equivalence property-wise against a Java-split twin).
+
+    Residual divergence, documented: an ALL-delimiter line (",,,") maps
+    to [''] here vs [] in Java. Every consumer requires >= 2 fields, so
+    the row is dropped either way — outcome-identical.
     """
-    return F.split(line, delim)
+    return F.split(F.regexp_replace(line, f"(?:{delim})+$", ""), delim)
 
 
 def field(parts: Column, idx: int) -> Column:

@@ -15,8 +15,24 @@ import math
 import duckdb
 
 from pyspark.sql import DataFrame
+from pyspark.sql.types import ArrayType, MapType, StructType
 
 from hadoop_lab_spark.sources.tables import TABLES, table_path
+
+
+def assert_flat_schema(df: DataFrame, name: str = "query") -> None:
+    """Reject array/struct/map-typed OUTPUT columns.
+
+    The correctness driver canonicalizes results via pandas sort_values,
+    which dies on unhashable ndarray cells (round 2's one red row) —
+    so every registered query must render complex values as strings
+    (e.g. array_join of floor-scaled integers) before returning.
+    """
+    for f in df.schema.fields:
+        assert not isinstance(f.dataType, (ArrayType, MapType, StructType)), (
+            f"{name}: output column {f.name!r} has complex type {f.dataType.simpleString()}"
+            " — render it as a canonical string (driver canonicalizer cannot hash it)"
+        )
 
 
 def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
@@ -82,6 +98,7 @@ def assert_matches_oracle(
 ) -> None:
     """Strict by default (float_rtol=0 → repr equality, what a value-hash
     driver effectively checks); pass a small rtol only to diagnose."""
+    assert_flat_schema(spark_df, name=name)
     a_cols = spark_df.columns
     a_rows = [tuple(r) for r in spark_df.collect()]
     cur = con.execute(oracle)

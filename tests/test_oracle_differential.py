@@ -10,7 +10,7 @@ from __future__ import annotations
 import pytest
 
 from hadoop_lab_spark.plans.registry import REGISTRY, load_all_query_modules
-from hadoop_lab_spark.testing import assert_matches_oracle
+from hadoop_lab_spark.testing import assert_flat_schema, assert_matches_oracle
 
 from tests.conftest import SF_DIR_ORACLE
 
@@ -32,7 +32,7 @@ def test_rows_only_query_runs(spark, name):
     spec = REGISTRY[name]
     df = spec.fn(spark, SF_DIR_ORACLE)
     assert df.count() >= 0
-    assert df.schema is not None
+    assert_flat_schema(df, name=name)
 
 
 def test_entry_smoke(spark):

@@ -38,6 +38,20 @@ def test_loader_has_no_import_swallowing():
     assert "except" not in src, src
 
 
+def test_rotation_puts_unverified_queries_first():
+    """The driver caps CORRECTNESS at the first 50 ``queries()`` entries,
+    so emission order must put never-driver-green queries first and
+    least-recently-green next — otherwise registered queries silently
+    starve of driver verification (VERDICT r02 finding #2)."""
+    import __spark_entry__ as e
+
+    order = list(e.queries())
+    assert set(order) == set(REGISTRY)
+    seen = e._last_green_round()
+    ranks = [seen.get(n, 0) for n in order]
+    assert ranks == sorted(ranks), "queries() not ordered by last green round"
+
+
 def test_oracle_alias_parity():
     """Every oracle is non-empty SQL mentioning at least one FROM —
     cheap sanity that a refactor didn't blank a string."""
