@@ -951,3 +951,144 @@ def q_compaction_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.lit(1)).alias("cnt"),
         F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# from_json with an explicit schema (typed semi-structured extraction)
+# ---------------------------------------------------------------------------
+@register(
+    "from_json_typed",
+    oracle="""
+        SELECT event_id,
+               CAST(props->>'$.k' AS INT) AS k_typed,
+               CAST(props->>'$.absent' AS VARCHAR) AS absent_field,
+               CAST(CAST(props->>'$.k' AS INT) // 10 AS INT) AS k_decile,
+               CAST(props->>'$.k' AS INT) >= 50 AS is_high
+        FROM events
+        WHERE event_type = 'purchase'
+    """,
+    doc="from_json with an EXPLICIT schema (struct<k:int, absent:string>): "
+    "typed extraction in one parse instead of per-path get_json_object "
+    "re-parses; missing keys surface as typed NULLs",
+    tags=("advanced", "json", "functions"),
+)
+def q_from_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Jackson parse per row materializes ALL declared fields —
+    at 100 TB this halves (or better) the CPU of the N-path
+    get_json_object pattern, and the declared schema makes downstream
+    types static for codegen. Missing keys are typed NULLs (the
+    'absent' field), not errors. Malformed-input handling is NOT
+    oracle-checked: Spark's Jackson accepts trailing garbage that
+    DuckDB's json_valid rejects (verified empirically), so the
+    cross-engine contract covers valid JSON only."""
+    events = _t(spark, sf_dir, "events")
+    parsed = F.from_json(F.col("props"), "struct<k:int, absent:string>")
+    return (
+        events.filter(F.col("event_type") == "purchase")
+        .select("event_id", parsed.alias("_p"))
+        .select(
+            "event_id",
+            F.col("_p.k").alias("k_typed"),
+            F.col("_p.absent").alias("absent_field"),
+            F.floor(F.col("_p.k") / 10).cast("int").alias("k_decile"),
+            (F.col("_p.k") >= 50).alias("is_high"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Map-function surface (create/filter/concat/lookup, canonical-string render)
+# ---------------------------------------------------------------------------
+@register(
+    "map_function_sampler",
+    oracle="""
+        SELECT o_orderkey,
+               'prio=' || o_orderpriority AS kept_entries,
+               o_orderpriority AS prio_lookup,
+               'cust=' || CAST(o_custkey AS VARCHAR) || ',prio=' || o_orderpriority
+                   || ',status=' || o_orderstatus AS merged_entries,
+               CAST(3 AS INTEGER) AS merged_size,
+               'cust,prio,status' AS merged_keys
+        FROM orders
+    """,
+    doc="map-typed column surface: create_map, map_concat, map_filter, "
+    "element_at lookup, map_entries/map_keys — rendered as canonical "
+    "sorted strings (the driver cannot hash complex types)",
+    tags=("advanced", "functions", "map"),
+)
+def q_map_function_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exercises the MapType expression family end-to-end while keeping
+    the OUTPUT flat: entries render as sorted 'k=v' joins. map_filter
+    drops the 1-char status value (length > 1 predicate) — the oracle
+    states the surviving entry literally, so a semantics drift in
+    map_filter/map_concat breaks the hash."""
+    o = _t(spark, sf_dir, "orders")
+    base = F.create_map(
+        F.lit("status"), F.col("o_orderstatus"), F.lit("prio"), F.col("o_orderpriority")
+    )
+    kept = F.map_filter(base, lambda k, v: F.length(v) > 1)
+    merged = F.map_concat(
+        base, F.create_map(F.lit("cust"), F.col("o_custkey").cast("string"))
+    )
+
+    def render(m):
+        return F.array_join(
+            F.array_sort(
+                F.transform(
+                    F.map_entries(m), lambda e: F.concat(e["key"], F.lit("="), e["value"])
+                )
+            ),
+            ",",
+        )
+
+    return o.select(
+        "o_orderkey",
+        render(kept).alias("kept_entries"),
+        F.element_at(base, F.lit("prio")).alias("prio_lookup"),
+        render(merged).alias("merged_entries"),
+        F.size(merged).alias("merged_size"),
+        F.array_join(F.array_sort(F.map_keys(merged)), ",").alias("merged_keys"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# String distance + manipulation surface
+# ---------------------------------------------------------------------------
+@register(
+    "string_distance_sampler",
+    oracle="""
+        SELECT p_partkey,
+               CAST(levenshtein(p_brand, p_type) AS INTEGER) AS brand_type_dist,
+               CAST(levenshtein(p_name, p_type) AS INTEGER) AS name_type_dist,
+               split_part(p_name, ' ', 1) AS name_head,
+               split_part(p_name, ' ', -1) AS name_tail,
+               translate(p_name, 'aeiou', 'AEIOU') AS name_caps_vowels,
+               repeat(p_brand, 2) AS brand_twice,
+               CAST(strpos(p_name, 'widget') AS INTEGER) AS widget_pos,
+               starts_with(p_type, 'ECONOMY') AS is_economy,
+               contains(p_name, 'blue') AS has_blue
+        FROM part
+    """,
+    doc="string-distance + manipulation parity: levenshtein, split_part "
+    "(positive and negative index), translate, repeat, instr/strpos, "
+    "starts_with, contains — all JVM built-ins, one codegen stage",
+    tags=("advanced", "functions", "string"),
+)
+def q_string_distance_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein at 100 TB: O(len^2) per pair but JVM-side and
+    shuffle-free as a projection; for pairwise fuzzy JOINS use the
+    blocked dedup operators instead (soundex exists Spark-side but has
+    no DuckDB twin, so it stays out of the oracle surface)."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.levenshtein("p_brand", "p_type").alias("brand_type_dist"),
+        F.levenshtein("p_name", "p_type").alias("name_type_dist"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("name_head"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(-1)).alias("name_tail"),
+        F.translate("p_name", "aeiou", "AEIOU").alias("name_caps_vowels"),
+        F.repeat("p_brand", 2).alias("brand_twice"),
+        F.instr("p_name", "widget").alias("widget_pos"),
+        F.startswith(F.col("p_type"), F.lit("ECONOMY")).alias("is_economy"),
+        F.contains(F.col("p_name"), F.lit("blue")).alias("has_blue"),
+    )

@@ -1,0 +1,409 @@
+"""Training-data preparation queries: chunking, sequence packing, TF-IDF,
+snapshot diff (CDC), SCD1 upsert, unpivot, deterministic dataset splits.
+
+These extend the LLM-pipeline surface (dedup/similarity/quality live in
+plans/pipeline.py) with the dataset-shaping operators a 100 TB corpus
+build needs between "raw documents" and "training shards". Every query
+is oracle-checked; float policy per plans/registry.py (integer-ratio
+outputs exact, money sums round 2dp, no ln/exp).
+
+The reference has no counterpart for any of these (its 10 jobs are
+teaching-scale MapReduce — SURVEY.md §2.11); they are judged as
+first-class pipeline components alongside §2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_lab_spark.functions import text as X
+from hadoop_lab_spark.operators.sampling import hash_bucket
+from hadoop_lab_spark.plans.registry import register
+from hadoop_lab_spark.session import tune_session
+from hadoop_lab_spark.sources import load_table
+
+_TOKS = f"regexp_split_to_array(trim(text), '{X.WS_RE}')"
+_HEXPAIR = (
+    "((instr('0123456789abcdef', substring(md5(CAST({k} AS VARCHAR)), 1, 1)) - 1) * 16"
+    " + (instr('0123456789abcdef', substring(md5(CAST({k} AS VARCHAR)), 2, 1)) - 1))"
+)
+
+CHUNK_WINDOW = 200  # chars per chunk
+CHUNK_STRIDE = 150  # window - stride = 50 chars overlap
+PACK_BUDGET = 512  # tokens per pack
+PACK_BUCKETS = 32  # parallel packing lanes
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    tune_session(spark)
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Document chunking (overlapping fixed-size windows)
+# ---------------------------------------------------------------------------
+@register(
+    "chunk_documents_overlap",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(off // {CHUNK_STRIDE} AS INTEGER) AS chunk_idx,
+               substring(text, CAST(off + 1 AS INT), {CHUNK_WINDOW}) AS chunk_text,
+               CAST(length(substring(text, CAST(off + 1 AS INT), {CHUNK_WINDOW}))
+                    AS INTEGER) AS chunk_len
+        FROM documents,
+             unnest(generate_series(0, CAST(n_chars - 1 AS BIGINT), {CHUNK_STRIDE}))
+                 AS t(off)
+        WHERE n_chars > 0
+    """,
+    doc=f"overlapping char-window chunking ({CHUNK_WINDOW}-char windows, "
+    f"{CHUNK_STRIDE}-char stride): explode over a stride sequence + substring — "
+    "the RAG/embedding-prep primitive",
+    tags=("mlprep", "chunking", "text"),
+)
+def q_chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunking is scan-local (sequence + posexplode + substring in one
+    codegen stage): no shuffle, output rows ∝ total chars / stride, so
+    it streams at 100 TB. The sequence end is clamped to >= 0 (empty
+    docs are filtered on BOTH sides first — Spark's sequence(0,-1)
+    counts backwards while DuckDB's generate_series is empty, the
+    total-expression trap in tests/test_properties.py)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    offs = F.sequence(
+        F.lit(0),
+        F.greatest(F.col("n_chars") - 1, F.lit(0)).cast("bigint"),
+        F.lit(CHUNK_STRIDE).cast("bigint"),
+    )
+    chunk = F.substring(F.col("text"), F.col("off").cast("int") + 1, CHUNK_WINDOW)
+    return (
+        docs.select("doc_id", "text", F.posexplode(offs).alias("chunk_idx", "off"))
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            chunk.alias("chunk_text"),
+            F.length(chunk).alias("chunk_len"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (deterministic token-budget sharding)
+# ---------------------------------------------------------------------------
+@register(
+    "pack_documents_greedy",
+    oracle=f"""
+        SELECT doc_id, bucket, n_tokens,
+               CAST(coalesce(sum(n_tokens) OVER (
+                        PARTITION BY bucket ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    // {PACK_BUDGET} AS BIGINT) AS pack_id
+        FROM (
+            SELECT doc_id,
+                   CAST(doc_id % {PACK_BUCKETS} AS BIGINT) AS bucket,
+                   CAST(len({_TOKS}) AS INTEGER) AS n_tokens
+            FROM documents
+        )
+    """,
+    doc=f"sequence packing: docs assigned to ≤{PACK_BUDGET}-token training packs "
+    f"by exclusive running token count within {PACK_BUCKETS} parallel lanes — "
+    "the context-window packing step of an LLM data pipeline",
+    tags=("mlprep", "packing", "window"),
+)
+def q_pack_documents_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic SEQUENTIAL packing (doc order, exclusive cumsum ÷
+    budget), not bin-packing — the standard scalable compromise: true
+    first-fit is inherently serial, while this is one window over
+    lanes. The lane hash (doc_id % buckets) bounds every window
+    partition to n_docs/buckets rows, so no single task sorts the
+    corpus; at 100 TB raise PACK_BUCKETS to O(cores) and the plan is
+    unchanged. A doc may straddle a pack boundary (packs can exceed the
+    budget by < 1 doc); callers that need hard caps split docs first
+    (chunk_documents_overlap)."""
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % PACK_BUCKETS).alias("bucket"),
+        X.token_count("text").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return docs.select(
+        "doc_id",
+        "bucket",
+        "n_tokens",
+        F.floor(cum_before / PACK_BUDGET).cast("long").alias("pack_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per document
+# ---------------------------------------------------------------------------
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+        WITH tf AS (
+            SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+            FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
+            WHERE tok <> ''
+            GROUP BY doc_id, tok
+        ),
+        df_ AS (SELECT tok, CAST(count(*) AS BIGINT) AS df_ FROM tf GROUP BY tok),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.tok, tf.tf,
+                   CAST(tf.tf * (n.n_docs + 1) AS BIGINT) / (df_.df_ + 1) AS score
+            FROM tf JOIN df_ USING (tok) CROSS JOIN n
+        )
+        SELECT doc_id, tok, tf, score
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY doc_id ORDER BY score DESC, tok) AS rn
+              FROM scored)
+        WHERE rn <= 3
+    """,
+    doc="TF-IDF top-3 terms per document with a RATIO idf "
+    "(tf·(N+1)/(df+1)) — integer-exact cross-engine scoring, no ln "
+    "(log is not correctly-rounded across libm/JVM, float policy)",
+    tags=("mlprep", "tfidf", "text"),
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle budget: one groupBy(doc_id, tok) for tf, one
+    vocab-bounded groupBy(tok) for df (BROADCAST back onto tf — the
+    vocab is orders of magnitude smaller than the corpus), a 1-row
+    broadcast for N, and the top-k window repartitions by doc_id.
+    The score ((tf·(N+1)) / (df+1)) multiplies integers exactly, then
+    performs ONE double division — identical bits on both engines, so
+    no rounding policy is needed. Ties break on the token string."""
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(X.tokens("text")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("df_"))
+    n = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_), "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            "tf",
+            ((F.col("tf") * (F.col("n_docs") + 1)).cast("bigint") / (F.col("df_") + 1)).alias(
+                "score"
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("tok"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "tok", "tf", "score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff (change data capture between two table versions)
+# ---------------------------------------------------------------------------
+_V1 = "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 10 <> 0"
+_V2 = """
+    SELECT o_orderkey, o_orderstatus,
+           CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 10.0
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders WHERE o_orderkey % 7 <> 0
+"""
+
+
+@register(
+    "snapshot_diff_orders",
+    oracle=f"""
+        WITH v1 AS ({_V1}), v2 AS ({_V2})
+        SELECT CASE WHEN v1.o_orderkey IS NULL THEN 'added'
+                    WHEN v2.o_orderkey IS NULL THEN 'removed'
+                    WHEN v1.o_totalprice <> v2.o_totalprice THEN 'changed'
+                    ELSE 'unchanged' END AS change_type,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               round(sum(coalesce(v2.o_totalprice, 0) - coalesce(v1.o_totalprice, 0)), 2)
+                   AS price_delta
+        FROM v1 FULL OUTER JOIN v2 USING (o_orderkey)
+        GROUP BY 1
+    """,
+    doc="snapshot diff (CDC): two simulated table versions full-outer-joined "
+    "on the key, classified added/removed/changed/unchanged with the price "
+    "delta per class — the incremental-ingest audit primitive",
+    tags=("mlprep", "cdc", "join"),
+)
+def q_snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One co-partitioned full-outer shuffle join on the key, then a
+    4-group aggregate — at 100 TB both snapshots bucket by the key at
+    write time and the join is shuffle-free. The simulated update adds
+    an EXACT 10.0 (single IEEE add — engine-identical); the delta sum
+    stays cent-exact, so round(·, 2) is hash-safe per float policy."""
+    o = _t(spark, sf_dir, "orders")
+    v1 = o.filter(F.col("o_orderkey") % 10 != 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    v2 = o.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") + 10.0)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    j = v1.alias("a").join(v2.alias("b"), "o_orderkey", "full_outer")
+    change = (
+        F.when(F.col("a.o_totalprice").isNull(), "added")
+        .when(F.col("b.o_totalprice").isNull(), "removed")
+        .when(F.col("a.o_totalprice") != F.col("b.o_totalprice"), "changed")
+        .otherwise("unchanged")
+    )
+    delta = F.coalesce(F.col("b.o_totalprice"), F.lit(0.0)) - F.coalesce(
+        F.col("a.o_totalprice"), F.lit(0.0)
+    )
+    return (
+        j.select(change.alias("change_type"), delta.alias("_d"))
+        .groupBy("change_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.round(F.sum("_d"), 2).alias("price_delta"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SCD type-1 upsert (merge-into semantics as a join)
+# ---------------------------------------------------------------------------
+@register(
+    "upsert_orders_scd1",
+    oracle=f"""
+        WITH base AS ({_V1}),
+             updates AS (
+                SELECT o_orderkey, o_orderstatus, o_totalprice + 10.0 AS o_totalprice
+                FROM orders WHERE o_orderkey % 3 = 0
+             ),
+             merged AS (
+                SELECT coalesce(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+                       coalesce(u.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+                       coalesce(u.o_totalprice, b.o_totalprice) AS o_totalprice
+                FROM base b FULL OUTER JOIN updates u USING (o_orderkey)
+             )
+        SELECT o_orderstatus,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               round(sum(o_totalprice), 2) AS sum_price
+        FROM merged
+        GROUP BY o_orderstatus
+    """,
+    doc="SCD type-1 upsert (MERGE WHEN MATCHED UPDATE / NOT MATCHED INSERT) "
+    "expressed as a full-outer join + coalesce — the lakehouse merge "
+    "primitive on engines without a MERGE statement",
+    tags=("mlprep", "upsert", "join"),
+)
+def q_upsert_orders_scd1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE semantics with last-writer-wins per key: updates override
+    base via column-wise coalesce after a full-outer join. The same
+    co-partitioning note as snapshot_diff applies; on a real lakehouse
+    table this becomes a partition-pruned rewrite of only the
+    partitions holding matched keys."""
+    o = _t(spark, sf_dir, "orders")
+    base = o.filter(F.col("o_orderkey") % 10 != 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    updates = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey", "o_orderstatus", (F.col("o_totalprice") + 10.0).alias("o_totalprice")
+    )
+    merged = base.alias("b").join(updates.alias("u"), "o_orderkey", "full_outer").select(
+        F.coalesce(F.col("u.o_orderstatus"), F.col("b.o_orderstatus")).alias(
+            "o_orderstatus"
+        ),
+        F.coalesce(F.col("u.o_totalprice"), F.col("b.o_totalprice")).alias(
+            "o_totalprice"
+        ),
+    )
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unpivot (wide → long)
+# ---------------------------------------------------------------------------
+@register(
+    "unpivot_part_metrics",
+    oracle="""
+        SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value
+        FROM part
+        UNION ALL
+        SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value
+        FROM part
+    """,
+    doc="unpivot/melt (wide→long): the inverse of pivot_revenue_by_status — "
+    "each metric column becomes (key, metric, value) rows",
+    tags=("mlprep", "unpivot", "relational"),
+)
+def q_unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's unpivot is a Generate (row fan-out ×2) in the scan stage —
+    no shuffle, columnar input, value columns cast to one type up
+    front as unpivot requires."""
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        "p_retailprice",
+    )
+    return p.unpivot(
+        ids=["p_partkey"],
+        values=["p_size", "p_retailprice"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split
+# ---------------------------------------------------------------------------
+@register(
+    "train_val_test_split",
+    oracle=f"""
+        SELECT CASE WHEN b < 204 THEN 'train'
+                    WHEN b < 230 THEN 'val'
+                    ELSE 'test' END AS split,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               CAST(sum(n_chars) AS BIGINT) / count(*) AS avg_chars
+        FROM (SELECT n_chars, {_HEXPAIR.format(k="doc_id")} % 256 AS b
+              FROM documents)
+        GROUP BY 1
+    """,
+    doc="deterministic ~80/10/10 train/val/test split by md5 hash bucket of "
+    "the doc key: membership is a pure function of the key, stable across "
+    "engines, reruns and repartitionings — df.randomSplit can't promise that",
+    tags=("mlprep", "split", "sampling"),
+)
+def q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The split survives incremental corpus growth: adding documents
+    never reassigns existing ones (no modulo-on-count, no RNG state).
+    avg_chars is ONE int/int double division (exact per float policy),
+    computed explicitly instead of avg() — DuckDB's avg accumulates
+    doubles incrementally, which is not bit-stable cross-engine."""
+    docs = _t(spark, sf_dir, "documents")
+    b = hash_bucket("doc_id", 256)
+    split = (
+        F.when(b < 204, "train").when(b < 230, "val").otherwise("test")
+    )
+    agg = docs.select(split.alias("split"), "n_chars").groupBy("split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+    return agg.select(
+        "split",
+        "n_docs",
+        "total_chars",
+        (F.col("total_chars") / F.col("n_docs")).alias("avg_chars"),
+    )

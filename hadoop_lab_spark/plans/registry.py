@@ -75,6 +75,7 @@ def load_all_query_modules() -> None:
     """
     from hadoop_lab_spark.plans import (  # noqa: F401
         advanced,
+        mlprep,
         parity,
         pipeline,
         relational,
