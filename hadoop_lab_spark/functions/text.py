@@ -162,8 +162,16 @@ def fingerprint_chargram_min(text: Column | str, k: int = FINGERPRINT_K) -> Colu
     text as the single gram.
     """
     c = F.col(text) if isinstance(text, str) else text
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(c) - (k - 1), F.lit(1))),
-        lambda i: F.substring(c, i, k),
+    # ONE fused lambda (substring+md5), not transform∘transform: the
+    # chained form materializes the gram array before hashing it.
+    # Negative result (r3, measured at sf0.1): rewriting as explode →
+    # codegen md5 → groupBy-min — the shape that won for SimHash — is
+    # 8× SLOWER here (2.5 → 18.7 s): grams ≈ chars, so the Generate
+    # fan-out (~15M rows) costs far more than interpreted-HOF md5 saves.
+    # The HOF runs ~6M md5/s, already hash-throughput-bound.
+    return F.array_min(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(c) - (k - 1), F.lit(1))),
+            lambda i: F.md5(F.substring(c, i, k).cast("binary")),
+        )
     )
-    return F.array_min(F.transform(grams, lambda g: F.md5(g.cast("binary"))))

@@ -52,10 +52,17 @@ def connected_components(
     engine — which is what makes it oracle-checkable against a DuckDB
     recursive CTE.
     """
+    # Pre-partition the STATIC edge side by its per-round join key once,
+    # before checkpointing: every iteration's neighbor-min join then
+    # reads edge partitions already hash-clustered on dst instead of
+    # re-shuffling the same table each round (at 10⁹ edges that is the
+    # dominant per-round cost; the distinct() already shuffles, so the
+    # extra repartition only fixes WHICH key the layout lands on).
     sym = (
         edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
+        .repartition(F.col("dst"))
         .localCheckpoint(eager=True)
     )
     # Iterate ONLY over edge-incident nodes: in a near-dup graph the

@@ -1,0 +1,96 @@
+"""Whole-registry plan lint: no scale-killer may enter ANY query plan.
+
+The per-query plan-shape tests (test_plan_shapes.py) pin specific
+optimizations; this sweep pins the *absence* of the failure classes that
+sink a 100 TB run, across every registered batch query at once:
+
+- ``CartesianProduct`` — an unconstrained n×m join (a broadcast
+  nested-loop join over a bounded broadcast side is the acceptable
+  cousin, allowlisted per query below);
+- ``Exchange rangepartitioning`` — a global sort: at 100 TB a full-data
+  range exchange is only legitimate in an explicitly-ordered sink;
+- ``BatchEvalPython`` — row-at-a-time Python UDFs (the ~100× slow path;
+  Arrow-batched pandas ops are the sanctioned escape hatch).
+
+A new query that trips a marker must either fix its plan or register
+itself here WITH a justification string — silent allowlisting is the
+failure mode this test exists to prevent.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from hadoop_lab_spark.plans.registry import REGISTRY, load_all_query_modules
+
+from tests.conftest import SF_DIR
+
+load_all_query_modules()
+
+#: query -> {marker: justification}. Every entry documents WHY the
+#: marker is acceptable there; anything not listed fails the sweep.
+ALLOWED = {
+    "dedup_ngram_jaccard": {
+        "BroadcastNestedLoopJoin": "1-row collected hot-shingle list "
+        "broadcast onto the corpus (bounded by construction)",
+    },
+    "sim_topk_bruteforce": {
+        "BroadcastNestedLoopJoin": "query set (n_queries rows) broadcast "
+        "against the corpus — the corpus side never shuffles",
+    },
+    "sim_topk_ivf": {
+        "BroadcastNestedLoopJoin": "centroid table (n_lists rows) "
+        "broadcast for probe-list assignment",
+    },
+    "tfidf_top_terms": {
+        "BroadcastNestedLoopJoin": "1-row corpus-size (N) broadcast "
+        "joined onto the tf table",
+    },
+    "multimodal_image_features": {
+        "MapInPandas": "intended Arrow-batched decode path (the sanctioned "
+        "escape hatch, not a row UDF)",
+    },
+    "multimodal_frame_sample": {
+        "MapInPandas": "intended Arrow-batched frame sampler",
+    },
+}
+
+MARKERS = (
+    "CartesianProduct",
+    "BroadcastNestedLoopJoin",
+    "Exchange rangepartitioning",
+    "BatchEvalPython",
+    "MapInPandas",
+    "FlatMapGroupsInPandas",
+)
+
+BATCH_QUERIES = sorted(
+    name for name, spec in REGISTRY.items() if "streaming" not in spec.tags
+)
+
+
+@pytest.mark.parametrize("name", BATCH_QUERIES)
+def test_no_scale_killers_in_plan(spark, name):
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    allowed = ALLOWED.get(name, {})
+    for marker in MARKERS:
+        if marker in plan:
+            assert marker in allowed, (
+                f"{name}: plan contains {marker} with no registered "
+                f"justification — fix the plan or allowlist it with a reason"
+            )
+
+
+def test_allowlist_is_not_stale(spark):
+    """Every allowlisted (query, marker) must still occur — a stale entry
+    means the plan improved and the allowlist should shrink."""
+    for name, markers in ALLOWED.items():
+        df = REGISTRY[name].fn(spark, SF_DIR)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        for marker in markers:
+            assert marker in plan, f"stale allowlist entry: {name} / {marker}"

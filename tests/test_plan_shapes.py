@@ -139,17 +139,75 @@ def test_gapfill_spine_is_generated_not_collected(spark):
 
 
 def test_compaction_actually_reduces_file_count(spark):
-    """The maintenance op must leave exactly the target file count."""
+    """The maintenance op must leave exactly the target file count.
+    (Scratch dirs are keyed per session via _scratch_tag since the
+    ADVICE-r2 race fix — recompute the tag the same way, not the old
+    md5-of-sf_dir form, which would silently match STALE dirs from a
+    previous run.)"""
     import glob
-    import hashlib
     import os
     import tempfile
 
+    from hadoop_lab_spark.plans.advanced import _scratch_tag
+
     REGISTRY["compaction_roundtrip_orders"].fn(spark, SF_DIR).collect()
-    sf_tag = hashlib.md5(os.path.abspath(SF_DIR).encode()).hexdigest()[:8]
+    sf_tag = _scratch_tag(spark, SF_DIR)
     frag = glob.glob(os.path.join(tempfile.gettempdir(), f"hls_frag_{sf_tag}", "part-*"))
     compact = glob.glob(
         os.path.join(tempfile.gettempdir(), f"hls_compact_{sf_tag}", "part-*")
     )
     assert len(frag) == 64
     assert len(compact) == 4
+
+
+# --- r3 additions: dataset-shaping + rewritten SimHash plan pins ---
+
+
+def test_chunking_is_scan_local(spark):
+    """Chunking must stay explode-in-scan: zero exchanges, sequence-fed
+    Generate, and a scan of only (doc_id, text, n_chars)."""
+    plan = _plan(spark, "chunk_documents_overlap")
+    assert _exchanges(plan) == 0, plan[:800]
+    assert ") Generate" in plan and "sequence(" in plan
+
+
+def test_unpivot_is_scan_local(spark):
+    plan = _plan(spark, "unpivot_part_metrics")
+    assert _exchanges(plan) == 0, plan[:800]
+
+
+def test_packing_single_lane_shuffle(spark):
+    """Sequence packing must shuffle ONCE (the lane window) — a global
+    sort (Exchange rangepartitioning or a second shuffle) means the
+    lane bucketing regressed to a serial plan."""
+    plan = _plan(spark, "pack_documents_greedy")
+    assert _exchanges(plan) == 1, plan[:1200]
+    assert "rangepartitioning" not in plan
+
+
+def test_tfidf_broadcasts_vocab_never_sorts_corpus(spark):
+    """df (vocab-sized) must broadcast onto tf; the corpus-sized tf side
+    must never sort-merge."""
+    plan = _plan(spark, "tfidf_top_terms")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_simhash_single_aggregate_shuffle_no_hof(spark):
+    """The r3 SimHash shape: explode → partial agg → ONE Exchange →
+    final agg. Higher-order functions (aggregate/zip_with) are
+    CodegenFallback and must never reappear in this plan (the r2
+    regression); lambda-free bit math only."""
+    plan = _plan(spark, "dedup_simhash")
+    assert _exchanges(plan) == 1, plan[:1200]
+    assert "zip_with" not in plan and "lambdafunction" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_snapshot_diff_copartitioned_outer_join(spark):
+    """CDC diff = one full-outer SMJ (full outer cannot broadcast) plus
+    the classify aggregate: exactly 3 exchanges (two join inputs + one
+    groupBy), no more."""
+    plan = _plan(spark, "snapshot_diff_orders")
+    assert "SortMergeJoin FullOuter" in plan
+    assert _exchanges(plan) == 3, plan[:1200]
