@@ -1092,3 +1092,137 @@ def q_string_distance_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.startswith(F.col("p_type"), F.lit("ECONOMY")).alias("is_economy"),
         F.contains(F.col("p_name"), F.lit("blue")).alias("has_blue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Conditional aggregation surface (FILTER-style aggregates)
+# ---------------------------------------------------------------------------
+@register(
+    "conditional_agg_sampler",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
+                   AS n_fulfilled,
+               round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 2)
+                   AS open_revenue,
+               bool_or(o_totalprice > 300000.0) AS any_jumbo,
+               bool_and(o_totalprice > 0.0) AS all_positive,
+               CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_statuses
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    doc="conditional aggregates: count_if, filtered sum, bool_or/bool_and "
+    "(any/every), distinct count — the FILTER-clause surface in one "
+    "partial-aggregable pass",
+    tags=("advanced", "functions", "aggregate"),
+)
+def q_conditional_agg_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All five shapes stay partial-aggregable (one Exchange): a
+    conditional aggregate is just an aggregate of a projected CASE, so
+    the combiner effect is preserved — no second pass, no subquery per
+    condition. Money sum rounds 2dp per float policy; booleans and
+    counts are exact."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count_if(F.col("o_orderstatus") == "F").cast("bigint").alias("n_fulfilled"),
+        F.round(
+            F.sum(F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice"))), 2
+        ).alias("open_revenue"),
+        F.bool_or(F.col("o_totalprice") > 300000.0).alias("any_jumbo"),
+        F.bool_and(F.col("o_totalprice") > 0.0).alias("all_positive"),
+        F.count_distinct("o_orderstatus").cast("bigint").alias("n_statuses"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Regexp function surface
+# ---------------------------------------------------------------------------
+@register(
+    "regexp_sampler",
+    oracle=r"""
+        SELECT doc_id,
+               regexp_extract(text, '([a-z]+)', 1) AS first_word,
+               CAST(len(regexp_extract_all(text, '[a-z]+ing')) AS INTEGER)
+                   AS n_ing_words,
+               regexp_matches(text, 'customer|supplier') AS mentions_party,
+               regexp_replace(text, '[0-9]+', '#', 'g') AS digits_masked,
+               CAST(len(regexp_extract_all(text, '\b[a-z]{4}\b')) AS INTEGER)
+                   AS n_4letter
+        FROM documents
+    """,
+    doc="regexp surface: extract (group), extract_all count, match test, "
+    "global replace, word-boundary count — conservative patterns valid in "
+    "both Java regex and RE2",
+    tags=("advanced", "functions", "regexp"),
+)
+def q_regexp_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan-local, zero shuffle. Patterns deliberately avoid
+    lookaround/backreferences (Java-only) and stay in the common
+    Java/RE2 dialect; Spark regexp_replace is global by default where
+    DuckDB needs the explicit 'g' flag (float-policy doc, r1)."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        F.regexp_extract(t, r"([a-z]+)", 1).alias("first_word"),
+        F.size(F.regexp_extract_all(t, F.lit(r"[a-z]+ing"), F.lit(0))).alias(
+            "n_ing_words"
+        ),
+        t.rlike("customer|supplier").alias("mentions_party"),
+        F.regexp_replace(t, r"[0-9]+", "#").alias("digits_masked"),
+        F.size(F.regexp_extract_all(t, F.lit(r"\b[a-z]{4}\b"), F.lit(0))).alias(
+            "n_4letter"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Array set-operation surface (canonical-string render)
+# ---------------------------------------------------------------------------
+@register(
+    "array_setops_sampler",
+    oracle="""
+        SELECT doc_id,
+               coalesce(array_to_string(list_sort(list_distinct(
+                   regexp_split_to_array(trim(text), '[ \t\n\r\f]+')[1:6])), ','), '')
+                   AS head_vocab,
+               coalesce(array_to_string(list_sort(list_intersect(
+                   regexp_split_to_array(trim(text), '[ \t\n\r\f]+')[1:6],
+                   ['data', 'query', 'table', 'row', 'join'])), ','), '')
+                   AS head_keywords,
+               coalesce(array_to_string(list_sort(list_distinct(list_filter(
+                   regexp_split_to_array(trim(text), '[ \t\n\r\f]+')[1:6],
+                   x -> NOT list_contains(['data', 'query', 'table', 'row', 'join'], x)))), ','), '')
+                   AS head_rest,
+               list_contains(regexp_split_to_array(trim(text), '[ \t\n\r\f]+')[1:6],
+                             'spark') AS head_has_spark,
+               CAST(list_position(regexp_split_to_array(trim(text), '[ \t\n\r\f]+')[1:6],
+                             'spark') AS INTEGER) AS spark_pos
+        FROM documents
+    """,
+    doc="array set operations over the first 6 tokens: distinct, sort, "
+    "intersect, except (as filter), contains, position — rendered as "
+    "canonical sorted strings (flat-schema contract)",
+    tags=("advanced", "functions", "array"),
+)
+def q_array_setops_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's array_intersect/array_except preserve LEFT-argument
+    order while DuckDB's list_intersect does not guarantee one — every
+    set-valued result is array_sort'ed before rendering so the oracle
+    compares sets, not engine-internal orderings. Scan-local, no
+    shuffle. list_position/array_position agree on 1-based-with-0-miss."""
+    d = _t(spark, sf_dir, "documents")
+    head = F.slice(F.split(F.trim(F.col("text")), r"[ \t\n\r\f]+"), 1, 6)
+    kw = F.array(*[F.lit(w) for w in ("data", "query", "table", "row", "join")])
+    return d.select(
+        "doc_id",
+        F.array_join(F.array_sort(F.array_distinct(head)), ",").alias("head_vocab"),
+        F.array_join(F.array_sort(F.array_intersect(head, kw)), ",").alias(
+            "head_keywords"
+        ),
+        F.array_join(F.array_sort(F.array_except(head, kw)), ",").alias("head_rest"),
+        F.array_contains(head, "spark").alias("head_has_spark"),
+        F.coalesce(F.array_position(head, "spark"), F.lit(0)).cast("int").alias(
+            "spark_pos"
+        ),
+    )
