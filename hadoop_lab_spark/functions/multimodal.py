@@ -71,14 +71,26 @@ def extract_image_features(df: DataFrame, id_col: str = "doc_id", payload_col: s
         import pandas as pd
 
         for pdf in batches:
-            shas = [_hl.sha256(b).hexdigest() for b in pdf[payload_col]]
+            # None payload (e.g. NULL source column) → NULL features,
+            # matching SQL null propagation — a missing blob must not
+            # crash the batch (tests/test_adversarial_corpus.py).
+            shas = [
+                None if b is None else _hl.sha256(b).hexdigest()
+                for b in pdf[payload_col]
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
-                    "n_bytes": [len(b) for b in pdf[payload_col]],
-                    "sha_prefix": [s[:16] for s in shas],
-                    "width": [64 + int(s[0:2], 16) % 192 for s in shas],
-                    "height": [64 + int(s[2:4], 16) % 192 for s in shas],
+                    "n_bytes": [
+                        None if b is None else len(b) for b in pdf[payload_col]
+                    ],
+                    "sha_prefix": [None if s is None else s[:16] for s in shas],
+                    "width": [
+                        None if s is None else 64 + int(s[0:2], 16) % 192 for s in shas
+                    ],
+                    "height": [
+                        None if s is None else 64 + int(s[2:4], 16) % 192 for s in shas
+                    ],
                 }
             )
 
@@ -100,6 +112,8 @@ def sample_frames(df: DataFrame, id_col: str = "doc_id", payload_col: str = "pay
         for pdf in batches:
             ids, idxs, shas = [], [], []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:  # missing blob → zero frames, not a crash
+                    continue
                 n_frames = min(len(payload) // FRAME_BYTES, MAX_FRAMES)
                 for i in range(n_frames):
                     ids.append(doc_id)

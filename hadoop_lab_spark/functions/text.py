@@ -90,11 +90,14 @@ def stopword_ratio(text: Column | str, stops: tuple[str, ...] = QUALITY_STOPWORD
 
 
 def punct_ratio(text: Column | str) -> Column:
-    """Fraction of characters that are (ASCII) punctuation.
-    DuckDB twin: len(regexp_extract_all(x, pat)) / length(x)."""
+    """Fraction of characters that are (ASCII) punctuation, with a
+    guarded denominator: the empty string scores 0 instead of raising
+    DIVIDE_BY_ZERO under ANSI mode (one empty doc must not kill a
+    100 TB job — found by tests/test_adversarial_corpus.py).
+    DuckDB twin: len(regexp_extract_all(x, pat)) / greatest(length(x), 1)."""
     c = F.col(text) if isinstance(text, str) else text
     pat = r"[!-/:-@\[-`{-~]"
-    return F.regexp_count(c, F.lit(pat)) / F.length(c)
+    return F.regexp_count(c, F.lit(pat)) / F.greatest(F.length(c), F.lit(1))
 
 
 def mean_token_length(text: Column | str) -> Column:

@@ -1196,8 +1196,9 @@ def q_regexp_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS head_rest,
                list_contains(regexp_split_to_array(trim(text), '[ \t\n\r\f]+')[1:6],
                              'spark') AS head_has_spark,
-               CAST(list_position(regexp_split_to_array(trim(text), '[ \t\n\r\f]+')[1:6],
-                             'spark') AS INTEGER) AS spark_pos
+               coalesce(CAST(list_position(
+                   regexp_split_to_array(trim(text), '[ \t\n\r\f]+')[1:6],
+                   'spark') AS INTEGER), 0) AS spark_pos
         FROM documents
     """,
     doc="array set operations over the first 6 tokens: distinct, sort, "
@@ -1214,13 +1215,21 @@ def q_array_setops_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     head = F.slice(F.split(F.trim(F.col("text")), r"[ \t\n\r\f]+"), 1, 6)
     kw = F.array(*[F.lit(w) for w in ("data", "query", "table", "row", "join")])
+    # NULL-text policy (pinned by tests/test_adversarial_corpus.py):
+    # rendered strings coalesce to '' on BOTH engines (Spark array_join
+    # propagates NULL, DuckDB's empty-list array_to_string already needed
+    # the coalesce), position coalesces to 0, the boolean stays NULL.
     return d.select(
         "doc_id",
-        F.array_join(F.array_sort(F.array_distinct(head)), ",").alias("head_vocab"),
-        F.array_join(F.array_sort(F.array_intersect(head, kw)), ",").alias(
-            "head_keywords"
-        ),
-        F.array_join(F.array_sort(F.array_except(head, kw)), ",").alias("head_rest"),
+        F.coalesce(
+            F.array_join(F.array_sort(F.array_distinct(head)), ","), F.lit("")
+        ).alias("head_vocab"),
+        F.coalesce(
+            F.array_join(F.array_sort(F.array_intersect(head, kw)), ","), F.lit("")
+        ).alias("head_keywords"),
+        F.coalesce(
+            F.array_join(F.array_sort(F.array_except(head, kw)), ","), F.lit("")
+        ).alias("head_rest"),
         F.array_contains(head, "spark").alias("head_has_spark"),
         F.coalesce(F.array_position(head, "spark"), F.lit(0)).cast("int").alias(
             "spark_pos"

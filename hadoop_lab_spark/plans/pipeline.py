@@ -86,8 +86,8 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT doc_id,
                    {_TOKS} AS toks,
                    len({_TOKS}) AS n_tok,
-                   len(regexp_extract_all(text, '[!-/:-@\\[-`{{-~]')) / length(text)
-                       AS punct,
+                   len(regexp_extract_all(text, '[!-/:-@\\[-`{{-~]'))
+                       / greatest(length(text), 1) AS punct,
                    length(regexp_replace(text, '{X.WS_RE}', '', 'g')) AS non_space
             FROM documents
         )
@@ -131,7 +131,8 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                     WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
                     WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
                     WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
-                    ELSE 'fr' END AS lang_pred
+                    WHEN h_fr = greatest(h_de, h_en, h_es, h_fr) THEN 'fr'
+                    ELSE 'und' END AS lang_pred
         FROM h
     """,
     doc="language ID: CJK codepoint check + marker-stopword argmax heuristic",
@@ -717,6 +718,11 @@ def q_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM documents,
                  UNNEST(range(0, least(octet_length(encode(text)) // {M.FRAME_BYTES},
                                        {M.MAX_FRAMES}))) AS u(i)
+            -- NULL payload → zero frames (engine policy). Without the
+            -- guard DuckDB's least() IGNORES the NULL byte count
+            -- (Postgres semantics) and range(0, MAX_FRAMES) fabricates
+            -- frames for the missing blob.
+            WHERE text IS NOT NULL
         )
         SELECT doc_id, frame_idx,
                substring(sha256(substring(text,

@@ -1,0 +1,107 @@
+"""Adversarial-corpus differential: every documents-only query vs its
+oracle on pathological inputs the generated testdata never contains.
+
+The sf* corpora are well-behaved (non-null ASCII prose). This suite
+rebuilds `documents.parquet` with the hostile cases — NULL text, empty
+and whitespace-only strings, exact duplicates, CJK/emoji/combining
+marks, a 2000-char single token, tab/form-feed separators, a BOM — and
+re-runs the full Spark-vs-DuckDB differential on it. Any engine-pair
+divergence on edge semantics (null propagation through split/size,
+unicode length units, regex classes) surfaces here instead of in
+production on the one weird shard of a 100 TB corpus.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import duckdb
+
+from hadoop_lab_spark.plans.registry import REGISTRY, load_all_query_modules
+from hadoop_lab_spark.sources.tables import TABLES
+from hadoop_lab_spark.testing import assert_matches_oracle
+
+load_all_query_modules()
+
+_DOCS = [
+    (0, None, None, "null-text", None),
+    (1, "", "en", "empty", 0),
+    (2, "   \t  ", "en", "ws-only", 6),
+    (3, "a", "en", "single-char", 1),
+    (4, "the the the the the the", "en", "repeated", 23),
+    (5, "火车站 在 哪里", "zh", "cjk", 8),
+    (6, "café olé \U0001f600 ok", "en", "unicode-combining", 11),
+    (7, "x" * 2000, "en", "long-token", 2000),
+    (8, "identical twin document body", "en", "dup-a", 28),
+    (9, "identical twin document body", "en", "dup-b", 28),
+    (10, "alpha\tbeta\x0cgamma\rdelta", "en", "exotic-ws", 22),
+    (11, "Contact john.doe@example.com or call 555-123-4567 now", "en", "pii", 54),
+    (12, "﻿bom prefixed text", "en", "bom", 19),
+    (13, "data query table row join spark", "en", "keywords", 31),
+]
+
+
+@pytest.fixture(scope="module")
+def adversarial_sf_dir(tmp_path_factory):
+    """A fake sf dir holding ONLY the adversarial documents table (the
+    selected queries reference no other table)."""
+    d = tmp_path_factory.mktemp("advcorpus")
+    table = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in _DOCS], pa.int64()),
+            "text": pa.array([r[1] for r in _DOCS], pa.string()),
+            "lang": pa.array([r[2] for r in _DOCS], pa.string()),
+            "source": pa.array([r[3] for r in _DOCS], pa.string()),
+            "n_chars": pa.array([r[4] for r in _DOCS], pa.int64()),
+        }
+    )
+    pq.write_table(table, os.path.join(str(d), "documents.parquet"))
+    return str(d)
+
+
+def _documents_only_queries() -> list[str]:
+    """Registry queries whose oracle reads documents and nothing else."""
+    others = [t for t in TABLES if t != "documents"]
+    picked = []
+    for name, spec in REGISTRY.items():
+        if not spec.oracle or "streaming" in spec.tags:
+            continue
+        sql = spec.oracle.lower()
+        if not re.search(r"\bdocuments\b", sql):
+            continue
+        if any(re.search(rf"\b{t}\b", sql) for t in others):
+            continue
+        picked.append(name)
+    return sorted(picked)
+
+
+QUERIES = _documents_only_queries()
+
+
+def test_selection_is_substantial():
+    """The sweep must keep covering the text/dedup family — if a refactor
+    renames tables and this list collapses, fail loudly."""
+    assert len(QUERIES) >= 12, QUERIES
+    assert "dedup_exact" in QUERIES and "text_stats" in QUERIES
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_adversarial_matches_oracle(spark, adversarial_sf_dir, name):
+    # Only the documents view exists — the helper duckdb_connection
+    # registers all ten tables and would fail on the missing files.
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM read_parquet("
+            f"'{os.path.join(adversarial_sf_dir, 'documents.parquet')}')"
+        )
+        spec = REGISTRY[name]
+        df = spec.fn(spark, adversarial_sf_dir)
+        assert_matches_oracle(df, con, spec.oracle, name=f"adversarial:{name}")
+    finally:
+        con.close()
