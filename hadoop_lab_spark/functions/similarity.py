@@ -40,11 +40,20 @@ def cosine(a: Column, b: Column, decimals: int = 6) -> Column:
 
     Truncation (floor(x·10^d)/10^d), not round(): round()'s half-way
     case differs between engines, floor of a bit-identical double never
-    does (see functions/text.py::trunc).
+    does (see functions/text.py::trunc, including its ≥2⁵³ magnitude
+    guard, which this shares).
+
+    Zero-norm policy: cosine is UNDEFINED for a zero vector — the
+    denominator is nullif-guarded so the score is NULL (sorted last in
+    any top-k) instead of an ANSI DIVIDE_BY_ZERO that kills the job on
+    one degenerate embedding. Oracle twin: nullif(denominator, 0).
+    Found by tests/test_adversarial_corpus.py.
     """
     scale = 10**decimals
-    raw = _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
-    return F.floor(raw * scale) / scale
+    denom = F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b))
+    raw = _dot(a, b) / F.nullif(denom, F.lit(0.0))
+    y = raw * scale
+    return F.when(F.abs(y) < F.lit(float(2**53)), F.floor(y)).otherwise(y) / scale
 
 
 def cosine_topk(
@@ -130,7 +139,12 @@ def lsh_signature(vec_col: Column, planes: int = LSH_PLANES, max_dim: int = 64) 
         )
         return F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0"))
 
-    guard = F.size(vec_col) <= max_dim
+    # NULL-vector rows must not trip the width guard (size(NULL) is NULL,
+    # and when(NULL, …) falls into the raise branch — found by
+    # tests/test_adversarial_corpus.py). They get the all-'0' signature
+    # both here (NULL proj comparison → otherwise-'0') and in the SQL
+    # oracle's CASE, and their cosine is NULL downstream.
+    guard = F.coalesce(F.size(vec_col) <= max_dim, F.lit(True))
     sig = F.concat(*[bit(p) for p in range(planes)])
     return F.when(guard, sig).otherwise(
         F.raise_error(

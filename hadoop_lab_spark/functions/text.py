@@ -57,9 +57,18 @@ def trunc(c: Column, decimals: int = 6) -> Column:
     decimal repr HALF_UP, DuckDB rounds the binary value), so an exact
     .xxxxxx5 flips between them. floor of a bit-identical double is
     bit-identical everywhere. Oracle twin: floor(x * 1e6) / 1e6.
+
+    Magnitude guard (found by tests/test_adversarial_corpus.py): Spark's
+    FLOOR(double) returns BIGINT and SATURATES at ±2⁶³ (DuckDB's stays
+    double), so a 1e29-magnitude value silently truncated to 9.2e12.
+    Doubles at |x·10^d| ≥ 2⁵³ are already integral — floor is the
+    identity there — so the guard branches to the identity, which also
+    passes ±inf and NaN through instead of dying in the long cast.
+    DuckDB's double floor behaves identically by construction.
     """
     scale = 10**decimals
-    return F.floor(c * scale) / scale
+    y = c * scale
+    return F.when(F.abs(y) < F.lit(float(2**53)), F.floor(y)).otherwise(y) / scale
 
 
 def tokens(text: Column | str) -> Column:

@@ -43,8 +43,11 @@ def coo_matmul(
     right = b.select(F.col("i").alias("k"), F.col("j"), F.col("value").alias("b_v"))
     if broadcast_b:
         right = F.broadcast(right)
+    # Products accumulate in BIGINT: INT cells up to ±1e8 overflow an
+    # INT32 multiply under ANSI mode (tests/test_adversarial_corpus.py);
+    # the oracle twin casts the same operand.
     return (
         left.join(right, "k")
         .groupBy("i", "j")
-        .agg(F.sum(F.col("a_v") * F.col("b_v")).alias(out))
+        .agg(F.sum(F.col("a_v").cast("long") * F.col("b_v")).alias(out))
     )

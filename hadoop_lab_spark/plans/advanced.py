@@ -841,21 +841,29 @@ def q_stats_aggregate_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "array_lambda_sampler",
     oracle="""
+        -- NULL-list guards: DuckDB's list_reduce ERRORS on a NULL/empty
+        -- input where Spark's aggregate() returns NULL (adversarial
+        -- corpus finding); floor() here is DuckDB's double floor, which
+        -- passes ±inf through like the Spark side's magnitude-guarded
+        -- trunc.
         SELECT vec_id,
                CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_pos,
-               CAST(list_reduce(list_transform(embedding,
-                        x -> CASE WHEN x > 0 THEN 1 ELSE 0 END),
-                        (a, b) -> a + b) AS INTEGER) AS n_pos_fold,
+               CASE WHEN embedding IS NULL THEN NULL ELSE
+                   CAST(list_reduce(list_transform(embedding,
+                            x -> CASE WHEN x > 0 THEN 1 ELSE 0 END),
+                            (a, b) -> a + b) AS INTEGER) END AS n_pos_fold,
                array_to_string(list_transform(embedding[1:4],
                    x -> CAST(floor(least(greatest(CAST(x AS DOUBLE), -0.1), 0.1)
                              * 1000000) AS BIGINT)), ',') AS clipped4,
-               floor(sqrt(list_reduce(list_transform(embedding,
-                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
-                   (a, b) -> a + b)) * 1000000) / 1000000 AS l2_norm,
-               floor(list_reduce(list_transform(
-                       list_zip(embedding, list_reverse(embedding)),
-                       p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
-                   (a, b) -> a + b) * 1000000) / 1000000 AS rev_dot
+               CASE WHEN embedding IS NULL THEN NULL ELSE
+                   floor(sqrt(list_reduce(list_transform(embedding,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                       (a, b) -> a + b)) * 1000000) / 1000000 END AS l2_norm,
+               CASE WHEN embedding IS NULL THEN NULL ELSE
+                   floor(list_reduce(list_transform(
+                           list_zip(embedding, list_reverse(embedding)),
+                           p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+                       (a, b) -> a + b) * 1000000) / 1000000 END AS rev_dot
         FROM embeddings
     """,
     doc="higher-order array functions: filter, transform, left-fold "
@@ -873,11 +881,10 @@ def q_array_lambda_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
     one red row of round 2), and integer rendering is engine-independent
     where float-to-string formatting is not."""
     emb = _t(spark, sf_dir, "embeddings")
+    from hadoop_lab_spark.functions.text import trunc as t6  # magnitude-guarded
+
     x2d = lambda x: x.cast("double")  # noqa: E731
     e = F.col("embedding")
-
-    def t6(c):
-        return F.floor(c * 1_000_000) / 1_000_000
 
     return emb.select(
         "vec_id",

@@ -137,10 +137,15 @@ def q_grades_collect_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # lab5 — MatrixMultiplication (`lab5/MatrixMultiplication.sh:61-159`)
 # ---------------------------------------------------------------------------
+# Cells are CLAMPED to ±1e6 before quantization: embeddings are
+# unit-scale by contract, but a degenerate 1e30 value must quantize to a
+# deterministic clamp on both engines, not saturate Spark's BIGINT floor
+# / overflow DuckDB's INT cast (tests/test_adversarial_corpus.py).
 _MATMUL_CELLS_SQL = """
     SELECT vec_id,
            unnest(range(0, len(embedding))) AS pos,
-           CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 100) AS INTEGER) AS cell
+           CAST(floor(least(greatest(CAST(unnest(embedding) AS DOUBLE),
+                                     -1000000.0), 1000000.0) * 100) AS INTEGER) AS cell
     FROM embeddings
 """
 
@@ -152,7 +157,8 @@ _MATMUL_CELLS_SQL = """
         a AS (SELECT vec_id AS i, pos AS k, cell AS v FROM cells WHERE vec_id < 8),
         b AS (SELECT pos AS k, vec_id - 8 AS j, cell AS v FROM cells
               WHERE vec_id >= 8 AND vec_id < 16)
-        SELECT a.i AS i, b.j AS j, CAST(sum(a.v * b.v) AS BIGINT) AS value
+        SELECT a.i AS i, b.j AS j,
+               CAST(sum(CAST(a.v AS BIGINT) * b.v) AS BIGINT) AS value
         FROM a JOIN b ON a.k = b.k
         GROUP BY a.i, b.j
     """,
@@ -174,7 +180,16 @@ def q_matmul_coo(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "vec_id",
         "pos",
-        F.floor(F.col("val").cast("double") * 100).cast("int").alias("cell"),
+        # clamp ±1e6 pre-quantize — see _MATMUL_CELLS_SQL comment
+        F.floor(
+            F.least(
+                F.greatest(F.col("val").cast("double"), F.lit(-1_000_000.0)),
+                F.lit(1_000_000.0),
+            )
+            * 100
+        )
+        .cast("int")
+        .alias("cell"),
     )
     a = cells.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("i"), F.col("pos").alias("j"), F.col("cell").alias("value")

@@ -446,9 +446,11 @@ def _dot_sql(a: str, b: str) -> str:
     return _DOT.format(a=a, b=b)
 
 
+# nullif denominator: cosine of a zero vector is NULL (engine policy,
+# matching functions/similarity.py::cosine), never a division error.
 _COS_SQL = (
     f"(floor(({_dot_sql('qv', 'cv')} / "
-    f"(sqrt({_dot_sql('qv', 'qv')}) * sqrt({_dot_sql('cv', 'cv')})))"
+    f"nullif(sqrt({_dot_sql('qv', 'qv')}) * sqrt({_dot_sql('cv', 'cv')}), 0))"
     " * 1000000) / 1000000)"
 )
 
@@ -612,9 +614,10 @@ _IVF_NPROBE = 2
 
 
 def _cos_sql(a: str, b: str) -> str:
+    # nullif: zero-vector cosine is NULL by engine policy (see _COS_SQL).
     return (
         f"(floor((({_dot_sql(a, b)}) / "
-        f"(sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)}))) * 1000000) / 1000000)"
+        f"nullif(sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)}), 0)) * 1000000) / 1000000)"
     )
 
 

@@ -90,6 +90,81 @@ def test_selection_is_substantial():
     assert "dedup_exact" in QUERIES and "text_stats" in QUERIES
 
 
+# --- hostile embeddings: zero vector, NULL, huge/tiny magnitudes, dups ---
+
+_DIM = 64
+
+
+def _vec(seed: int) -> list[float]:
+    return [(((seed * 31 + i * 7) % 13) - 6) / 10.0 for i in range(_DIM)]
+
+
+_EMBS: list[tuple[int, list[float] | None, int]] = [
+    (0, [0.0] * _DIM, 0),  # zero vector AS A QUERY (cosine = 0/0 = NaN)
+    (1, _vec(1), 1),
+    (2, [1e30] * _DIM, 2),  # dot overflows to +inf
+    (3, [1e-30] * _DIM, 3),  # norm underflows toward 0
+    (4, None, 0),  # NULL embedding
+    (5, _vec(5), 1),
+    (6, _vec(5), 2),  # exact duplicate of 5 (cosine 1.0 pair)
+    (7, [-x for x in _vec(1)], 3),  # antipode of 1 (cosine -1.0)
+] + [(i, _vec(i), i % 4) for i in range(8, 16)]
+
+
+@pytest.fixture(scope="module")
+def adversarial_emb_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("advembs")
+    table = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in _EMBS], pa.int64()),
+            "embedding": pa.array(
+                [r[1] for r in _EMBS], pa.list_(pa.float32())
+            ),
+            "label": pa.array([r[2] for r in _EMBS], pa.int32()),
+        }
+    )
+    pq.write_table(table, os.path.join(str(d), "embeddings.parquet"))
+    return str(d)
+
+
+def _embeddings_only_queries() -> list[str]:
+    others = [t for t in TABLES if t != "embeddings"]
+    picked = []
+    for name, spec in REGISTRY.items():
+        if not spec.oracle or "streaming" in spec.tags:
+            continue
+        sql = spec.oracle.lower()
+        if not re.search(r"\bembeddings\b", sql):
+            continue
+        if any(re.search(rf"\b{t}\b", sql) for t in others):
+            continue
+        picked.append(name)
+    return sorted(picked)
+
+
+EMB_QUERIES = _embeddings_only_queries()
+
+
+def test_embedding_selection_is_substantial():
+    assert len(EMB_QUERIES) >= 5, EMB_QUERIES
+    assert "sim_topk_bruteforce" in EMB_QUERIES
+
+
+@pytest.mark.parametrize("name", EMB_QUERIES)
+def test_adversarial_embeddings_match_oracle(spark, adversarial_emb_dir, name):
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM read_parquet("
+            f"'{os.path.join(adversarial_emb_dir, 'embeddings.parquet')}')"
+        )
+        spec = REGISTRY[name]
+        df = spec.fn(spark, adversarial_emb_dir)
+        assert_matches_oracle(df, con, spec.oracle, name=f"adversarial-emb:{name}")
+    finally:
+        con.close()
+
+
 @pytest.mark.parametrize("name", QUERIES)
 def test_adversarial_matches_oracle(spark, adversarial_sf_dir, name):
     # Only the documents view exists — the helper duckdb_connection
