@@ -1242,3 +1242,41 @@ def q_array_setops_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
             "spark_pos"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact percentiles / median (interpolated, cross-engine bit-exact)
+# ---------------------------------------------------------------------------
+@register(
+    "exact_percentiles_per_priority",
+    oracle="""
+        SELECT o_orderpriority,
+               median(o_totalprice) AS med_price,
+               quantile_cont(o_totalprice, 0.25) AS q1_price,
+               quantile_cont(o_totalprice, 0.75) AS q3_price,
+               quantile_cont(o_totalprice, 0.75)
+                   - quantile_cont(o_totalprice, 0.25) AS iqr_price
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    doc="exact interpolated percentiles (median/Q1/Q3/IQR) per group — "
+    "complements the approx_percentile accuracy-contract query with the "
+    "exact path",
+    tags=("advanced", "aggregate", "percentile"),
+)
+def q_exact_percentiles_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both engines use the same linear interpolation ((1-f)·a + f·b on
+    the two adjacent order statistics), verified bit-exact on the
+    fixture — no rounding policy needed. Exact percentiles sort each
+    group; at 100 TB prefer approx_percentile (one-pass sketch) unless
+    exactness is contractual — that trade is exactly why both queries
+    exist."""
+    o = _t(spark, sf_dir, "orders")
+    q1 = F.percentile("o_totalprice", F.lit(0.25))
+    q3 = F.percentile("o_totalprice", F.lit(0.75))
+    return o.groupBy("o_orderpriority").agg(
+        F.median("o_totalprice").alias("med_price"),
+        q1.alias("q1_price"),
+        q3.alias("q3_price"),
+        (q3 - q1).alias("iqr_price"),
+    )
