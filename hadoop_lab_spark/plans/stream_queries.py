@@ -19,6 +19,7 @@ import itertools
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from hadoop_lab_spark.plans.mlprep import CHUNK_STRIDE, CHUNK_WINDOW
 from hadoop_lab_spark.plans.registry import register
 from hadoop_lab_spark.session import tune_session
 from hadoop_lab_spark.streaming.jobs import (
@@ -267,3 +268,52 @@ def q_stream_foreachbatch_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cnt").cast("bigint").alias("cnt"),
         F.round(F.sum("sum_value"), 2).alias("sum_value"),
     )
+
+
+@register(
+    "stream_chunk_documents",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(off // {CHUNK_STRIDE} AS INTEGER) AS chunk_idx,
+               substring(text, CAST(off + 1 AS INT), {CHUNK_WINDOW}) AS chunk_text,
+               CAST(length(substring(text, CAST(off + 1 AS INT), {CHUNK_WINDOW}))
+                    AS INTEGER) AS chunk_len
+        FROM documents,
+             unnest(generate_series(0, CAST(n_chars - 1 AS BIGINT), {CHUNK_STRIDE}))
+                 AS t(off)
+        WHERE n_chars > 0
+    """,
+    doc="STATELESS streaming transform: the mlprep chunking pipeline applied "
+    "to a document stream (append mode, no watermark/state needed) — the "
+    "streaming-ingest shape of RAG/embedding prep; must equal the batch "
+    "chunker exactly",
+    tags=("streaming", "mlprep", "chunking"),
+    bench=False,
+)
+def q_stream_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A per-row Generate is trivially streamable (no state, no
+    watermark, append mode): each micro-batch chunks only its own files.
+    At scale this runs on the landing zone as documents arrive, with the
+    SAME code the batch query uses — the point of sharing the logical
+    plan between the two."""
+    from hadoop_lab_spark.streaming.jobs import _DOCUMENTS_SCHEMA, _read_stream_table
+
+    tune_session(spark)
+    docs = _read_stream_table(spark, sf_dir, "documents", _DOCUMENTS_SCHEMA).filter(
+        F.col("n_chars") > 0
+    )
+    offs = F.sequence(
+        F.lit(0),
+        F.greatest(F.col("n_chars") - 1, F.lit(0)).cast("bigint"),
+        F.lit(CHUNK_STRIDE).cast("bigint"),
+    )
+    chunk = F.substring(F.col("text"), F.col("off").cast("int") + 1, CHUNK_WINDOW)
+    stream = docs.select(
+        "doc_id", "text", F.posexplode(offs).alias("chunk_idx", "off")
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        chunk.alias("chunk_text"),
+        F.length(chunk).alias("chunk_len"),
+    )
+    return _replay(spark, stream, "mem_chunks", "append")
