@@ -780,21 +780,39 @@ def q_daily_revenue_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stats_aggregate_sampler",
     oracle="""
+        -- corr/slope/intercept are built from covar/stddev/regr_s**
+        -- primitives with nullif-guarded denominators ON BOTH ENGINES:
+        -- the built-in corr()/regr_slope() raise DIVIDE_BY_ZERO under
+        -- Spark ANSI when a group has zero variance (one constant-value
+        -- group must not kill the job — adversarial-corpus finding), and
+        -- sharing the exact formula also removes corr-vs-corr
+        -- accumulation skew.
+        -- round(,6), NOT floor-truncation, for moment statistics: on
+        -- small-integer groups the true values are exact short decimals
+        -- (15.5, 5.25) that each engine's accumulation may land 1 ulp
+        -- BELOW - floor then flips the last digit on one engine only.
+        -- round() snaps both to the decimal; moment stats cannot land on
+        -- a 6dp half-boundary the way cent-arithmetic can, so round's
+        -- half-case hazard does not apply here (adversarial finding).
         SELECT event_type,
-               floor(corr(value, CAST(user_id AS DOUBLE)) * 1000000)
-                   / 1000000 AS corr_vu,
-               floor(covar_pop(value, CAST(user_id AS DOUBLE)) * 1000000)
-                   / 1000000 AS covar_vu,
-               floor(covar_samp(value, CAST(user_id AS DOUBLE)) * 1000000)
-                   / 1000000 AS covars_vu,
-               floor(stddev_pop(value) * 1000000) / 1000000 AS sd_pop,
-               floor(stddev_samp(value) * 1000000) / 1000000 AS sd_samp,
-               floor(var_pop(value) * 1000000) / 1000000 AS var_pop_,
-               floor(var_samp(value) * 1000000) / 1000000 AS var_samp_,
-               floor(regr_slope(value, CAST(user_id AS DOUBLE)) * 1000000)
-                   / 1000000 AS slope,
-               floor(regr_intercept(value, CAST(user_id AS DOUBLE)) * 1000000)
-                   / 1000000 AS intercept,
+               round(covar_samp(value, CAST(user_id AS DOUBLE))
+                     / nullif(stddev_samp(value)
+                              * stddev_samp(CAST(user_id AS DOUBLE)), 0), 6)
+                   AS corr_vu,
+               round(covar_pop(value, CAST(user_id AS DOUBLE)), 6) AS covar_vu,
+               round(covar_samp(value, CAST(user_id AS DOUBLE)), 6) AS covars_vu,
+               round(stddev_pop(value), 6) AS sd_pop,
+               round(stddev_samp(value), 6) AS sd_samp,
+               round(var_pop(value), 6) AS var_pop_,
+               round(var_samp(value), 6) AS var_samp_,
+               round(regr_sxy(value, CAST(user_id AS DOUBLE))
+                     / nullif(regr_sxx(value, CAST(user_id AS DOUBLE)), 0), 6)
+                   AS slope,
+               round(regr_avgy(value, CAST(user_id AS DOUBLE))
+                     - (regr_sxy(value, CAST(user_id AS DOUBLE))
+                        / nullif(regr_sxx(value, CAST(user_id AS DOUBLE)), 0))
+                       * regr_avgx(value, CAST(user_id AS DOUBLE)), 6)
+                   AS intercept,
                CAST(regr_count(value, CAST(user_id AS DOUBLE)) AS BIGINT)
                    AS n_pairs
         FROM events
@@ -818,19 +836,27 @@ def q_stats_aggregate_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = F.col("user_id").cast("double")
     v = F.col("value")
 
-    def t6(c):
-        return F.floor(c * 1_000_000) / 1_000_000
+    def t6(c):  # round, not floor — see the oracle SQL comment
+        return F.round(c, 6)
 
+    # corr/slope/intercept via nullif-guarded primitive formulas shared
+    # with the oracle — the built-ins raise DIVIDE_BY_ZERO under ANSI on
+    # a zero-variance group (see the oracle SQL comment).
+    corr_vu = F.covar_samp(v, u) / F.nullif(
+        F.stddev_samp(v) * F.stddev_samp(u), F.lit(0.0)
+    )
+    slope = F.regr_sxy(v, u) / F.nullif(F.regr_sxx(v, u), F.lit(0.0))
+    intercept = F.regr_avgy(v, u) - slope * F.regr_avgx(v, u)
     return e.groupBy("event_type").agg(
-        t6(F.corr(v, u)).alias("corr_vu"),
+        t6(corr_vu).alias("corr_vu"),
         t6(F.covar_pop(v, u)).alias("covar_vu"),
         t6(F.covar_samp(v, u)).alias("covars_vu"),
         t6(F.stddev_pop(v)).alias("sd_pop"),
         t6(F.stddev_samp(v)).alias("sd_samp"),
         t6(F.var_pop(v)).alias("var_pop_"),
         t6(F.var_samp(v)).alias("var_samp_"),
-        t6(F.regr_slope(v, u)).alias("slope"),
-        t6(F.regr_intercept(v, u)).alias("intercept"),
+        t6(slope).alias("slope"),
+        t6(intercept).alias("intercept"),
         F.regr_count(v, u).cast("long").alias("n_pairs"),
     )
 

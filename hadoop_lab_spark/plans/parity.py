@@ -322,12 +322,17 @@ def q_collect_types_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
                        PARTITION BY CAST(ts AS DATE)
                        ORDER BY value DESC, event_type ASC
                    ) AS rn
-            FROM events
+            -- NULL measures cannot win an argmax (engine policy): Spark's
+            -- min-of-struct sorts NULL first (it would WIN) while this
+            -- window's DESC NULLS LAST puts it last — filter on both
+            -- sides instead of relying on either engine's NULL order.
+            FROM events WHERE value IS NOT NULL
         )
         WHERE rn = 1
     """,
     doc="lab11 parity: per-day argmax (event_type with the highest value); "
-    "ties broken on the smallest witness (SURVEY §2.10.7)",
+    "ties broken on the smallest witness (SURVEY §2.10.7); NULL measures "
+    "excluded by policy",
     tags=("parity", "lab11", "aggregate", "argmax"),
 )
 def q_argmax_type_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -335,5 +340,7 @@ def q_argmax_type_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort; the reference needs a full reducer with a running max
     (`lab11:94-112`)."""
     events = _t(spark, sf_dir, "events")
-    rows = events.select(F.to_date("ts").alias("day"), "value", "event_type")
+    rows = events.select(F.to_date("ts").alias("day"), "value", "event_type").filter(
+        F.col("value").isNotNull()  # NULL measures excluded — see oracle
+    )
     return argmax_per_group(rows, "day", "value", "event_type")

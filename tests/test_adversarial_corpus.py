@@ -90,6 +90,92 @@ def test_selection_is_substantial():
     assert "dedup_exact" in QUERIES and "text_stats" in QUERIES
 
 
+# --- hostile events: NULL keys, equal-ts ties, session-gap boundaries ---
+
+_TS0 = 1_704_067_200_000_000_000  # 2024-01-01T00:00:00Z in ns
+
+
+def _ts(seconds: int) -> int:
+    return _TS0 + seconds * 1_000_000_000
+
+
+_EVENTS: list[tuple] = [
+    # (event_id, ts_ns, user_id, event_type, value, props)
+    (0, _ts(0), 1, "signup", 1.0, '{"k": 1}'),
+    (1, _ts(0), 1, "purchase", 2.0, '{"k": 2}'),  # purchase ts == signup ts (as-of tie)
+    (2, _ts(10), 1, "purchase", 3.0, '{"k": 3}'),
+    (3, _ts(10), 1, "purchase", 4.0, '{"k": 4}'),  # duplicate (user, ts) purchases
+    (4, _ts(20), None, "click", 5.0, '{"k": 5}'),  # NULL user_id
+    (5, _ts(30), 2, None, 6.0, '{"k": 6}'),  # NULL event_type
+    (6, _ts(40), 2, "view", None, '{"k": 7}'),  # NULL value
+    (7, _ts(50), 2, "view", 8.0, None),  # NULL props
+    (8, _ts(1800), 2, "click", 9.0, '{"k": 9}'),  # exactly at a 30-min session gap
+    (9, _ts(86400 * 400), 3, "purchase", 10.0, '{"k": 10}'),  # far-future day
+    (10, _ts(60), 3, "signup", 11.0, '{"k": 11}'),
+    (11, _ts(60), 3, "signup", 12.0, '{"k": 12}'),  # duplicate signup ts (as-of argmax)
+    (12, _ts(70), 3, "purchase", 13.0, '{"k": 13}'),
+    (13, _ts(80), 4, "error", 0.0, '{"k": 0}'),
+    (14, _ts(90), 4, "error", 0.0, '{"k": 0}'),  # count tie error-vs-view per day
+    (15, _ts(100), 4, "view", 0.5, '{"k": 1}'),
+    (16, _ts(110), 4, "view", 0.5, '{"k": 1}'),
+]
+
+
+@pytest.fixture(scope="module")
+def adversarial_events_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("advevents")
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in _EVENTS], pa.int64()),
+            "ts": pa.array([r[1] for r in _EVENTS], pa.timestamp("ns")),
+            "user_id": pa.array([r[2] for r in _EVENTS], pa.int64()),
+            "event_type": pa.array([r[3] for r in _EVENTS], pa.string()),
+            "value": pa.array([r[4] for r in _EVENTS], pa.float64()),
+            "props": pa.array([r[5] for r in _EVENTS], pa.string()),
+        }
+    )
+    pq.write_table(table, os.path.join(str(d), "events.parquet"))
+    return str(d)
+
+
+def _events_only_queries() -> list[str]:
+    others = [t for t in TABLES if t != "events"]
+    picked = []
+    for name, spec in REGISTRY.items():
+        if not spec.oracle or "streaming" in spec.tags:
+            continue
+        sql = spec.oracle.lower()
+        if not re.search(r"\bevents\b", sql):
+            continue
+        if any(re.search(rf"\b{t}\b", sql) for t in others):
+            continue
+        picked.append(name)
+    return sorted(picked)
+
+
+EVENT_QUERIES = _events_only_queries()
+
+
+def test_event_selection_is_substantial():
+    assert len(EVENT_QUERIES) >= 6, EVENT_QUERIES
+    assert "asof_purchase_last_signup" in EVENT_QUERIES
+
+
+@pytest.mark.parametrize("name", EVENT_QUERIES)
+def test_adversarial_events_match_oracle(spark, adversarial_events_dir, name):
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM read_parquet("
+            f"'{os.path.join(adversarial_events_dir, 'events.parquet')}')"
+        )
+        spec = REGISTRY[name]
+        df = spec.fn(spark, adversarial_events_dir)
+        assert_matches_oracle(df, con, spec.oracle, name=f"adversarial-ev:{name}")
+    finally:
+        con.close()
+
+
 # --- hostile embeddings: zero vector, NULL, huge/tiny magnitudes, dups ---
 
 _DIM = 64
