@@ -147,7 +147,7 @@ def q_salted_collect_types_per_user(spark: SparkSession, sf_dir: str) -> DataFra
                abs(o_totalprice - 100000.0) AS abs_dev,
                floor(o_totalprice) AS price_floor,
                ceil(o_totalprice) AS price_ceil,
-               sqrt(o_totalprice) AS price_sqrt,
+               sqrt(greatest(o_totalprice, 0)) AS price_sqrt,
                CAST(o_orderkey % 97 AS BIGINT) AS key_mod,
                CAST(sign(o_totalprice - 150000.0) AS DOUBLE) AS price_sign,
                upper(o_orderpriority) AS prio_upper,
@@ -155,7 +155,10 @@ def q_salted_collect_types_per_user(spark: SparkSession, sf_dir: str) -> DataFra
                length(o_orderpriority) AS prio_len,
                substring(o_orderpriority, 1, 1) AS prio_head,
                replace(o_orderpriority, '-', '_') AS prio_repl,
-               concat(o_orderstatus, '#', o_orderpriority) AS tag,
+               -- || not concat(): DuckDB's concat() SKIPS null arguments
+               -- where Spark's concat propagates NULL; || propagates on
+               -- both engines (adversarial-corpus finding)
+               (o_orderstatus || '#' || o_orderpriority) AS tag,
                lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS key_pad,
                reverse(o_orderstatus) AS status_rev
         FROM orders
@@ -183,7 +186,7 @@ def q_scalar_function_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(F.col("o_totalprice") - 100000.0).alias("abs_dev"),
         F.floor("o_totalprice").cast("double").alias("price_floor"),
         F.ceil("o_totalprice").cast("double").alias("price_ceil"),
-        F.sqrt("o_totalprice").alias("price_sqrt"),
+        F.sqrt(F.greatest(F.col("o_totalprice"), F.lit(0.0))).alias("price_sqrt"),
         (F.col("o_orderkey") % 97).alias("key_mod"),
         F.signum(F.col("o_totalprice") - 150000.0).alias("price_sign"),
         F.upper("o_orderpriority").alias("prio_upper"),
@@ -1035,11 +1038,21 @@ def q_from_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "map_function_sampler",
     oracle="""
+        -- concat_ws mirrors Spark's array_join NULL policy (both SKIP
+        -- null elements): an entry whose VALUE is NULL drops out of the
+        -- rendered string on both engines instead of nulling the whole
+        -- render ('x' || NULL would) — adversarial-corpus finding.
         SELECT o_orderkey,
-               'prio=' || o_orderpriority AS kept_entries,
+               concat_ws(',',
+                   CASE WHEN length(o_orderpriority) > 1
+                        THEN 'prio=' || o_orderpriority END,
+                   CASE WHEN length(o_orderstatus) > 1
+                        THEN 'status=' || o_orderstatus END) AS kept_entries,
                o_orderpriority AS prio_lookup,
-               'cust=' || CAST(o_custkey AS VARCHAR) || ',prio=' || o_orderpriority
-                   || ',status=' || o_orderstatus AS merged_entries,
+               concat_ws(',',
+                   'cust=' || CAST(o_custkey AS VARCHAR),
+                   'prio=' || o_orderpriority,
+                   'status=' || o_orderstatus) AS merged_entries,
                CAST(3 AS INTEGER) AS merged_size,
                'cust,prio,status' AS merged_keys
         FROM orders

@@ -257,10 +257,16 @@ def q_snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("o_totalprice"))
         .alias("o_totalprice"),
     )
+    # Presence is detected via constant marker flags, NOT the price
+    # column: a row that EXISTS with a NULL price must classify as
+    # unchanged/changed, never as added/removed (adversarial finding —
+    # the oracle keys presence on the join key for the same reason).
+    v1 = v1.withColumn("_in_a", F.lit(True))
+    v2 = v2.withColumn("_in_b", F.lit(True))
     j = v1.alias("a").join(v2.alias("b"), "o_orderkey", "full_outer")
     change = (
-        F.when(F.col("a.o_totalprice").isNull(), "added")
-        .when(F.col("b.o_totalprice").isNull(), "removed")
+        F.when(F.col("a._in_a").isNull(), "added")
+        .when(F.col("b._in_b").isNull(), "removed")
         .when(F.col("a.o_totalprice") != F.col("b.o_totalprice"), "changed")
         .otherwise("unchanged")
     )

@@ -183,7 +183,14 @@ def q_top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "cumulative_monthly_revenue",
     oracle="""
-        SELECT month, round(sum(monthly) OVER (ORDER BY month), 2) AS cum_revenue
+        -- explicit ROWS frame (the Spark side uses rowsBetween): DuckDB's
+        -- DEFAULT frame is RANGE, whose NULL peer group swallows the
+        -- whole partition for the NULL-month row — with unique months
+        -- ROWS and RANGE are otherwise identical (adversarial finding)
+        SELECT month, round(sum(monthly) OVER (
+                   ORDER BY month NULLS FIRST
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+            AS cum_revenue
         FROM (
             -- CAST: duckdb's date_trunc('month') yields DATE; Spark yields TIMESTAMP
             SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
@@ -558,8 +565,12 @@ def q_event_value_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
     "moving_weekly_revenue",
     oracle="""
         SELECT day,
+               -- NULLS FIRST explicitly: Spark windows default to it,
+               -- DuckDB defaults to NULLS LAST — an undated row must
+               -- occupy the same frame position on both engines
                round(sum(rev) OVER (
-                   ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2)
+                   ORDER BY day NULLS FIRST
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2)
                    AS rev_7d
         FROM (
             SELECT o_orderdate AS day, sum(o_totalprice) AS rev
@@ -659,7 +670,7 @@ def q_orders_page2_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
                first_value(o_orderkey) OVER w AS cheapest_key
         FROM orders
         WINDOW w AS (PARTITION BY o_orderpriority
-                     ORDER BY o_totalprice ASC, o_orderkey ASC)
+                     ORDER BY o_totalprice ASC NULLS FIRST, o_orderkey ASC)
     """,
     doc="ranking-window sampler: ntile/rank/dense_rank/row_number/"
     "percent_rank/cume_dist/lead/first_value sharing one window spec "
@@ -675,7 +686,7 @@ def q_order_rank_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical across engines with no rounding policy."""
     orders = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_orderpriority").orderBy(
-        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+        F.col("o_totalprice").asc_nulls_first(), F.col("o_orderkey").asc()
     )
     return orders.select(
         "o_orderkey",

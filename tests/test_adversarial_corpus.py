@@ -176,6 +176,84 @@ def test_adversarial_events_match_oracle(spark, adversarial_events_dir, name):
         con.close()
 
 
+# --- hostile orders: NULL group keys (rollup ambiguity), NULL measures ---
+
+_ORD_TS0 = 1_704_067_200_000  # 2024-01-01 in ms
+
+_ORDERS: list[tuple] = [
+    # (o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate_ms, o_orderpriority)
+    (1, 10, "F", 100.10, _ORD_TS0, "1-URGENT"),
+    (2, 10, "O", 200.25, _ORD_TS0 + 86_400_000, "1-URGENT"),
+    (3, 11, "F", 300.50, _ORD_TS0, None),  # NULL priority: collides with
+    (4, 11, None, 400.75, _ORD_TS0, "2-HIGH"),  # rollup-generated NULLs
+    (5, 12, "P", None, _ORD_TS0, "2-HIGH"),  # NULL measure in sums
+    (6, 12, "P", -50.00, _ORD_TS0, "3-MEDIUM"),  # negative money
+    (7, None, "O", 0.0, _ORD_TS0, "3-MEDIUM"),  # NULL custkey, zero price
+    (8, 13, "F", 100.10, None, "1-URGENT"),  # NULL date (year buckets)
+    (9, 13, "F", 0.01, _ORD_TS0 + 2 * 86_400_000, "5-LOW"),
+    (10, 14, "O", 99999999.99, _ORD_TS0, "5-LOW"),  # large money, cent-exact
+]
+
+
+@pytest.fixture(scope="module")
+def adversarial_orders_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("advorders")
+    table = pa.table(
+        {
+            "o_orderkey": pa.array([r[0] for r in _ORDERS], pa.int64()),
+            "o_custkey": pa.array([r[1] for r in _ORDERS], pa.int64()),
+            "o_orderstatus": pa.array([r[2] for r in _ORDERS], pa.string()),
+            "o_totalprice": pa.array([r[3] for r in _ORDERS], pa.float64()),
+            "o_orderdate": pa.array([r[4] for r in _ORDERS], pa.timestamp("ms")),
+            "o_orderpriority": pa.array([r[5] for r in _ORDERS], pa.string()),
+        }
+    )
+    pq.write_table(table, os.path.join(str(d), "orders.parquet"))
+    return str(d)
+
+
+def _orders_only_queries() -> list[str]:
+    others = [t for t in TABLES if t != "orders"]
+    picked = []
+    for name, spec in REGISTRY.items():
+        if not spec.oracle or "streaming" in spec.tags:
+            continue
+        # storage demos write scratch dirs per run — covered elsewhere,
+        # and their value here is nil (pure roundtrips)
+        if "storage" in spec.tags or "format" in spec.tags:
+            continue
+        sql = spec.oracle.lower()
+        if not re.search(r"\borders\b", sql):
+            continue
+        if any(re.search(rf"\b{t}\b", sql) for t in others):
+            continue
+        picked.append(name)
+    return sorted(picked)
+
+
+ORDER_QUERIES = _orders_only_queries()
+
+
+def test_order_selection_is_substantial():
+    assert len(ORDER_QUERIES) >= 8, ORDER_QUERIES
+    assert "orders_rollup" in ORDER_QUERIES or "orders_grouping_sets" in ORDER_QUERIES
+
+
+@pytest.mark.parametrize("name", ORDER_QUERIES)
+def test_adversarial_orders_match_oracle(spark, adversarial_orders_dir, name):
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW orders AS SELECT * FROM read_parquet("
+            f"'{os.path.join(adversarial_orders_dir, 'orders.parquet')}')"
+        )
+        spec = REGISTRY[name]
+        df = spec.fn(spark, adversarial_orders_dir)
+        assert_matches_oracle(df, con, spec.oracle, name=f"adversarial-ord:{name}")
+    finally:
+        con.close()
+
+
 # --- hostile embeddings: zero vector, NULL, huge/tiny magnitudes, dups ---
 
 _DIM = 64
