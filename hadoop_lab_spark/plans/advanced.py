@@ -440,8 +440,16 @@ def q_approx_percentile_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = li.groupBy("l_returnflag").agg(
         F.expr("percentile(l_extendedprice, 0.5)").alias("_exact"),
         F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("_approx"),
+        F.count("l_extendedprice").alias("_n"),
     )
-    within = F.abs(F.col("_approx") - F.col("_exact")) / F.col("_exact") <= 0.01
+    # The sketch's guarantee is on RANK, not value: on a sparse group the
+    # returned order statistic can be arbitrarily far from the
+    # INTERPOLATED median (2 elements 100/300 → exact 200, approx 100 —
+    # adversarial finding), so the value contract only binds for n >= 100
+    # where adjacent order statistics are close.
+    within = (F.col("_n") < 100) | (
+        F.abs(F.col("_approx") - F.col("_exact")) / F.col("_exact") <= 0.01
+    )
     return agg.select(
         "l_returnflag",
         F.round("_exact", 4).alias("exact_median"),

@@ -254,6 +254,83 @@ def test_adversarial_orders_match_oracle(spark, adversarial_orders_dir, name):
         con.close()
 
 
+# --- hostile lineitem: NULL dates/measures, zero/negative quantities ---
+
+_LI_TS0 = 1_704_067_200_000  # 2024-01-01 in ms
+
+_LINEITEMS: list[tuple] = [
+    # (okey, pkey, skey, lineno, qty, price, disc, tax, rflag, lstatus, ship_ms)
+    (1, 1, 1, 1, 10.0, 1000.00, 0.05, 0.02, "N", "O", _LI_TS0),
+    (1, 2, 1, 2, 0.0, 500.00, 0.0, 0.0, "N", "O", _LI_TS0),  # zero qty
+    (2, 1, 2, 1, None, 750.25, 0.10, 0.01, "R", "F", _LI_TS0),  # NULL qty
+    (2, 2, 2, 2, 5.0, None, 0.10, 0.01, "R", "F", _LI_TS0),  # NULL price
+    (3, 3, 1, 1, 3.0, 300.00, None, 0.02, "A", "F", _LI_TS0),  # NULL discount
+    (3, 3, 1, 2, -2.0, 100.00, 0.0, 0.0, "A", "F", _LI_TS0),  # negative qty (return)
+    (4, 1, 3, 1, 7.0, 99.99, 1.0, 0.0, "N", "O", None),  # NULL shipdate, 100% disc
+    (4, 2, 3, 2, 7.0, 99.99, 0.5, 0.08, None, None, _LI_TS0 + 86_400_000),  # NULL flags
+    (5, 4, 4, 1, 1.0, 0.01, 0.0, 0.0, "R", "F", _LI_TS0 + 365 * 86_400_000),
+]
+
+
+@pytest.fixture(scope="module")
+def adversarial_lineitem_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("advlineitem")
+    table = pa.table(
+        {
+            "l_orderkey": pa.array([r[0] for r in _LINEITEMS], pa.int64()),
+            "l_partkey": pa.array([r[1] for r in _LINEITEMS], pa.int64()),
+            "l_suppkey": pa.array([r[2] for r in _LINEITEMS], pa.int64()),
+            "l_linenumber": pa.array([r[3] for r in _LINEITEMS], pa.int32()),
+            "l_quantity": pa.array([r[4] for r in _LINEITEMS], pa.float64()),
+            "l_extendedprice": pa.array([r[5] for r in _LINEITEMS], pa.float64()),
+            "l_discount": pa.array([r[6] for r in _LINEITEMS], pa.float64()),
+            "l_tax": pa.array([r[7] for r in _LINEITEMS], pa.float64()),
+            "l_returnflag": pa.array([r[8] for r in _LINEITEMS], pa.string()),
+            "l_linestatus": pa.array([r[9] for r in _LINEITEMS], pa.string()),
+            "l_shipdate": pa.array([r[10] for r in _LINEITEMS], pa.timestamp("ms")),
+        }
+    )
+    pq.write_table(table, os.path.join(str(d), "lineitem.parquet"))
+    return str(d)
+
+
+def _lineitem_only_queries() -> list[str]:
+    others = [t for t in TABLES if t != "lineitem"]
+    picked = []
+    for name, spec in REGISTRY.items():
+        if not spec.oracle or "streaming" in spec.tags:
+            continue
+        sql = spec.oracle.lower()
+        if not re.search(r"\blineitem\b", sql):
+            continue
+        if any(re.search(rf"\b{t}\b", sql) for t in others):
+            continue
+        picked.append(name)
+    return sorted(picked)
+
+
+LINEITEM_QUERIES = _lineitem_only_queries()
+
+
+def test_lineitem_selection_is_substantial():
+    assert len(LINEITEM_QUERIES) >= 3, LINEITEM_QUERIES
+
+
+@pytest.mark.parametrize("name", LINEITEM_QUERIES)
+def test_adversarial_lineitem_match_oracle(spark, adversarial_lineitem_dir, name):
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW lineitem AS SELECT * FROM read_parquet("
+            f"'{os.path.join(adversarial_lineitem_dir, 'lineitem.parquet')}')"
+        )
+        spec = REGISTRY[name]
+        df = spec.fn(spark, adversarial_lineitem_dir)
+        assert_matches_oracle(df, con, spec.oracle, name=f"adversarial-li:{name}")
+    finally:
+        con.close()
+
+
 # --- hostile embeddings: zero vector, NULL, huge/tiny magnitudes, dups ---
 
 _DIM = 64
