@@ -43,17 +43,29 @@ def cosine(a: Column, b: Column, decimals: int = 6) -> Column:
     does (see functions/text.py::trunc, including its ≥2⁵³ magnitude
     guard, which this shares).
 
-    Zero-norm policy: cosine is UNDEFINED for a zero vector — the
-    denominator is nullif-guarded so the score is NULL (sorted last in
-    any top-k) instead of an ANSI DIVIDE_BY_ZERO that kills the job on
-    one degenerate embedding. Oracle twin: nullif(denominator, 0).
-    Found by tests/test_adversarial_corpus.py.
+    Zero-norm policy: cosine is UNDEFINED for a zero vector — the score
+    is NULL (sorted last in any top-k) instead of an ANSI
+    DIVIDE_BY_ZERO that kills the job on one degenerate embedding.
+    Oracle twin: nullif(denominator, 0). Found by
+    tests/test_adversarial_corpus.py.
+
+    Guard mechanism — every guard here references the expensive fold
+    exactly ONCE (the dot products are CodegenFallback HOFs with no
+    subexpression elimination, so a CASE/nullif that mentions them
+    twice doubles this function's cost; measured 1.7 → 3.7 s on
+    dedup_embedding_cosine before this form):
+
+    - ``try_divide`` (not nullif) nulls the zero-norm division;
+    - ``nanvl`` maps the inf-norm NaN (overflowing vectors) to NULL, so
+      the plain floor is total — Spark's floor(NaN) is silently 0 and
+      floor(±inf) saturates to ±2⁶³, both wrong. Degenerate similarity
+      is therefore uniformly NULL on both engines (oracle twin: CASE
+      isnan → NULL), sorted last in any top-k.
     """
     scale = 10**decimals
     denom = F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b))
-    raw = _dot(a, b) / F.nullif(denom, F.lit(0.0))
-    y = raw * scale
-    return F.when(F.abs(y) < F.lit(float(2**53)), F.floor(y)).otherwise(y) / scale
+    raw = F.nanvl(F.try_divide(_dot(a, b), denom), F.lit(None).cast("double"))
+    return F.floor(raw * scale) / scale
 
 
 def cosine_topk(

@@ -446,11 +446,15 @@ def _dot_sql(a: str, b: str) -> str:
     return _DOT.format(a=a, b=b)
 
 
-# nullif denominator: cosine of a zero vector is NULL (engine policy,
-# matching functions/similarity.py::cosine), never a division error.
-_COS_SQL = (
-    f"(floor(({_dot_sql('qv', 'cv')} / "
+# Degenerate-similarity policy (matching functions/similarity.py::cosine):
+# zero-norm division → NULL (nullif), inf-norm NaN → NULL (CASE isnan) —
+# never a division error, never floor-of-NaN.
+_COS_RAW = (
+    f"({_dot_sql('qv', 'cv')} / "
     f"nullif(sqrt({_dot_sql('qv', 'qv')}) * sqrt({_dot_sql('cv', 'cv')}), 0))"
+)
+_COS_SQL = (
+    f"(floor((CASE WHEN isnan({_COS_RAW}) THEN NULL ELSE {_COS_RAW} END)"
     " * 1000000) / 1000000)"
 )
 
@@ -614,10 +618,14 @@ _IVF_NPROBE = 2
 
 
 def _cos_sql(a: str, b: str) -> str:
-    # nullif: zero-vector cosine is NULL by engine policy (see _COS_SQL).
+    # zero-norm → NULL (nullif), NaN → NULL (isnan) — see _COS_SQL.
+    raw = (
+        f"(({_dot_sql(a, b)}) / "
+        f"nullif(sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)}), 0))"
+    )
     return (
-        f"(floor((({_dot_sql(a, b)}) / "
-        f"nullif(sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)}), 0)) * 1000000) / 1000000)"
+        f"(floor((CASE WHEN isnan({raw}) THEN NULL ELSE {raw} END)"
+        " * 1000000) / 1000000)"
     )
 
 
