@@ -296,10 +296,10 @@ def q_stream_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     At scale this runs on the landing zone as documents arrive, with the
     SAME code the batch query uses — the point of sharing the logical
     plan between the two."""
-    from hadoop_lab_spark.streaming.jobs import _DOCUMENTS_SCHEMA, _read_stream_table
+    from hadoop_lab_spark.streaming.jobs import _read_stream_table
 
     tune_session(spark)
-    docs = _read_stream_table(spark, sf_dir, "documents", _DOCUMENTS_SCHEMA).filter(
+    docs = _read_stream_table(spark, sf_dir, "documents").filter(
         F.col("n_chars") > 0
     )
     offs = F.sequence(

@@ -28,42 +28,30 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from hadoop_lab_spark.operators.wordcount import wordcount as wordcount_op
-
-#: Raw parquet schema of `events` as the streaming reader sees it:
-#: ts is TIMESTAMP(NANOS) in the file → int64 nanos under
-#: spark.sql.legacy.parquet.nanosAsLong (set by session tuning).
-_EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
-_DOCUMENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("doc_id", T.LongType()),
-        T.StructField("text", T.StringType()),
-        T.StructField("lang", T.StringType()),
-        T.StructField("source", T.StringType()),
-        T.StructField("n_chars", T.LongType()),
-    ]
-)
+from hadoop_lab_spark.sources.tables import _normalize, table_path
 
 
-def _read_stream_table(
-    spark: SparkSession, sf_dir: str, name: str, schema: T.StructType
-) -> DataFrame:
+def _read_stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Stream one star-schema table.
 
     The file stream source only accepts directories (it monitors for new
     files), while each table here is a single parquet file — so stream
     the sf_dir with a glob pinned to that table's file. In production
     the path would be a landing directory and the glob goes away.
+
+    Streaming readers cannot infer a schema, so the raw schema comes
+    from a one-off batch metadata read of the SAME file, and `_normalize`
+    applies the batch loader's ts handling. Hardcoding the raw schema
+    here is how round 3's session-window bug happened: the testdata
+    generator switched events.ts from TIMESTAMP(NANOS) (long under
+    nanosAsLong) to TIMESTAMP(MICROS) (native timestamp), the pinned
+    LongType schema kept "succeeding" — parquet surfaces µs as long when
+    told to — and the now-stale ns→µs `div 1000` silently shrank every
+    timestamp 1000×, collapsing all sessions into one per user. Deriving
+    the stream schema from the batch reader keeps both paths identical
+    under either file layout.
     """
+    schema = spark.read.parquet(table_path(sf_dir, name)).schema
     return (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", f"{name}.parquet")
@@ -72,13 +60,21 @@ def _read_stream_table(
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unbounded view of `events` with a proper TIMESTAMP column.
+    """Unbounded view of `events` with a watermark-compatible TIMESTAMP
+    column.
 
-    Integer `div 1000` (never float) converts nanos→micros: ns since
-    epoch exceed the 53-bit double mantissa (see sources/tables.py).
+    `_normalize` (shared with the batch loader) handles int64-nanos
+    files; native TIMESTAMP_NTZ files (what the parquet reader infers
+    for µs-no-tz columns) additionally need a cast to TIMESTAMP because
+    `withWatermark` only accepts the instant type. The session timezone
+    is pinned to UTC (session.py), so the cast reinterprets the naive
+    value as the same UTC instant — value-preserving, and identical to
+    what the ns→µs path produces.
     """
-    raw = _read_stream_table(spark, sf_dir, "events", _EVENTS_RAW_SCHEMA)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    df = _normalize(_read_stream_table(spark, sf_dir, "events"))
+    if isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def run_to_memory(stream: DataFrame, name: str, output_mode: str) -> None:
@@ -128,7 +124,7 @@ def stream_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly (operators/wordcount.py StringTokenizer class) — a private
     ``\\s+`` here would diverge from batch and oracle on vertical tabs.
     """
-    docs = _read_stream_table(spark, sf_dir, "documents", _DOCUMENTS_SCHEMA)
+    docs = _read_stream_table(spark, sf_dir, "documents")
     return wordcount_op(docs, "text", "word", "cnt")
 
 
