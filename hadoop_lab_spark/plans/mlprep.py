@@ -413,3 +413,197 @@ def q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_chars",
         (F.col("total_chars") / F.col("n_docs")).alias("avg_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus composition report (per-source stats)
+# ---------------------------------------------------------------------------
+@register(
+    "corpus_source_stats",
+    oracle="""
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               CAST(sum(n_chars) AS BIGINT) / count(*) AS avg_chars,
+               quantile_cont(n_chars, 0.5) AS median_chars,
+               CAST(max(n_chars) AS BIGINT) AS max_chars
+        FROM documents
+        GROUP BY source
+    """,
+    doc="corpus composition report: per-source doc counts, language "
+    "diversity, char totals and exact median length — the first audit "
+    "run on any training corpus before mixing sources",
+    tags=("mlprep", "aggregate", "text"),
+)
+def q_corpus_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One shuffle on `source` (low-cardinality but not skew-prone at
+    corpus scale — sources are crawls/dumps of comparable size). The
+    exact median uses Spark's interpolated `percentile`, whose twin is
+    DuckDB's quantile_cont: both sort bigints and interpolate the
+    midpoint as one double division, so the result is bit-stable.
+    avg_chars is ONE int/int division (see train_val_test_split)."""
+    docs = _t(spark, sf_dir, "documents")
+    agg = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.expr("percentile(n_chars, 0.5)").alias("median_chars"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_langs",
+        "total_chars",
+        (F.col("total_chars") / F.col("n_docs")).alias("avg_chars"),
+        "median_chars",
+        "max_chars",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (token-8-gram overlap vs a probe set)
+# ---------------------------------------------------------------------------
+DECON_N = 8  # tokens per contamination shingle
+DECON_PROBE_MOD = 101  # doc_id % MOD == 0 ⇒ benchmark/probe doc
+
+
+@register(
+    "decontamination_8gram",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '{X.WS_RE}') AS t
+            FROM documents
+        ),
+        probe AS (
+            SELECT DISTINCT
+                   md5(array_to_string(list_slice(t, CAST(i AS INT),
+                                                  CAST(i + {DECON_N - 1} AS INT)), ' ')) AS g
+            FROM toks, unnest(range(1, len(t) - {DECON_N - 2})) AS r(i)
+            WHERE doc_id % {DECON_PROBE_MOD} = 0 AND len(t) >= {DECON_N}
+        ),
+        corp AS (
+            SELECT DISTINCT doc_id,
+                   md5(array_to_string(list_slice(t, CAST(i AS INT),
+                                                  CAST(i + {DECON_N - 1} AS INT)), ' ')) AS g
+            FROM toks, unnest(range(1, len(t) - {DECON_N - 2})) AS r(i)
+            WHERE doc_id % {DECON_PROBE_MOD} <> 0 AND len(t) >= {DECON_N}
+        )
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared_8grams
+        FROM corp JOIN probe USING (g)
+        GROUP BY doc_id
+    """,
+    doc=f"benchmark decontamination: flag training docs sharing any "
+    f"token-{DECON_N}-gram with the probe/benchmark set (doc_id % "
+    f"{DECON_PROBE_MOD} == 0), with the count of distinct shared shingles",
+    tags=("mlprep", "dedup", "text", "join"),
+)
+def q_decontamination_8gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical pre-training hygiene pass: drop (here: flag) corpus
+    docs that leak benchmark text. Scale shape: the probe side is a
+    benchmark suite — thousands of docs, not billions — so its distinct
+    shingle set broadcasts and the corpus side joins without ever
+    shuffling its full shingle stream; the only wide exchanges are the
+    per-doc DISTINCT and final groupBy, both keyed by (doc_id, gram) /
+    doc_id which are uniform by construction. Shingles are md5'd to
+    16-byte keys scan-side so the exchanges never carry raw 8-gram text.
+    Docs shorter than {DECON_N} tokens can't be flagged (no complete
+    shingle — both engines filter them before the fan-out, which also
+    dodges Spark's backwards sequence(1, n<1) trap)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = X.tokens("text")
+    base = docs.select("doc_id", toks.alias("t")).filter(
+        F.size("t") >= DECON_N
+    )
+    grams = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(t) - {DECON_N - 1}), "
+                f"i -> md5(array_join(slice(t, i, {DECON_N}), ' ')))"
+            )
+        ).alias("g"),
+    )
+    probe = (
+        grams.filter(F.col("doc_id") % DECON_PROBE_MOD == 0)
+        .select("g")
+        .distinct()
+    )
+    corp = grams.filter(F.col("doc_id") % DECON_PROBE_MOD != 0).distinct()
+    return (
+        corp.join(F.broadcast(probe), "g", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_8grams"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding int8 quantization (scale + reconstruction-error audit)
+# ---------------------------------------------------------------------------
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+        WITH s AS (
+            SELECT vec_id,
+                   embedding,
+                   coalesce(list_max(list_transform(embedding,
+                       x -> abs(CAST(x AS DOUBLE)))), 0.0) / 127 AS sc
+            FROM embeddings
+            WHERE embedding IS NOT NULL AND len(embedding) > 0
+        )
+        SELECT vec_id,
+               CASE WHEN isnan(sc) THEN NULL
+                    ELSE floor(sc * 1e6) / 1e6 END AS scale_q,
+               CASE WHEN sc = 0 THEN 0.0
+                    WHEN isnan(sc) THEN NULL
+                    ELSE (SELECT CASE WHEN isnan(m) THEN NULL
+                                      ELSE floor(m * 1e6) / 1e6 END
+                          FROM (SELECT coalesce(list_max(list_transform(embedding,
+                                   x -> abs(CAST(x AS DOUBLE)
+                                            - floor(CAST(x AS DOUBLE) / sc + 0.5) * sc))),
+                                   0.0) AS m))
+               END AS max_abs_err
+        FROM s
+    """,
+    doc="int8 symmetric quantization audit: per-vector scale (max|x|/127) "
+    "and max reconstruction error after round-trip — the compression "
+    "check run before shipping an embedding corpus to int8 ANN serving",
+    tags=("mlprep", "vector", "transform"),
+)
+def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan-local (zero shuffle): both the scale and the error are array
+    folds inside one codegen stage, so this streams over 100 TB of
+    vectors at scan speed. Rounding is floor(x/s + 0.5) on BOTH engines
+    (IEEE-deterministic; `round()` half-cases differ cross-engine), and
+    the degenerate lanes are pinned: all-zero vector → sc=0 → err=0
+    (not 0/0=NaN), NULL/empty vectors filtered, NULL elements skipped by
+    greatest/list_max, NaN/±inf elements → NULL outputs via nanvl."""
+    e = _t(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") > 0)
+    )
+    null_d = F.lit(None).cast("double")
+    absmax = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda a, x: F.greatest(a, F.abs(x.cast("double"))),
+    )
+    s = e.select("vec_id", "embedding", (absmax / F.lit(127.0)).alias("sc"))
+    err = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda a, x: F.greatest(
+            a,
+            F.abs(
+                x.cast("double")
+                - F.floor(x.cast("double") / F.col("sc") + F.lit(0.5)) * F.col("sc")
+            ),
+        ),
+    )
+    return s.select(
+        "vec_id",
+        F.nanvl(X.trunc(F.col("sc")), null_d).alias("scale_q"),
+        F.when(F.col("sc") == 0, F.lit(0.0))
+        .otherwise(F.nanvl(X.trunc(err), null_d))
+        .alias("max_abs_err"),
+    )
