@@ -196,19 +196,29 @@ def q_top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
                    round(sum(o_totalprice), 2) AS monthly
             FROM orders
+            WHERE o_orderdate IS NOT NULL
             GROUP BY 1
         )
     """,
     doc="analytic window: running total of monthly order revenue "
-    "(inner sums rounded so the cumulative sum is engine-identical)",
+    "(inner sums rounded so the cumulative sum is engine-identical; "
+    "dateless orders excluded — they belong to no month)",
     tags=("extension", "window"),
 )
 def q_cumulative_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The unbounded-preceding running sum adds identical rounded doubles
     in identical (month) order on both engines → bit-equal results.
     Month count is tiny after the first aggregate, so the single-
-    partition window is safe at any SF."""
-    orders = _t(spark, sf_dir, "orders")
+    partition window is safe at any SF.
+
+    NULL order dates are filtered BEFORE the monthly aggregate on both
+    engines: a running total over time has no defined slot for "no
+    time", and (adversarial-rel finding) DuckDB 1.0's window sort places
+    a NULL timestamp key inconsistently under NULLS FIRST depending on
+    the physical input (inline VALUES honor it; a table scan can land
+    the NULL row mid-sequence), so a NULL month cannot be part of a
+    stable cross-engine contract at all."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
     monthly = orders.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
         F.round(F.sum("o_totalprice"), 2).alias("monthly")
     )
@@ -868,4 +878,49 @@ def q_range_frame_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     win = Window.orderBy(day_num).rangeBetween(-6, Window.currentRow)
     return daily.select(
         "day", F.round(F.sum("rev").over(win), 2).alias("rev_7d_cal")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Promotion revenue share (TPC-H Q14 shape: fact-dim join + conditional agg)
+# ---------------------------------------------------------------------------
+@register(
+    "promo_revenue_share",
+    oracle="""
+        SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ship_month,
+               round(sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END), 2) AS promo_revenue,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue,
+               CAST(count(*) AS BIGINT) AS n_lines
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate IS NOT NULL
+        GROUP BY 1
+    """,
+    doc="TPC-H Q14 shape: lineitem-part join, promo vs total revenue per "
+    "ship month (conditional aggregation over a dimension attribute)",
+    tags=("extension", "tpch", "join", "aggregate"),
+)
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-dim join where the dim (part) is orders of magnitude smaller
+    than the fact: broadcast it, so the 100 TB lineitem side never
+    shuffles — the aggregate is then partial→final on ship_month, a
+    low-cardinality uniform key. The promo/total ratio is left to the
+    reader instead of being divided here: both numerators are rounded
+    money sums (engine-identical), while their quotient would divide
+    ACCUMULATED floats — exactly what the float policy rounds away.
+    NULL ship dates are excluded as in the other time-series queries."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate").isNotNull())
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.date_trunc("month", "l_shipdate").alias("ship_month"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))), 2
+            ).alias("promo_revenue"),
+            F.round(F.sum(rev), 2).alias("total_revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
     )

@@ -421,3 +421,192 @@ def test_adversarial_matches_oracle(spark, adversarial_sf_dir, name):
         assert_matches_oracle(df, con, spec.oracle, name=f"adversarial:{name}")
     finally:
         con.close()
+
+
+# --- hostile star schema: the join/relational family on pathological keys ---
+#
+# NULL and dangling foreign keys, duplicate primary keys, negative and
+# NULL money, empty-string and NULL categorical values, epoch and
+# far-future dates — the cases a 100 TB warehouse WILL contain and the
+# generated sf* data never does. Every query whose oracle touches only
+# the seven relational tables re-runs against this schema.
+
+_D = __import__("datetime").datetime
+
+_REGION = [(0, "AMERICA"), (1, "ASIA"), (2, "EMPTY-REGION")]
+
+_NATION = [
+    (0, "USA", 0),
+    (1, "CHINA", 1),
+    (2, "ORPHAN", 99),  # dangling regionkey
+    (3, "LONELY", 0),  # nation with no customers
+]
+
+_CUSTOMER = [
+    # (custkey, name, nationkey, acctbal, mktsegment)
+    (1, "alice", 0, 100.00, "BUILDING"),
+    (2, "bob", None, 0.00, "AUTOMOBILE"),  # NULL nationkey
+    (3, "carol", 99, -50.25, "BUILDING"),  # dangling nationkey, negative bal
+    (4, "dave", 1, 100.00, ""),  # empty segment
+    (5, "eve", 1, None, "MACHINERY"),  # NULL acctbal
+    (6, "alice", 1, 75.00, "BUILDING"),  # duplicate name
+    (7, "Ætheld", 0, 10.00, "HOUSEHOLD"),  # non-ASCII name (string fns)
+    (8, "no-orders", 0, 5.00, "BUILDING"),  # customer with zero orders
+]
+
+_SUPPLIER = [
+    (1, "s1", 0, 10.00),
+    (2, "s2", 99, None),  # dangling nationkey, NULL acctbal
+    (3, "s3", 1, -1.00),
+]
+
+_PART = [
+    # (partkey, name, brand, type, size, retailprice)
+    (1, "widget", "Brand#A", "PROMO", 5, 10.00),
+    (2, "gadget", "Brand#A", "STANDARD", 0, 0.00),  # zero size & price
+    (3, "gizmo", "Brand#B", None, -1, 99.99),  # NULL type, negative size
+    (4, "widget", "Brand#B", "PROMO", 5, 10.00),  # duplicate name, price tie
+]
+
+_ORDERS = [
+    # (orderkey, custkey, status, totalprice, orderdate, priority)
+    (100, 1, "F", 100.00, _D(1970, 1, 1), "1-URGENT"),  # epoch date
+    (101, 1, "O", 0.00, _D(2099, 12, 31), "5-LOW"),  # far future, zero price
+    (102, 2, "F", None, None, "1-URGENT"),  # NULL price AND date
+    (103, 999, "P", 50.50, _D(2024, 2, 29), "3-MEDIUM"),  # dangling custkey, leap day
+    (104, 3, "F", -10.00, _D(2024, 1, 15), ""),  # negative price, empty priority
+    (105, 5, "O", 25.25, _D(2024, 1, 15), None),  # NULL priority
+    (106, 4, "O", 10.00, _D(2024, 1, 16), "5-LOW"),
+    (106, 4, "O", 10.00, _D(2024, 1, 16), "5-LOW"),  # duplicate primary key
+]
+
+_LINEITEM = [
+    # (orderkey, partkey, suppkey, linenumber, qty, extprice, disc, tax,
+    #  returnflag, linestatus, shipdate)
+    (100, 1, 1, 1, 5.0, 100.00, 0.05, 0.02, "R", "F", _D(1970, 1, 1)),
+    (100, 2, 1, 2, 0.0, 0.00, 0.0, 0.0, "N", "O", None),  # NULL shipdate, zero qty
+    (101, 3, 2, 1, 1.0, 50.00, 1.0, 0.0, "A", "F", _D(2024, 1, 1)),  # disc=1 → 0 rev
+    (103, 1, 3, 1, 2.5, 10.50, 0.25, 0.1, "R", "F", _D(2099, 12, 31)),
+    (104, 4, 1, 1, -3.0, 20.00, 0.1, 0.0, "R", "F", _D(2024, 1, 20)),  # negative qty
+    (106, 2, 3, 1, 1.0, 30.00, 0.0, 0.0, "N", "O", _D(2024, 1, 17)),
+    (106, 2, 3, 1, 1.0, 30.00, 0.0, 0.0, "N", "O", _D(2024, 1, 17)),  # dup line
+    (999, 1, 1, 1, 1.0, 10.00, 0.0, 0.0, "N", "O", _D(2024, 6, 1)),  # dangling order
+]
+
+_REL_TABLES = ("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+
+
+@pytest.fixture(scope="module")
+def adversarial_rel_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("advrel")
+    specs = {
+        "region": pa.table(
+            {
+                "r_regionkey": pa.array([r[0] for r in _REGION], pa.int64()),
+                "r_name": pa.array([r[1] for r in _REGION], pa.string()),
+            }
+        ),
+        "nation": pa.table(
+            {
+                "n_nationkey": pa.array([r[0] for r in _NATION], pa.int64()),
+                "n_name": pa.array([r[1] for r in _NATION], pa.string()),
+                "n_regionkey": pa.array([r[2] for r in _NATION], pa.int64()),
+            }
+        ),
+        "customer": pa.table(
+            {
+                "c_custkey": pa.array([r[0] for r in _CUSTOMER], pa.int64()),
+                "c_name": pa.array([r[1] for r in _CUSTOMER], pa.string()),
+                "c_nationkey": pa.array([r[2] for r in _CUSTOMER], pa.int32()),
+                "c_acctbal": pa.array([r[3] for r in _CUSTOMER], pa.float64()),
+                "c_mktsegment": pa.array([r[4] for r in _CUSTOMER], pa.string()),
+            }
+        ),
+        "supplier": pa.table(
+            {
+                "s_suppkey": pa.array([r[0] for r in _SUPPLIER], pa.int64()),
+                "s_name": pa.array([r[1] for r in _SUPPLIER], pa.string()),
+                "s_nationkey": pa.array([r[2] for r in _SUPPLIER], pa.int32()),
+                "s_acctbal": pa.array([r[3] for r in _SUPPLIER], pa.float64()),
+            }
+        ),
+        "part": pa.table(
+            {
+                "p_partkey": pa.array([r[0] for r in _PART], pa.int64()),
+                "p_name": pa.array([r[1] for r in _PART], pa.string()),
+                "p_brand": pa.array([r[2] for r in _PART], pa.string()),
+                "p_type": pa.array([r[3] for r in _PART], pa.string()),
+                "p_size": pa.array([r[4] for r in _PART], pa.int32()),
+                "p_retailprice": pa.array([r[5] for r in _PART], pa.float64()),
+            }
+        ),
+        "orders": pa.table(
+            {
+                "o_orderkey": pa.array([r[0] for r in _ORDERS], pa.int64()),
+                "o_custkey": pa.array([r[1] for r in _ORDERS], pa.int64()),
+                "o_orderstatus": pa.array([r[2] for r in _ORDERS], pa.string()),
+                "o_totalprice": pa.array([r[3] for r in _ORDERS], pa.float64()),
+                "o_orderdate": pa.array([r[4] for r in _ORDERS], pa.timestamp("us")),
+                "o_orderpriority": pa.array([r[5] for r in _ORDERS], pa.string()),
+            }
+        ),
+        "lineitem": pa.table(
+            {
+                "l_orderkey": pa.array([r[0] for r in _LINEITEM], pa.int64()),
+                "l_partkey": pa.array([r[1] for r in _LINEITEM], pa.int64()),
+                "l_suppkey": pa.array([r[2] for r in _LINEITEM], pa.int64()),
+                "l_linenumber": pa.array([r[3] for r in _LINEITEM], pa.int32()),
+                "l_quantity": pa.array([r[4] for r in _LINEITEM], pa.float64()),
+                "l_extendedprice": pa.array([r[5] for r in _LINEITEM], pa.float64()),
+                "l_discount": pa.array([r[6] for r in _LINEITEM], pa.float64()),
+                "l_tax": pa.array([r[7] for r in _LINEITEM], pa.float64()),
+                "l_returnflag": pa.array([r[8] for r in _LINEITEM], pa.string()),
+                "l_linestatus": pa.array([r[9] for r in _LINEITEM], pa.string()),
+                "l_shipdate": pa.array([r[10] for r in _LINEITEM], pa.timestamp("us")),
+            }
+        ),
+    }
+    for name, table in specs.items():
+        pq.write_table(table, os.path.join(str(d), f"{name}.parquet"))
+    return str(d)
+
+
+def _relational_queries() -> list[str]:
+    """Queries whose oracle reads only the seven star-schema tables."""
+    others = [t for t in TABLES if t not in _REL_TABLES]
+    picked = []
+    for name, spec in REGISTRY.items():
+        if not spec.oracle or "streaming" in spec.tags:
+            continue
+        sql = spec.oracle.lower()
+        if not any(re.search(rf"\b{t}\b", sql) for t in _REL_TABLES):
+            continue
+        if any(re.search(rf"\b{t}\b", sql) for t in others):
+            continue
+        picked.append(name)
+    return sorted(picked)
+
+
+REL_QUERIES = _relational_queries()
+
+
+def test_relational_selection_is_substantial():
+    assert len(REL_QUERIES) >= 30, REL_QUERIES
+    assert "revenue_per_nation" in REL_QUERIES
+    assert "nation_customer_counts_outer" in REL_QUERIES
+
+
+@pytest.mark.parametrize("name", REL_QUERIES)
+def test_adversarial_relational_match_oracle(spark, adversarial_rel_dir, name):
+    con = duckdb.connect()
+    try:
+        for t in _REL_TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet("
+                f"'{os.path.join(adversarial_rel_dir, t + '.parquet')}')"
+            )
+        spec = REGISTRY[name]
+        df = spec.fn(spark, adversarial_rel_dir)
+        assert_matches_oracle(df, con, spec.oracle, name=f"adversarial-rel:{name}")
+    finally:
+        con.close()
