@@ -211,3 +211,31 @@ def test_snapshot_diff_copartitioned_outer_join(spark):
     plan = _plan(spark, "snapshot_diff_orders")
     assert "SortMergeJoin FullOuter" in plan
     assert _exchanges(plan) == 3, plan[:1200]
+
+
+def test_decontamination_broadcasts_probe_set(spark):
+    """The probe/benchmark side must broadcast — the corpus shingle
+    stream joining a shuffled probe would shuffle the 100 TB side."""
+    plan = _plan(spark, "decontamination_8gram")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # both scans read only (doc_id, text)
+    assert plan.count("ReadSchema: struct<doc_id:bigint,text:string>") == 2
+
+
+def test_promo_revenue_broadcasts_part_dim(spark):
+    plan = _plan(spark, "promo_revenue_share")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # lineitem scan pruned to the 4 referenced columns
+    assert re.search(
+        r"ReadSchema: struct<l_partkey:bigint,l_extendedprice:double,"
+        r"l_discount:double,l_shipdate:timestamp", plan
+    ), plan
+
+
+def test_embedding_quantize_is_scan_local(spark):
+    """Scale contract: the quantization audit is one codegen'd pass over
+    the vectors — any Exchange means someone broke the fold."""
+    plan = _plan(spark, "embedding_quantize_int8")
+    assert _exchanges(plan) == 0
