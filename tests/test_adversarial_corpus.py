@@ -77,6 +77,12 @@ def _documents_only_queries() -> list[str]:
         if any(re.search(rf"\b{t}\b", sql) for t in others):
             continue
         picked.append(name)
+    # regexp_sampler reads only documents, but its oracle mentions
+    # "customer|supplier" INSIDE a regex literal, which the other-table
+    # textual exclusion above misreads as a table reference — without
+    # this pin it would be the one query no adversarial sweep ever runs.
+    if "regexp_sampler" not in picked:
+        picked.append("regexp_sampler")
     return sorted(picked)
 
 
