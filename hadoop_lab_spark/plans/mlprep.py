@@ -500,37 +500,43 @@ DECON_PROBE_MOD = 101  # doc_id % MOD == 0 ⇒ benchmark/probe doc
     tags=("mlprep", "dedup", "text", "join"),
 )
 def q_decontamination_8gram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The canonical pre-training hygiene pass: drop (here: flag) corpus
+    return shared_probe_ngrams(_t(spark, sf_dir, "documents"))
+
+
+def shared_probe_ngrams(
+    docs: DataFrame, probe_mod: int = DECON_PROBE_MOD, n: int = DECON_N
+) -> DataFrame:
+    """(doc_id, n_shared_8grams) for corpus docs sharing token-n-grams
+    with the probe partition (doc_id % probe_mod == 0).
+
+    The canonical pre-training hygiene pass: drop (here: flag) corpus
     docs that leak benchmark text. Scale shape: the probe side is a
     benchmark suite — thousands of docs, not billions — so its distinct
     shingle set broadcasts and the corpus side joins without ever
     shuffling its full shingle stream; the only wide exchanges are the
     per-doc DISTINCT and final groupBy, both keyed by (doc_id, gram) /
     doc_id which are uniform by construction. Shingles are md5'd to
-    16-byte keys scan-side so the exchanges never carry raw 8-gram text.
-    Docs shorter than {DECON_N} tokens can't be flagged (no complete
-    shingle — both engines filter them before the fan-out, which also
-    dodges Spark's backwards sequence(1, n<1) trap)."""
-    docs = _t(spark, sf_dir, "documents")
+    16-byte keys scan-side so the exchanges never carry raw n-gram text.
+    Docs shorter than n tokens can't be flagged (no complete shingle —
+    both engines filter them before the fan-out, which also dodges
+    Spark's backwards sequence(1, n<1) trap)."""
     toks = X.tokens("text")
-    base = docs.select("doc_id", toks.alias("t")).filter(
-        F.size("t") >= DECON_N
-    )
+    base = docs.select("doc_id", toks.alias("t")).filter(F.size("t") >= n)
     grams = base.select(
         "doc_id",
         F.explode(
             F.expr(
-                f"transform(sequence(1, size(t) - {DECON_N - 1}), "
-                f"i -> md5(array_join(slice(t, i, {DECON_N}), ' ')))"
+                f"transform(sequence(1, size(t) - {n - 1}), "
+                f"i -> md5(array_join(slice(t, i, {n}), ' ')))"
             )
         ).alias("g"),
     )
     probe = (
-        grams.filter(F.col("doc_id") % DECON_PROBE_MOD == 0)
+        grams.filter(F.col("doc_id") % probe_mod == 0)
         .select("g")
         .distinct()
     )
-    corp = grams.filter(F.col("doc_id") % DECON_PROBE_MOD != 0).distinct()
+    corp = grams.filter(F.col("doc_id") % probe_mod != 0).distinct()
     return (
         corp.join(F.broadcast(probe), "g", "left_semi")
         .groupBy("doc_id")
@@ -572,14 +578,20 @@ def q_decontamination_8gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("mlprep", "vector", "transform"),
 )
 def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scan-local (zero shuffle): both the scale and the error are array
+    return int8_quantize_audit(_t(spark, sf_dir, "embeddings"))
+
+
+def int8_quantize_audit(vectors: DataFrame) -> DataFrame:
+    """(vec_id, scale_q, max_abs_err) over a (vec_id, embedding) frame.
+
+    Scan-local (zero shuffle): both the scale and the error are array
     folds inside one codegen stage, so this streams over 100 TB of
     vectors at scan speed. Rounding is floor(x/s + 0.5) on BOTH engines
     (IEEE-deterministic; `round()` half-cases differ cross-engine), and
     the degenerate lanes are pinned: all-zero vector → sc=0 → err=0
     (not 0/0=NaN), NULL/empty vectors filtered, NULL elements skipped by
     greatest/list_max, NaN/±inf elements → NULL outputs via nanvl."""
-    e = _t(spark, sf_dir, "embeddings").filter(
+    e = vectors.filter(
         F.col("embedding").isNotNull() & (F.size("embedding") > 0)
     )
     null_d = F.lit(None).cast("double")
@@ -606,4 +618,105 @@ def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("sc") == 0, F.lit(0.0))
         .otherwise(F.nanvl(X.trunc(err), null_d))
         .alias("max_abs_err"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Equi-width histogram (profiling primitive)
+# ---------------------------------------------------------------------------
+HIST_LO = 0.0
+HIST_HI = 500_000.0
+HIST_BINS = 20
+
+
+@register(
+    "price_histogram",
+    oracle=f"""
+        SELECT CAST(least(greatest(floor((o_totalprice - {HIST_LO})
+                                         / {(HIST_HI - HIST_LO)} * {HIST_BINS}),
+                                   0), {HIST_BINS - 1}) AS BIGINT) AS bin,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(sum(o_totalprice), 2) AS bin_total
+        FROM orders
+        WHERE o_totalprice IS NOT NULL
+        GROUP BY 1
+    """,
+    doc=f"equi-width histogram: {HIST_BINS} fixed bins over o_totalprice "
+    f"[{HIST_LO}, {HIST_HI}) with overflow clamped into the edge bins — "
+    "the data-profiling primitive behind every distribution dashboard",
+    tags=("mlprep", "aggregate", "stats"),
+)
+def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed (data-independent) bin bounds make this one partial-agg
+    pass — no pre-scan for min/max, no sort, ≤{HIST_BINS} output rows
+    from any input size. floor of one double division is IEEE-identical
+    cross-engine; out-of-range values clamp into the boundary bins so
+    the histogram is total over non-NULL prices."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice").isNotNull())
+    raw = F.floor(
+        (F.col("o_totalprice") - F.lit(HIST_LO)) / F.lit(HIST_HI - HIST_LO) * HIST_BINS
+    )
+    bin_ = F.least(F.greatest(raw, F.lit(0)), F.lit(HIST_BINS - 1)).cast("bigint")
+    return o.groupBy(bin_.alias("bin")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("bin_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Feature standardization (fit groupwise stats, transform rows)
+# ---------------------------------------------------------------------------
+@register(
+    "feature_standardize_lineitem",
+    oracle="""
+        WITH stats AS (
+            SELECT l_returnflag AS flag,
+                   avg(l_extendedprice) AS mu,
+                   stddev_samp(l_extendedprice) AS sigma,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM lineitem
+            GROUP BY 1
+        )
+        SELECT l_orderkey, l_linenumber, flag,
+               CASE WHEN sigma IS NULL OR sigma = 0 OR isnan(sigma) THEN NULL
+                    ELSE floor((l_extendedprice - mu) / sigma * 1e4) / 1e4
+               END AS z_price,
+               n AS group_n
+        FROM lineitem JOIN stats ON l_returnflag = flag
+    """,
+    doc="fit-transform standardization: per-group mean/stddev joined back "
+    "onto every row as a z-score — the feature-scaling pass of an ML prep "
+    "pipeline, expressed as aggregate + broadcast re-join (no window)",
+    tags=("mlprep", "stats", "join"),
+)
+def q_feature_standardize_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fitted stats table is |groups| rows — broadcast back onto the
+    fact scan, so the transform adds ZERO wide shuffles beyond the fit
+    aggregate (a window over the same partition would instead sort the
+    full fact table). z is truncated at 4dp: mu/sigma are accumulation-
+    order-sensitive doubles, and 4dp is the precision the cross-engine
+    contract can guarantee (the engines agree on ~7 significant digits;
+    z magnitudes stay single-digit). Degenerate sigma (single-row or
+    constant group → NULL/0/NaN) yields NULL, single-eval via nanvl +
+    try_divide."""
+    li = _t(spark, sf_dir, "lineitem")
+    stats = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.avg("l_extendedprice").alias("mu"),
+        F.stddev_samp("l_extendedprice").alias("sigma"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    z_raw = F.try_divide(
+        F.col("l_extendedprice") - F.col("mu"),
+        F.when(F.col("sigma") != 0, F.col("sigma")),
+    )
+    z = F.nanvl(z_raw, F.lit(None).cast("double"))
+    return (
+        li.join(F.broadcast(stats), li["l_returnflag"] == F.col("flag"))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "flag",
+            (F.floor(z * 1e4) / 1e4).alias("z_price"),
+            F.col("n").alias("group_n"),
+        )
     )

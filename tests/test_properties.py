@@ -158,3 +158,109 @@ def test_connected_components_equals_union_find(spark, edges):
     ) if edges else spark.createDataFrame([], "id_a bigint, id_b bigint")
     got = dict(connected_components(nodes, edf, "id").collect())
     assert got == expected
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["alpha", "bravo", "carol", "delta", "echo"]),
+            min_size=0,
+            max_size=14,
+        ),
+        min_size=2,
+        max_size=12,
+    )
+)
+@_SETTINGS
+def test_decontamination_matches_python_twin(spark, docs):
+    """shared_probe_ngrams == brute-force Python shingling. A tiny vocab
+    forces genuine 8-gram collisions between probe and corpus docs."""
+    from hadoop_lab_spark.plans.mlprep import shared_probe_ngrams
+
+    n, mod = 8, 3  # small probe_mod so examples actually have probes
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r["n_shared_8grams"]
+        for r in shared_probe_ngrams(df, probe_mod=mod, n=n).collect()
+    }
+
+    def shingles(toks):
+        return {tuple(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    probe = set()
+    for i, toks in enumerate(docs):
+        if i % mod == 0:
+            probe |= shingles(toks)
+    expected = {}
+    for i, toks in enumerate(docs):
+        if i % mod == 0:
+            continue
+        shared = len(shingles(toks) & probe)
+        if shared:
+            expected[i] = shared
+    assert got == expected, (got, expected)
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.floats(
+                min_value=-1e3,
+                max_value=1e3,
+                allow_nan=False,
+                width=32,
+            ),
+            min_size=0,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+@_SETTINGS
+def test_int8_quantize_matches_python_twin(spark, vecs):
+    """int8_quantize_audit == numpy-free Python fold, including the
+    all-zero-vector lane (scale 0 → error 0, never NaN) and the
+    truncation policy."""
+    import math
+
+    from pyspark.sql import types as T
+
+    from hadoop_lab_spark.plans.mlprep import int8_quantize_audit
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    df = spark.createDataFrame(list(enumerate(vecs)), schema)
+    got = {
+        r["vec_id"]: (r["scale_q"], r["max_abs_err"])
+        for r in int8_quantize_audit(df).collect()
+    }
+
+    def trunc6(x):
+        y = x * 1e6
+        return (math.floor(y) if abs(y) < 2**53 else y) / 1e6
+
+    expected = {}
+    for i, v in enumerate(vecs):
+        if not v:
+            continue  # empty vectors are filtered
+        fl = [float(__import__("struct").unpack("f", __import__("struct").pack("f", x))[0]) for x in v]
+        sc = max(abs(x) for x in fl) / 127.0
+        if sc == 0:
+            expected[i] = (0.0, 0.0)
+        else:
+            err = max(abs(x - math.floor(x / sc + 0.5) * sc) for x in fl)
+            expected[i] = (trunc6(sc), trunc6(err))
+    assert set(got) == set(expected)
+    for i in expected:
+        assert got[i] == pytest.approx(expected[i], abs=0.0), (
+            i,
+            vecs[i],
+            got[i],
+            expected[i],
+        )
