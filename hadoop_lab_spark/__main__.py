@@ -66,6 +66,15 @@ def main(argv: list[str] | None = None) -> int:
     p_q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     p_q.add_argument("-n", "--rows", type=int, default=20)
 
+    p_sql = sub.add_parser(
+        "sql",
+        help="run ad-hoc Spark SQL with the ten star-schema tables "
+        "pre-registered as temp views (the SQL layer the reference lacks)",
+    )
+    p_sql.add_argument("statement")
+    p_sql.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    p_sql.add_argument("-n", "--rows", type=int, default=20)
+
     args = parser.parse_args(argv)
 
     from hadoop_lab_spark.plans.registry import REGISTRY, load_all_query_modules
@@ -96,6 +105,13 @@ def main(argv: list[str] | None = None) -> int:
             df.show(args.rows, truncate=False)
             if args.output:
                 print(f"wrote reference-shaped output to {args.output}")
+        elif args.cmd == "sql":
+            from hadoop_lab_spark.session import tune_session
+            from hadoop_lab_spark.sources.tables import register_temp_views
+
+            tune_session(spark)
+            register_temp_views(spark, args.sf_dir)
+            spark.sql(args.statement).show(args.rows, truncate=False)
         else:
             if args.name not in REGISTRY:
                 print(f"unknown query {args.name!r}; see `list`", file=sys.stderr)

@@ -720,3 +720,52 @@ def q_feature_standardize_lineitem(spark: SparkSession, sf_dir: str) -> DataFram
             F.col("n").alias("group_n"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Dataset card (single-row corpus summary)
+# ---------------------------------------------------------------------------
+@register(
+    "corpus_dataset_card",
+    oracle=f"""
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               CAST(sum(CASE WHEN trim(text) = '' OR text IS NULL THEN 0
+                   ELSE len({_TOKS})
+                   END) AS BIGINT) AS total_tokens,
+               CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts,
+               CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT)
+                   / count(*) AS exact_dup_rate
+        FROM documents
+    """,
+    doc="dataset card: one-row corpus summary (docs, languages, sources, "
+    "chars, tokens, exact-duplicate rate) — the header block of every "
+    "dataset datasheet",
+    tags=("mlprep", "aggregate", "text"),
+)
+def q_corpus_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One pass, one reduce to a single row: every metric is a plain or
+    distinct aggregate (Spark expands the three DISTINCTs via one
+    Expand — still a single scan). The dup rate is int/int (exact
+    double). NULL text hashes: md5(NULL) is NULL on both engines and
+    count(DISTINCT) ignores NULLs identically; the token total skips
+    empty/NULL docs explicitly on both sides because DuckDB's split of
+    '' yields [''] (len 1) while the convention counts zero tokens."""
+    docs = _t(spark, sf_dir, "documents")
+    tok_n = F.when(
+        F.col("text").isNull() | (F.trim("text") == ""), F.lit(0)
+    ).otherwise(X.token_count("text"))
+    return docs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum(tok_n).cast("bigint").alias("total_tokens"),
+        F.countDistinct(F.md5("text")).cast("bigint").alias("n_unique_texts"),
+        (
+            (F.count(F.lit(1)) - F.countDistinct(F.md5("text"))).cast("bigint")
+            / F.count(F.lit(1))
+        ).alias("exact_dup_rate"),
+    )

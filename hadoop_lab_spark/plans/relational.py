@@ -924,3 +924,84 @@ def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_lines"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity audit (data-quality pass over every FK edge)
+# ---------------------------------------------------------------------------
+@register(
+    "referential_integrity_audit",
+    oracle="""
+        SELECT 'orders.o_custkey->customer' AS fk_edge,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_null_key,
+               CAST(sum(CASE WHEN o_custkey IS NOT NULL AND c_custkey IS NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_dangling
+        FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        UNION ALL
+        SELECT 'lineitem.l_orderkey->orders',
+               CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT),
+               CAST(sum(CASE WHEN l_orderkey IS NOT NULL AND o_orderkey IS NULL
+                             THEN 1 ELSE 0 END) AS BIGINT)
+        FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+        UNION ALL
+        SELECT 'lineitem.l_partkey->part',
+               CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT),
+               CAST(sum(CASE WHEN l_partkey IS NOT NULL AND p_partkey IS NULL
+                             THEN 1 ELSE 0 END) AS BIGINT)
+        FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+        UNION ALL
+        SELECT 'customer.c_nationkey->nation',
+               CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT),
+               CAST(sum(CASE WHEN c_nationkey IS NOT NULL AND n_nationkey IS NULL
+                             THEN 1 ELSE 0 END) AS BIGINT)
+        FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+    """,
+    doc="referential-integrity audit: per FK edge, total rows, NULL keys, "
+    "and dangling references (left join + null probe) — the data-quality "
+    "gate run before any warehouse load is trusted",
+    tags=("extension", "join", "anti", "maintenance"),
+)
+def q_referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each edge is ONE left join aggregated to three counters — not an
+    anti-join per metric (that would scan each fact table twice). The
+    dimension sides (customer/part/nation/orders-keys) broadcast when
+    small; the fact side never shuffles more than once per edge. At
+    100 TB you'd run edges in one job exactly like this union does —
+    shared scans, no driver loop."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    c = _t(spark, sf_dir, "customer")
+    p = _t(spark, sf_dir, "part")
+    n = _t(spark, sf_dir, "nation")
+
+    def audit(fact: DataFrame, fk: str, dim: DataFrame, pk: str, edge: str) -> DataFrame:
+        joined = fact.select(fk).join(
+            dim.select(pk), F.col(fk) == F.col(pk), "left"
+        )
+        return joined.agg(
+            F.lit(edge).alias("fk_edge"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.when(F.col(fk).isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_null_key"),
+            F.sum(
+                F.when(F.col(fk).isNotNull() & F.col(pk).isNull(), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_dangling"),
+        ).select("fk_edge", "n_rows", "n_null_key", "n_dangling")
+
+    return (
+        audit(o, "o_custkey", c, "c_custkey", "orders.o_custkey->customer")
+        .unionAll(audit(li, "l_orderkey", o, "o_orderkey", "lineitem.l_orderkey->orders"))
+        .unionAll(audit(li, "l_partkey", p, "p_partkey", "lineitem.l_partkey->part"))
+        .unionAll(audit(c, "c_nationkey", n, "n_nationkey", "customer.c_nationkey->nation"))
+    )

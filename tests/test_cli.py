@@ -46,3 +46,28 @@ def test_run_lab_accepts_file_url(tmp_path):
     lines = part.read_text().splitlines()
     assert lines == sorted(lines)  # key-sorted, reference shape
     assert all("\t" in l for l in lines)
+
+
+def test_sql_subcommand_runs_over_registered_views():
+    """`python -m hadoop_lab_spark sql "SELECT ..."` — the ad-hoc SQL
+    layer over the pre-registered star-schema views."""
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "hadoop_lab_spark",
+            "sql",
+            "SELECT r_name, count(*) AS n FROM region "
+            "GROUP BY r_name ORDER BY r_name",
+            "--sf-dir",
+            "/root/testdata/sf0.001",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd=str(pathlib.Path(__file__).parent.parent),
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "r_name" in proc.stdout
+    # region has 5 fixed rows at every scale factor
+    assert proc.stdout.count("| 1 ") >= 5 or "AFRICA" in proc.stdout
