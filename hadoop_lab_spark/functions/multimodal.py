@@ -162,3 +162,46 @@ def decode_image_real(df: DataFrame, id_col: str = "doc_id", payload_col: str = 
             )
 
     return df.select(id_col, payload_col).mapInPandas(decode, IMAGE_FEATURES_SCHEMA)
+
+
+#: Output schema of the fake audio-energy extractor (1→N windows).
+AUDIO_ENERGY_SCHEMA = "doc_id BIGINT, window_idx INT, energy BIGINT, peak INT"
+
+#: Bytes per analysis window; cap bounds the fan-out like MAX_FRAMES.
+AUDIO_WINDOW = 32
+MAX_WINDOWS = 8
+
+
+def audio_window_energy(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Fake audio analysis over a binary "PCM" column (1→N windows).
+
+    Emits min(n_bytes // AUDIO_WINDOW, MAX_WINDOWS) complete windows per
+    payload with integer energy (byte sum) and peak (byte max) — the
+    deterministic stand-in for RMS/peak metering, exact cross-engine
+    because every metric is integer arithmetic over the same bytes. A
+    real decoder swaps the per-batch body (like decode_image_real), the
+    Arrow batch shape and bounded fan-out stay identical.
+    """
+
+    def energy(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, es, ps = [], [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:  # missing blob → zero windows
+                    continue
+                n = min(len(payload) // AUDIO_WINDOW, MAX_WINDOWS)
+                for i in range(n):
+                    w = payload[i * AUDIO_WINDOW : (i + 1) * AUDIO_WINDOW]
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    es.append(sum(w))
+                    ps.append(max(w))
+            yield pd.DataFrame(
+                {"doc_id": ids, "window_idx": idxs, "energy": es, "peak": ps}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(energy, AUDIO_ENERGY_SCHEMA)

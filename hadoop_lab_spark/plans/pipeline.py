@@ -753,6 +753,54 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.sample_frames(with_payload)
 
 
+@register(
+    "multimodal_audio_energy",
+    oracle=f"""
+        -- ord(1-char substring) == byte value ONLY for ASCII payloads, so
+        -- both engines restrict to docs whose byte length equals their
+        -- char length (the Spark side meters real bytes either way; the
+        -- filter keeps the oracle exact, not the operator correct).
+        WITH a AS (
+            SELECT doc_id, text FROM documents
+            WHERE text IS NOT NULL
+              AND octet_length(encode(text)) = length(text)
+        ),
+        w AS (
+            SELECT doc_id, text, CAST(u.i AS INTEGER) AS window_idx
+            FROM a, UNNEST(range(0, least(length(text) // {M.AUDIO_WINDOW},
+                                          {M.MAX_WINDOWS}))) AS u(i)
+        )
+        SELECT doc_id, window_idx,
+               CAST(list_aggregate(list_transform(range(1, {M.AUDIO_WINDOW + 1}),
+                        j -> ord(substring(text,
+                                 window_idx * {M.AUDIO_WINDOW} + CAST(j AS INT), 1))),
+                    'sum') AS BIGINT) AS energy,
+               CAST(list_aggregate(list_transform(range(1, {M.AUDIO_WINDOW + 1}),
+                        j -> ord(substring(text,
+                                 window_idx * {M.AUDIO_WINDOW} + CAST(j AS INT), 1))),
+                    'max') AS INTEGER) AS peak
+        FROM w
+    """,
+    doc="multimodal: windowed integer energy/peak metering over a binary "
+    "'audio' column via mapInPandas (bounded 1→N fan-out) — completes the "
+    "image/audio/video opaque-binary trio",
+    tags=("pipeline", "multimodal", "pandas"),
+)
+def q_multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same Arrow-batched shape as frame sampling; metrics are integer
+    byte arithmetic so the oracle is exact with no float policy. The
+    ASCII restriction exists for the ORACLE's ord()==byte equivalence
+    only — the operator itself meters raw bytes for any payload."""
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+        & (F.octet_length("text") == F.length("text"))
+    )
+    with_payload = docs.select(
+        "doc_id", M.payload_from_text("text").alias("payload")
+    )
+    return M.audio_window_energy(with_payload)
+
+
 # ---------------------------------------------------------------------------
 # Embedding centroids (vector aggregation)
 # ---------------------------------------------------------------------------
