@@ -239,3 +239,26 @@ def test_embedding_quantize_is_scan_local(spark):
     the vectors — any Exchange means someone broke the fold."""
     plan = _plan(spark, "embedding_quantize_int8")
     assert _exchanges(plan) == 0
+
+
+def test_feature_standardize_broadcasts_fitted_stats(spark):
+    """Fit-transform must broadcast the per-group stats back onto the
+    fact scan, never window-sort the fact table."""
+    plan = _plan(spark, "feature_standardize_lineitem")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+
+
+def test_price_histogram_single_exchange(spark):
+    """Fixed bin bounds ⇒ exactly one partial→final aggregate exchange,
+    no min/max pre-scan."""
+    plan = _plan(spark, "price_histogram")
+    assert _exchanges(plan) == 1
+
+
+def test_referential_audit_broadcasts_every_dim(spark):
+    plan = _plan(spark, "referential_integrity_audit")
+    # formatted explain names each node twice (tree + details)
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
