@@ -53,6 +53,10 @@ ALLOWED = {
     "multimodal_frame_sample": {
         "MapInPandas": "intended Arrow-batched frame sampler",
     },
+    "multimodal_audio_energy": {
+        "MapInPandas": "intended Arrow-batched audio-window metering "
+        "(bounded 1→N fan-out, integer metrics)",
+    },
 }
 
 MARKERS = (
