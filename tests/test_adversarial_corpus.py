@@ -616,3 +616,91 @@ def test_adversarial_relational_match_oracle(spark, adversarial_rel_dir, name):
         assert_matches_oracle(df, con, spec.oracle, name=f"adversarial-rel:{name}")
     finally:
         con.close()
+
+
+# --- hostile streaming: bounded replay vs batch oracle on boundary data ---
+#
+# The streaming jobs are excluded from the sweeps above (their tag skips
+# them), so they never faced hostile inputs. This section replays every
+# streaming query over a combined hostile dir: the adversarial events
+# (NULL keys/types/values, duplicate timestamps, far-future day) PLUS
+# deliberate event-time BOUNDARY rows — an exactly-1-hour session gap
+# and an exactly-7-day purchase/signup distance — where end-exclusive
+# window semantics and inclusive join ranges are most likely to diverge
+# from a batch twin.
+
+_STREAM_EVENTS = _EVENTS + [
+    # session-gap boundary: user 50's events exactly 1h apart
+    (100, _ts(3600), 50, "view", 1.0, None),
+    (101, _ts(7200), 50, "view", 1.0, None),
+    # join-range boundary: purchase exactly 7 days after the signup
+    (102, _ts(10800), 60, "signup", 1.0, None),
+    (103, _ts(10800 + 7 * 86400), 60, "purchase", 2.0, None),
+    # same-instant signup and purchase for a fresh user (range edge 0)
+    (104, _ts(20000), 61, "signup", 1.0, None),
+    (105, _ts(20000), 61, "purchase", 1.5, None),
+]
+
+
+@pytest.fixture(scope="module")
+def adversarial_stream_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("advstream")
+    events = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in _STREAM_EVENTS], pa.int64()),
+            "ts": pa.array([r[1] for r in _STREAM_EVENTS], pa.timestamp("ns")),
+            "user_id": pa.array([r[2] for r in _STREAM_EVENTS], pa.int64()),
+            "event_type": pa.array([r[3] for r in _STREAM_EVENTS], pa.string()),
+            "value": pa.array([r[4] for r in _STREAM_EVENTS], pa.float64()),
+            "props": pa.array([r[5] for r in _STREAM_EVENTS], pa.string()),
+        }
+    )
+    pq.write_table(events, os.path.join(str(d), "events.parquet"))
+    customer = pa.table(
+        {
+            "c_custkey": pa.array([r[0] for r in _CUSTOMER], pa.int64()),
+            "c_name": pa.array([r[1] for r in _CUSTOMER], pa.string()),
+            "c_nationkey": pa.array([r[2] for r in _CUSTOMER], pa.int32()),
+            "c_acctbal": pa.array([r[3] for r in _CUSTOMER], pa.float64()),
+            "c_mktsegment": pa.array([r[4] for r in _CUSTOMER], pa.string()),
+        }
+    )
+    pq.write_table(customer, os.path.join(str(d), "customer.parquet"))
+    docs = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in _DOCS], pa.int64()),
+            "text": pa.array([r[1] for r in _DOCS], pa.string()),
+            "lang": pa.array([r[2] for r in _DOCS], pa.string()),
+            "source": pa.array([r[3] for r in _DOCS], pa.string()),
+            "n_chars": pa.array([r[4] for r in _DOCS], pa.int64()),
+        }
+    )
+    pq.write_table(docs, os.path.join(str(d), "documents.parquet"))
+    return str(d)
+
+
+STREAM_QUERIES = sorted(
+    name
+    for name, spec in REGISTRY.items()
+    if "streaming" in spec.tags and spec.oracle
+)
+
+
+def test_stream_selection_is_substantial():
+    assert len(STREAM_QUERIES) == 9, STREAM_QUERIES
+
+
+@pytest.mark.parametrize("name", STREAM_QUERIES)
+def test_adversarial_streaming_match_oracle(spark, adversarial_stream_dir, name):
+    con = duckdb.connect()
+    try:
+        for t in ("events", "customer", "documents"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet("
+                f"'{os.path.join(adversarial_stream_dir, t + '.parquet')}')"
+            )
+        spec = REGISTRY[name]
+        df = spec.fn(spark, adversarial_stream_dir)
+        assert_matches_oracle(df, con, spec.oracle, name=f"adversarial-stream:{name}")
+    finally:
+        con.close()
