@@ -1181,3 +1181,80 @@ def q_bigram_lm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.orderBy(F.col("cnt").desc(), F.col("w1").asc(), F.col("w2").asc()))
         .alias("rk"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouped-map applyInPandas (per-key imperative logic escape hatch)
+# ---------------------------------------------------------------------------
+@register(
+    "user_longest_increasing_run",
+    oracle="""
+        -- gaps-and-islands twin of the imperative pandas scan: runs of
+        -- strictly increasing value in (ts, event_id) order per user
+        WITH ordered AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN value > lag(value) OVER w THEN 0 ELSE 1 END AS brk
+            FROM events
+            WHERE user_id IS NOT NULL AND value IS NOT NULL
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        runs AS (
+            SELECT user_id,
+                   sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS run_id
+            FROM ordered
+        )
+        SELECT user_id,
+               CAST(max(run_len) AS BIGINT) AS longest_run,
+               CAST(sum(run_len) AS BIGINT) AS n_events
+        FROM (SELECT user_id, count(*) AS run_len
+              FROM runs GROUP BY user_id, run_id)
+        GROUP BY user_id
+    """,
+    doc="grouped-map applyInPandas: per-user longest strictly-increasing "
+    "value run in event-time order — the per-key imperative escape hatch "
+    "(sequential scan semantics that windows express only via "
+    "gaps-and-islands contortions)",
+    tags=("pipeline", "pandas", "stateful"),
+)
+def q_user_longest_increasing_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas (grouped map): one shuffle on user_id, then each
+    key's rows arrive as ONE pandas frame — the API for per-key
+    sequential algorithms (sessionizers, online detectors, curve fits)
+    that SQL windows can't express naturally. State is bounded by the
+    largest single key, not the partition; keys are uniform here. Rows
+    are totally ordered by (ts, event_id) so equal timestamps cannot
+    make the scan nondeterministic; NULL users/values are filtered on
+    both engines (a NULL comparison would end a run on one engine and
+    be skipped on the other).
+
+    UDF body is self-contained (nested imports only) — see
+    functions/multimodal.py note on by-value pickling.
+    """
+
+    def longest_run(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(["ts", "event_id"])
+        best = cur = 0
+        prev = None
+        for v in pdf["value"]:
+            cur = cur + 1 if (prev is not None and v > prev) else 1
+            best = max(best, cur)
+            prev = v
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "longest_run": [best],
+                "n_events": [len(pdf)],
+            }
+        )
+
+    events = _t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    return events.select("user_id", "ts", "event_id", "value").groupBy(
+        "user_id"
+    ).applyInPandas(
+        longest_run, "user_id BIGINT, longest_run BIGINT, n_events BIGINT"
+    )

@@ -37,6 +37,7 @@ CANDIDATES = [
     "heavy_hitters_cms",
     "sim_topk_bruteforce",
     "salted_collect_types_per_user",
+    "user_longest_increasing_run",
 ]
 
 

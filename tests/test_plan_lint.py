@@ -57,6 +57,11 @@ ALLOWED = {
         "MapInPandas": "intended Arrow-batched audio-window metering "
         "(bounded 1→N fan-out, integer metrics)",
     },
+    "user_longest_increasing_run": {
+        "FlatMapGroupsInPandas": "intended grouped-map applyInPandas "
+        "escape hatch (per-key sequential scan; state bounded by the "
+        "largest key, keys uniform)",
+    },
 }
 
 MARKERS = (
