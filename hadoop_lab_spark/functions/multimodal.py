@@ -205,3 +205,65 @@ def audio_window_energy(
             )
 
     return df.select(id_col, payload_col).mapInPandas(energy, AUDIO_ENERGY_SCHEMA)
+
+
+#: Output schema of the fake resize planner (1→1).
+RESIZE_SCHEMA = (
+    "doc_id BIGINT, width INT, height INT, out_width INT, out_height INT"
+)
+
+#: Bounding box for the aspect-preserving resize.
+RESIZE_BOX = 64
+
+
+def resize_images(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Fake aspect-preserving resize over a binary "image" column (1→1).
+
+    Reads the pseudo header dims (same sha256 derivation as
+    extract_image_features) and computes the output size fitting
+    RESIZE_BOX × RESIZE_BOX with aspect preserved, entirely in integer
+    arithmetic (w·BOX // max_dim) so the oracle is exact. A real
+    implementation swaps the body for PIL's Image.resize and writes the
+    resized bytes; batch shape, schema discipline, and the bounded
+    integer planner are identical.
+    """
+
+    def resize(batches: Iterator) -> Iterator:
+        import hashlib as _hl
+
+        import pandas as pd
+
+        box = 64  # RESIZE_BOX, inlined: closures must be self-contained
+        ids, ws, hs, ows, ohs = [], [], [], [], []
+        for pdf in batches:
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    ids.append(doc_id)
+                    ws.append(None)
+                    hs.append(None)
+                    ows.append(None)
+                    ohs.append(None)
+                    continue
+                sha = _hl.sha256(payload).hexdigest()
+                w = 64 + int(sha[0:2], 16) % 192
+                h = 64 + int(sha[2:4], 16) % 192
+                m = max(w, h)
+                ids.append(doc_id)
+                ws.append(w)
+                hs.append(h)
+                ows.append(max(1, w * box // m))
+                ohs.append(max(1, h * box // m))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "width": ws,
+                    "height": hs,
+                    "out_width": ows,
+                    "out_height": ohs,
+                }
+            )
+            ids, ws, hs, ows, ohs = [], [], [], [], []
+
+    return df.select(id_col, payload_col).mapInPandas(resize, RESIZE_SCHEMA)

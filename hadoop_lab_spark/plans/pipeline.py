@@ -1258,3 +1258,42 @@ def q_user_longest_increasing_run(spark: SparkSession, sf_dir: str) -> DataFrame
     ).applyInPandas(
         longest_run, "user_id BIGINT, longest_run BIGINT, n_events BIGINT"
     )
+
+
+@register(
+    "multimodal_image_resize",
+    oracle=f"""
+        WITH h AS (
+            SELECT doc_id, sha256(text) AS sha FROM documents
+            WHERE text IS NOT NULL
+        ),
+        dims AS (
+            SELECT doc_id,
+                   CAST(64 + ({_hexpair_sql("sha", 1)} % 192) AS INTEGER) AS width,
+                   CAST(64 + ({_hexpair_sql("sha", 3)} % 192) AS INTEGER) AS height
+            FROM h
+        )
+        SELECT doc_id, width, height,
+               CAST(greatest(1, width * {M.RESIZE_BOX}
+                                // greatest(width, height)) AS INTEGER) AS out_width,
+               CAST(greatest(1, height * {M.RESIZE_BOX}
+                                // greatest(width, height)) AS INTEGER) AS out_height
+        FROM dims
+        UNION ALL
+        SELECT doc_id, NULL, NULL, NULL, NULL FROM documents WHERE text IS NULL
+    """,
+    doc=f"multimodal: aspect-preserving resize planner into a "
+    f"{M.RESIZE_BOX}px box over a binary 'image' column via mapInPandas — "
+    "integer box-fit arithmetic on the decoded header dims (fake decoder; "
+    "a real one swaps the batch body for PIL.Image.resize)",
+    tags=("pipeline", "multimodal", "pandas"),
+)
+def q_multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1→1 Arrow-batched shape like feature extraction; NULL payloads
+    yield NULL dims (null-propagation, not a crash). All-integer
+    planning keeps the oracle exact with no float policy."""
+    docs = _t(spark, sf_dir, "documents")
+    with_payload = docs.select(
+        "doc_id", M.payload_from_text("text").alias("payload")
+    )
+    return M.resize_images(with_payload)

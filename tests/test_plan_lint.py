@@ -57,6 +57,10 @@ ALLOWED = {
         "MapInPandas": "intended Arrow-batched audio-window metering "
         "(bounded 1→N fan-out, integer metrics)",
     },
+    "multimodal_image_resize": {
+        "MapInPandas": "intended Arrow-batched resize planner (1→1, "
+        "integer box-fit arithmetic)",
+    },
     "user_longest_increasing_run": {
         "FlatMapGroupsInPandas": "intended grouped-map applyInPandas "
         "escape hatch (per-key sequential scan; state bounded by the "
