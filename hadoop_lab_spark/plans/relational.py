@@ -1005,3 +1005,95 @@ def q_referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame
         .unionAll(audit(li, "l_partkey", p, "p_partkey", "lineitem.l_partkey->part"))
         .unionAll(audit(c, "c_nationkey", n, "n_nationkey", "customer.c_nationkey->nation"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Multiset set ops (INTERSECT ALL / EXCEPT ALL — bag, not set, semantics)
+# ---------------------------------------------------------------------------
+@register(
+    "priority_multiset_ops",
+    oracle="""
+        SELECT 'intersect_all' AS op, o_custkey,
+               CAST(count(*) AS BIGINT) AS n
+        FROM (
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+            INTERSECT ALL
+            SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        )
+        GROUP BY o_custkey
+        UNION ALL
+        SELECT 'except_all', o_custkey, CAST(count(*) AS BIGINT)
+        FROM (
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+            EXCEPT ALL
+            SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        )
+        GROUP BY o_custkey
+    """,
+    doc="multiset set ops: INTERSECT ALL / EXCEPT ALL preserve per-key "
+    "multiplicity min(m,n) / max(m-n,0) — bag semantics the plain "
+    "INTERSECT/EXCEPT queries (set semantics) cannot express",
+    tags=("extension", "setop", "aggregate"),
+)
+def q_priority_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """intersectAll/exceptAll compile to an aggregate computing per-row
+    multiplicities then a generate replaying min(m,n)/max(m-n,0) copies
+    — one shuffle each on the row value, no join explosion. The output
+    re-aggregates to (key, count) so the oracle comparison is
+    multiplicity-exact without carrying duplicate rows through the
+    driver hash."""
+    o = _t(spark, sf_dir, "orders")
+    f_side = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    u_side = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    ia = (
+        f_side.intersectAll(u_side)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "o_custkey", "n")
+    )
+    ea = (
+        f_side.exceptAll(u_side)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(F.lit("except_all").alias("op"), "o_custkey", "n")
+    )
+    return ia.unionAll(ea)
+
+
+# ---------------------------------------------------------------------------
+# NULL-preserving explode (explode_outer vs explode)
+# ---------------------------------------------------------------------------
+@register(
+    "order_priority_tokens_outer",
+    oracle="""
+        -- LEFT JOIN UNNEST == explode_outer: rows whose array is empty
+        -- (or whose source is NULL) survive with a NULL token — the
+        -- semantic explode() silently drops
+        SELECT o_orderkey, t.tok
+        FROM orders
+        LEFT JOIN LATERAL (
+            SELECT unnest(CASE WHEN o_orderpriority IS NULL
+                               OR trim(o_orderpriority) = ''
+                               THEN []
+                               ELSE string_split(o_orderpriority, '-')
+                          END) AS tok
+        ) t ON TRUE
+    """,
+    doc="explode_outer semantics: '-'-split priority tokens with "
+    "empty/NULL priorities PRESERVED as (key, NULL) rows — the "
+    "left-join-unnest contract plain explode() violates by dropping them",
+    tags=("extension", "array", "transform"),
+)
+def q_order_priority_tokens_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generate(outer=true) in the scan stage — same zero-shuffle cost
+    as explode; the difference is purely semantic (dropped vs NULL rows
+    for empty inputs). At 100 TB the preserved rows are what lets a
+    downstream anti-join find records whose array column was empty —
+    with plain explode they vanish from the pipeline silently."""
+    o = _t(spark, sf_dir, "orders")
+    toks = F.when(
+        F.col("o_orderpriority").isNull()
+        | (F.trim("o_orderpriority") == ""),
+        F.array().cast("array<string>"),
+    ).otherwise(F.split("o_orderpriority", "-"))
+    return o.select("o_orderkey", F.explode_outer(toks).alias("tok"))
