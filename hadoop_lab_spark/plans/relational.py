@@ -1097,3 +1097,64 @@ def q_order_priority_tokens_outer(spark: SparkSession, sf_dir: str) -> DataFrame
         F.array().cast("array<string>"),
     ).otherwise(F.split("o_orderpriority", "-"))
     return o.select("o_orderkey", F.explode_outer(toks).alias("tok"))
+
+
+# ---------------------------------------------------------------------------
+# Entity resolution: blocked fuzzy-match of customer names
+# ---------------------------------------------------------------------------
+@register(
+    "customer_name_fuzzy_blocks",
+    oracle="""
+        WITH keyed AS (
+            SELECT c_custkey, c_name,
+                   substring(c_name, 1, greatest(length(c_name) - 2, 1)) AS blk
+            FROM customer
+            WHERE c_name IS NOT NULL
+        ),
+        pairs AS (
+            SELECT a.blk,
+                   CAST(count(*) AS BIGINT) AS n_candidates,
+                   CAST(sum(CASE WHEN levenshtein(a.c_name, b.c_name) <= 2
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_matches
+            FROM keyed a JOIN keyed b
+              ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+            GROUP BY a.blk
+        )
+        SELECT blk, n_candidates, n_matches FROM pairs
+    """,
+    doc="entity resolution: block customer names on their stem (name minus "
+    "last 2 chars), verify candidate pairs with levenshtein <= 2 — the "
+    "block-then-verify fuzzy-dedup shape, aggregated per block",
+    tags=("extension", "join", "string", "dedup"),
+)
+def q_customer_name_fuzzy_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical entity-resolution discipline at scale: NEVER
+    all-pairs — a cheap blocking key bounds each block's candidate set,
+    the expensive verifier (edit distance) runs only within blocks, and
+    the self-join shuffles on the block key (uniform by construction
+    here; salt hot blocks in the wild). Output is per-block aggregates,
+    so result size ∝ blocks, not pairs."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_name").isNotNull())
+    blk = F.substring(
+        F.col("c_name"), 1, F.greatest(F.length("c_name") - 2, F.lit(1))
+    )
+    keyed = c.select("c_custkey", "c_name", blk.alias("blk"))
+    a = keyed.select(
+        F.col("blk"), F.col("c_custkey").alias("k_a"), F.col("c_name").alias("n_a")
+    )
+    b = keyed.select(
+        F.col("blk").alias("blk_b"),
+        F.col("c_custkey").alias("k_b"),
+        F.col("c_name").alias("n_b"),
+    )
+    pairs = a.join(
+        b, (F.col("blk") == F.col("blk_b")) & (F.col("k_a") < F.col("k_b"))
+    )
+    return pairs.groupBy("blk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+        F.sum(
+            F.when(F.levenshtein("n_a", "n_b") <= 2, 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_matches"),
+    )
