@@ -30,6 +30,13 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from hadoop_lab_spark.operators.wordcount import wordcount as wordcount_op
 from hadoop_lab_spark.sources.tables import _normalize, table_path
 
+#: Extra options merged into every streaming reader. Production leaves
+#: this empty; tests inject e.g. {"maxFilesPerTrigger": "1"} to force a
+#: bounded replay through MULTIPLE micro-batches, proving the
+#: batching-invariance the bounded-replay oracle checks rely on
+#: (tests/test_streaming_batching.py).
+STREAM_READER_OPTIONS: dict[str, str] = {}
+
 
 def _read_stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Stream one star-schema table.
@@ -52,11 +59,12 @@ def _read_stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame
     under either file layout.
     """
     schema = spark.read.parquet(table_path(sf_dir, name)).schema
-    return (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", f"{name}.parquet")
-        .parquet(sf_dir)
+    reader = spark.readStream.schema(schema).option(
+        "pathGlobFilter", f"{name}.parquet"
     )
+    for k, v in STREAM_READER_OPTIONS.items():
+        reader = reader.option(k, v)
+    return reader.parquet(sf_dir)
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
