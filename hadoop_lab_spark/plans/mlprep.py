@@ -769,3 +769,57 @@ def q_corpus_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("exact_dup_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD type-2 history (versioned rows with supersession chain)
+# ---------------------------------------------------------------------------
+@register(
+    "orders_scd2_history",
+    oracle="""
+        WITH hist AS (
+            SELECT o_orderkey, o_totalprice, CAST(1 AS INTEGER) AS version
+            FROM orders WHERE o_orderkey % 10 <> 0
+            UNION ALL
+            SELECT o_orderkey, o_totalprice + 10.0, CAST(2 AS INTEGER)
+            FROM orders WHERE o_orderkey % 3 = 0
+        )
+        SELECT o_orderkey, version, o_totalprice,
+               lead(version) OVER w AS superseded_by,
+               lead(version) OVER w IS NULL AS is_current
+        FROM hist
+        WINDOW w AS (PARTITION BY o_orderkey ORDER BY version)
+    """,
+    doc="SCD type-2: two order snapshots unioned into a versioned history "
+    "with a lead()-derived supersession pointer and current-row flag — "
+    "the keep-history counterpart of the SCD1 upsert (upsert_orders_scd1)",
+    tags=("mlprep", "cdc", "window"),
+)
+def q_orders_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 keeps every version instead of overwriting (SCD1): the union
+    of snapshots is windowed per business key in version order, and
+    lead(version) closes superseded rows. One shuffle on the key; the
+    window partitions are per-key (2-3 rows) so no task ever sorts more
+    than a key's history. On a lakehouse table the same plan applies
+    with snapshot timestamps as versions."""
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")
+    base = o.filter(F.col("o_orderkey") % 10 != 0).select(
+        "o_orderkey", "o_totalprice", F.lit(1).cast("int").alias("version")
+    )
+    upd = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice") + 10.0).alias("o_totalprice"),
+        F.lit(2).cast("int").alias("version"),
+    )
+    hist = base.unionByName(upd)
+    w = Window.partitionBy("o_orderkey").orderBy("version")
+    superseded = F.lead("version").over(w)
+    return hist.select(
+        "o_orderkey",
+        "version",
+        "o_totalprice",
+        superseded.alias("superseded_by"),
+        superseded.isNull().alias("is_current"),
+    )
