@@ -1158,3 +1158,55 @@ def q_customer_name_fuzzy_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_matches"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cumulative distinct users (first-seen reduction, not windowed DISTINCT)
+# ---------------------------------------------------------------------------
+@register(
+    "cumulative_distinct_users",
+    oracle="""
+        WITH first_seen AS (
+            SELECT user_id, min(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS d
+            FROM events
+            WHERE user_id IS NOT NULL
+            GROUP BY user_id
+        ),
+        per_day AS (
+            SELECT d, CAST(count(*) AS BIGINT) AS new_users
+            FROM first_seen GROUP BY d
+        )
+        SELECT d, new_users,
+               CAST(sum(new_users) OVER (ORDER BY d
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_users
+        FROM per_day
+    """,
+    doc="cumulative distinct users by day: first-seen reduction + running "
+    "sum — the scalable form of a windowed COUNT(DISTINCT), which no "
+    "engine can evaluate incrementally over an unbounded frame",
+    tags=("extension", "window", "distinct", "timeseries"),
+)
+def q_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A running COUNT(DISTINCT user) is not window-computable without
+    keeping every seen key in the frame state; the scalable identity is
+    distinct-count(≤ d) == count of users whose FIRST day ≤ d. That
+    turns the problem into one groupBy(user) min, one tiny per-day
+    count, and a running sum over |days| rows — at 100 TB the only wide
+    shuffle is the per-user min (uniform key), and the window runs over
+    a day-count-sized frame."""
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    first_seen = e.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts")).alias("d")
+    )
+    per_day = first_seen.groupBy("d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("new_users")
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return per_day.select(
+        "d",
+        "new_users",
+        F.sum("new_users").over(w).cast("bigint").alias("cum_users"),
+    )
