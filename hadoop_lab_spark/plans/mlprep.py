@@ -823,3 +823,64 @@ def q_orders_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         superseded.alias("superseded_by"),
         superseded.isNull().alias("is_current"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding norm statistics per label (vector QA report)
+# ---------------------------------------------------------------------------
+@register(
+    "embedding_norm_stats",
+    oracle="""
+        WITH norms AS (
+            SELECT label,
+                   sqrt(list_aggregate(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+                       AS l2
+            FROM embeddings
+            WHERE embedding IS NOT NULL AND len(embedding) > 0
+        )
+        SELECT label,
+               CAST(count(*) AS BIGINT) AS n_vecs,
+               floor(min(l2) * 1e6) / 1e6 AS min_l2,
+               floor(max(l2) * 1e6) / 1e6 AS max_l2,
+               floor(quantile_cont(l2, 0.5) * 1e6) / 1e6 AS median_l2
+        FROM norms
+        GROUP BY label
+    """,
+    doc="embedding QA: per-label L2-norm count/min/max/median — the "
+    "first sanity report on any embedding corpus (zero or exploding "
+    "norms flag a broken encoder before ANN indexes are built)",
+    tags=("mlprep", "vector", "stats"),
+)
+def q_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Norms are a scan-local array fold (sqrt is IEEE
+    correctly-rounded, so no rounding is needed until the aggregate
+    boundary); the only shuffle is the tiny per-label groupBy. min/max
+    of identical doubles are engine-exact; the interpolated median is
+    one division over sorted values — all truncated at 6dp on both
+    engines only because quantile interpolation mixes two doubles.
+
+    The fold ORDER is position order on both engines (Spark aggregate,
+    DuckDB list_aggregate sum left-to-right), so the accumulated sums
+    are bit-identical — same-order accumulation, not reassociation."""
+    e = _t(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") > 0)
+    )
+    l2 = F.sqrt(
+        F.aggregate(
+            F.col("embedding"),
+            F.lit(0.0),
+            lambda a, x: a + x.cast("double") * x.cast("double"),
+        )
+    )
+    norms = e.select("label", l2.alias("l2"))
+    # X.trunc, not raw floor: Spark's FLOOR(double) saturates at BIGINT
+    # range, so a 1e30-norm vector (hostile-embeddings fixture) would
+    # silently truncate to 9.2e12 — the exact bug class trunc's 2^53
+    # guard exists for.
+    return norms.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        X.trunc(F.min("l2")).alias("min_l2"),
+        X.trunc(F.max("l2")).alias("max_l2"),
+        X.trunc(F.expr("percentile(l2, 0.5)")).alias("median_l2"),
+    )

@@ -1210,3 +1210,50 @@ def q_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_users",
         F.sum("new_users").over(w).cast("bigint").alias("cum_users"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention matrix (signup month × activity month)
+# ---------------------------------------------------------------------------
+@register(
+    "user_retention_cohorts",
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id,
+                   min(CAST(date_trunc('month', ts) AS TIMESTAMP)) AS cohort_m
+            FROM events
+            WHERE user_id IS NOT NULL
+            GROUP BY user_id
+        ),
+        activity AS (
+            SELECT DISTINCT user_id,
+                   CAST(date_trunc('month', ts) AS TIMESTAMP) AS active_m
+            FROM events
+            WHERE user_id IS NOT NULL
+        )
+        SELECT f.cohort_m, a.active_m,
+               CAST(count(*) AS BIGINT) AS n_users
+        FROM firsts f JOIN activity a USING (user_id)
+        GROUP BY f.cohort_m, a.active_m
+    """,
+    doc="cohort retention matrix: users bucketed by first-activity month, "
+    "counted in every month they return — the retention heat-map query "
+    "behind every growth dashboard",
+    tags=("extension", "aggregate", "timeseries", "join"),
+)
+def q_user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three uniform-key shuffles (per-user min, per-user-month distinct,
+    final cohort×month groupBy) and one join on user_id — every stage
+    keyed by user or (cohort, month), both unskewed. The cohort table is
+    |users| rows; at 100 TB it broadcast-joins onto the distinct
+    activity stream if users fit, else shuffles on the same uniform
+    key — either way no stage ever holds more than a month-pair count."""
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    month = F.date_trunc("month", "ts")
+    firsts = e.groupBy("user_id").agg(F.min(month).alias("cohort_m"))
+    activity = e.select("user_id", month.alias("active_m")).distinct()
+    return (
+        firsts.join(activity, "user_id")
+        .groupBy("cohort_m", "active_m")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    )
