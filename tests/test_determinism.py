@@ -38,6 +38,10 @@ CANDIDATES = [
     "sim_topk_bruteforce",
     "salted_collect_types_per_user",
     "user_longest_increasing_run",
+    "customer_name_fuzzy_blocks",
+    "user_retention_cohorts",
+    "orders_scd2_history",
+    "priority_multiset_ops",
 ]
 
 

@@ -93,3 +93,61 @@ def test_fuzzed_corpus_matches_oracle(spark, tmp_path_factory, texts):
             assert_matches_oracle(df, con, spec.oracle, name=f"fuzz:{name}")
     finally:
         con.close()
+
+
+#: Embedding-family queries fuzzed per generated vector table.
+FUZZ_EMB_QUERIES = (
+    "embedding_quantize_int8",
+    "embedding_norm_stats",
+    "embedding_centroids",
+)
+
+_vec = st.one_of(
+    st.none(),
+    st.lists(
+        st.floats(min_value=-1e4, max_value=1e4, allow_nan=False, width=32),
+        min_size=0,
+        max_size=6,
+    ),
+)
+
+
+@given(st.lists(_vec, min_size=1, max_size=8))
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+def test_fuzzed_embeddings_match_oracle(spark, tmp_path_factory, vecs):
+    """Random vectors (incl. NULL and empty) through the vector-QA
+    family vs DuckDB. Vector LENGTHS vary per row — centroids must
+    aggregate ragged dims identically on both engines.
+
+    Caveat baked into the generator: bounded magnitudes and no NaN —
+    the hand-built hostile fixture owns the 1e30/NaN lanes; here the
+    value is the combinatorial coverage of lengths and NULL placement.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path_factory.mktemp("fuzzemb"))
+    table = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            "label": pa.array([i % 3 for i in range(len(vecs))], pa.int32()),
+        }
+    )
+    pq.write_table(table, os.path.join(d, "embeddings.parquet"))
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM read_parquet("
+            f"'{os.path.join(d, 'embeddings.parquet')}')"
+        )
+        for name in FUZZ_EMB_QUERIES:
+            spec = REGISTRY[name]
+            df = spec.fn(spark, d)
+            assert_matches_oracle(df, con, spec.oracle, name=f"fuzz-emb:{name}")
+    finally:
+        con.close()
