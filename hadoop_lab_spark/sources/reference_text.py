@@ -35,16 +35,32 @@ def naive_split(line: Column, delim: str) -> Column:
     That difference IS reachable through the lab consumers — a line with
     n-1 real fields plus a trailing delimiter ("a,b," with arity>=3 and
     a STRING-typed last field, the lab8/9/10 shape) passes the Spark
-    arity guard with a phantom '' field where Java drops the row — so
-    Java semantics are emulated by stripping the trailing delimiter run
-    before splitting (tests/test_java_split_semantics.py proves the
-    equivalence property-wise against a Java-split twin).
+    arity guard with a phantom '' field where Java drops the row.
 
-    Residual divergence, documented: an ALL-delimiter line (",,,") maps
-    to [''] here vs [] in Java. Every consumer requires >= 2 fields, so
-    the row is dropped either way — outcome-identical.
+    Emulation is Java's ACTUAL order — split first, then drop the
+    trailing run of empty fields. The earlier textual form (strip the
+    trailing delimiter run from the string, then split) mis-frames
+    multi-char delimiters: on ':::::' the greedy '(?:::)+$' strip eats
+    four chars that Java tokenizes as two delimiters plus a ':' TOKEN,
+    turning Java's ['', '', ':'] into [':'] — found by the hypothesis
+    twin in tests/test_java_split_semantics.py. Split-then-strip is
+    exact for every input, including the all-delimiter line (',,,' →
+    [] as in Java) and the empty string ([''], Java's one special
+    case).
+
+    The trailing-run length is an `aggregate` fold (running counter
+    reset on non-empty). HOFs are CodegenFallback, which is fine HERE:
+    this parser exists for the raw-text lab drop-in path, not the
+    parquet hot path.
     """
-    return F.split(F.regexp_replace(line, f"(?:{delim})+$", ""), delim)
+    arr = F.split(line, delim)
+    trailing = F.aggregate(
+        arr,
+        F.lit(0),
+        lambda acc, x: F.when(x == "", acc + 1).otherwise(F.lit(0)),
+    )
+    stripped = F.slice(arr, F.lit(1), F.size(arr) - trailing)
+    return F.when(line == "", F.array(F.lit(""))).otherwise(stripped)
 
 
 def field(parts: Column, idx: int) -> Column:
