@@ -559,12 +559,21 @@ def shared_probe_ngrams(
             WHERE embedding IS NOT NULL AND len(embedding) > 0
         )
         SELECT vec_id,
+               -- + 0.0 normalizes negative zero: DuckDB's abs() INSIDE a
+               -- list_transform lambda preserves the sign bit of -0.0
+               -- (scalar abs clears it), so a [-0.0] vector yields sc =
+               -- -0.0 and a repr-visible -0.0 scale. IEEE -0.0 + 0.0 =
+               -- +0.0 and x + 0.0 is the identity for everything else.
+               -- Found by the hypothesis embeddings fuzzer.
                CASE WHEN isnan(sc) THEN NULL
-                    ELSE floor(sc * 1e6) / 1e6 END AS scale_q,
+                    ELSE floor(sc * 1e6) / 1e6 + 0.0 END AS scale_q,
+               -- same + 0.0 normalization: a -0.0 ELEMENT with sc != 0
+               -- folds to err -0.0 through the sign-preserving lambda
+               -- abs, and list_max can hand it back as the maximum
                CASE WHEN sc = 0 THEN 0.0
                     WHEN isnan(sc) THEN NULL
                     ELSE (SELECT CASE WHEN isnan(m) THEN NULL
-                                      ELSE floor(m * 1e6) / 1e6 END
+                                      ELSE floor(m * 1e6) / 1e6 + 0.0 END
                           FROM (SELECT coalesce(list_max(list_transform(embedding,
                                    x -> abs(CAST(x AS DOUBLE)
                                             - floor(CAST(x AS DOUBLE) / sc + 0.5) * sc))),
@@ -614,10 +623,15 @@ def int8_quantize_audit(vectors: DataFrame) -> DataFrame:
     )
     return s.select(
         "vec_id",
-        F.nanvl(X.trunc(F.col("sc")), null_d).alias("scale_q"),
-        F.when(F.col("sc") == 0, F.lit(0.0))
-        .otherwise(F.nanvl(X.trunc(err), null_d))
-        .alias("max_abs_err"),
+        # + 0.0: negative-zero normalization, mirroring the oracle (the
+        # Spark fold already yields +0.0 via greatest(0.0, ·); the twin
+        # term keeps both expressions aligned).
+        (F.nanvl(X.trunc(F.col("sc")), null_d) + F.lit(0.0)).alias("scale_q"),
+        (
+            F.when(F.col("sc") == 0, F.lit(0.0))
+            .otherwise(F.nanvl(X.trunc(err), null_d))
+            + F.lit(0.0)
+        ).alias("max_abs_err"),
     )
 
 
