@@ -368,15 +368,21 @@ def q_partitioned_scan_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "skew_salted_join",
     oracle="""
-        WITH d AS (
+        -- NaN excluded on both engines (ADVICE-r3 class): a NaN value
+        -- poisons avg() into NaN, which Spark's floor() maps to 0 while
+        -- DuckDB's floor() keeps NaN — the threshold then diverges
+        WITH ev AS (
+            SELECT * FROM events WHERE value IS NULL OR NOT isnan(value)
+        ),
+        d AS (
             SELECT event_type,
                    floor(avg(value) * 1000000) / 1000000 AS type_avg
-            FROM events GROUP BY event_type
+            FROM ev GROUP BY event_type
         )
         SELECT e.event_type,
                CAST(count(*) AS BIGINT) AS cnt,
                CAST(count(*) FILTER (e.value > d.type_avg) AS BIGINT) AS cnt_above
-        FROM events e JOIN d USING (event_type)
+        FROM ev e JOIN d USING (event_type)
         GROUP BY e.event_type
     """,
     doc="salted equi-join for skewed keys: the dim side is replicated across "
@@ -393,9 +399,12 @@ def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     form that also works under AQE-off and for collect-style aggs.)
     The salt is a deterministic hash of event_id, so the query stays
     reproducible and oracle-checkable — the oracle runs the UNSALTED
-    join, proving result equality."""
+    join, proving result equality. NaN values excluded on both engines
+    (see oracle comment)."""
     buckets = 16
-    e = _t(spark, sf_dir, "events")
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNull() | ~F.isnan("value")
+    )
     dim = e.groupBy("event_type").agg(
         (F.floor(F.avg("value") * 1_000_000) / 1_000_000).alias("type_avg")
     )
@@ -506,6 +515,10 @@ def q_orc_roundtrip_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(sum(e.value), 2) AS sum_value
         FROM events e JOIN bands b
           ON e.value >= b.lo AND e.value < b.hi
+        -- NaN excluded on both engines (ADVICE-r3 class): Spark's
+        -- floor(NaN) bucket rewrite lands NaN in band 0 while the
+        -- theta form (NaN sorts above every hi) matches no band
+        WHERE NOT isnan(e.value)
         GROUP BY b.band_id
     """,
     doc="range/interval join: events matched to [lo, hi) value bands — the "
@@ -521,9 +534,11 @@ def q_range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     join rewrite when intervals are regular (for irregular intervals,
     overlap-bucket replication generalizes this). Both sides compute
     floor() identically on IEEE doubles, so bucket membership is
-    bit-identical across engines."""
+    bit-identical across engines. NaN values excluded on both engines
+    (see oracle comment — the bucket rewrite and the theta form disagree
+    on NaN membership)."""
     width, nbands = 50.0, 10
-    e = _t(spark, sf_dir, "events")
+    e = _t(spark, sf_dir, "events").filter(~F.isnan("value"))
     bands = spark.range(nbands).select(
         F.col("id").cast("int").alias("band_id"),
         (F.col("id") * width).alias("lo"),
@@ -706,6 +721,10 @@ def q_orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(count(*) FILTER (nullif(event_type, 'error')
                    IS NOT DISTINCT FROM NULL) AS BIGINT) AS null_safe_hits
         FROM events
+        -- this sampler pins NULL semantics, not NaN semantics: NaN
+        -- comparison/rounding policy differs by engine and is covered
+        -- by the dedicated NaN exclusions elsewhere (ADVICE-r3 class)
+        WHERE value IS NULL OR NOT isnan(value)
         GROUP BY event_type
     """,
     doc="NULL-semantics parity: count(*) vs count(expr), sum over an all-NULL "
@@ -718,8 +737,11 @@ def q_null_semantics_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULLs, SUM of nothing is NULL not 0, <=> treats NULL as a value).
     Every construct here is pinned against the oracle; sum_never stays
     NULL in every group on both engines — round(NULL) must propagate,
-    not zero-fill."""
-    e = _t(spark, sf_dir, "events")
+    not zero-fill. NaN rows are excluded on both engines (this pins
+    three-valued NULL logic, not NaN comparison policy)."""
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNull() | ~F.isnan("value")
+    )
     highs = F.when(F.col("value") >= 50, F.col("value"))
     nv_type = F.nullif(F.col("event_type"), F.lit("error"))
     return e.groupBy("event_type").agg(
@@ -827,6 +849,10 @@ def q_daily_revenue_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(regr_count(value, CAST(user_id AS DOUBLE)) AS BIGINT)
                    AS n_pairs
         FROM events
+        -- NaN excluded on both engines (ADVICE-r3 class): a NaN sample
+        -- poisons every moment accumulator and the engines disagree on
+        -- NaN propagation through the guarded divisions
+        WHERE value IS NULL OR NOT isnan(value)
         GROUP BY event_type
     """,
     doc="statistical aggregate surface: corr, covar pop/samp, stddev pop/samp, "
@@ -842,8 +868,11 @@ def q_stats_aggregate_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
     surface: Spark returns population (g1/g2) moments while DuckDB
     returns bias-corrected sample moments — a formula difference, not an
     accumulation ulp (verified empirically: 1.9348 vs 1.9362 on the same
-    group), same exclusion class as ln/exp."""
-    e = _t(spark, sf_dir, "events")
+    group), same exclusion class as ln/exp. NaN samples excluded on both
+    engines (see oracle comment)."""
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNull() | ~F.isnan("value")
+    )
     u = F.col("user_id").cast("double")
     v = F.col("value")
 

@@ -652,7 +652,7 @@ HIST_BINS = 20
                CAST(count(*) AS BIGINT) AS n_orders,
                round(sum(o_totalprice), 2) AS bin_total
         FROM orders
-        WHERE o_totalprice IS NOT NULL
+        WHERE o_totalprice IS NOT NULL AND NOT isnan(o_totalprice)
         GROUP BY 1
     """,
     doc=f"equi-width histogram: {HIST_BINS} fixed bins over o_totalprice "
@@ -665,8 +665,12 @@ def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass — no pre-scan for min/max, no sort, ≤{HIST_BINS} output rows
     from any input size. floor of one double division is IEEE-identical
     cross-engine; out-of-range values clamp into the boundary bins so
-    the histogram is total over non-NULL prices."""
-    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice").isNotNull())
+    the histogram is total over non-NULL, non-NaN prices (ADVICE r3:
+    Spark FLOOR maps NaN into bin 0 while DuckDB's CAST(NaN AS BIGINT)
+    raises — NaN is excluded on both engines, not binned)."""
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull() & ~F.isnan("o_totalprice")
+    )
     raw = F.floor(
         (F.col("o_totalprice") - F.lit(HIST_LO)) / F.lit(HIST_HI - HIST_LO) * HIST_BINS
     )
@@ -845,13 +849,19 @@ def q_orders_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "embedding_norm_stats",
     oracle="""
-        WITH norms AS (
+        WITH clean AS (
             SELECT label,
-                   sqrt(list_aggregate(list_transform(embedding,
+                   list_filter(embedding, x -> x IS NOT NULL) AS emb
+            FROM embeddings
+            WHERE embedding IS NOT NULL
+        ),
+        norms AS (
+            SELECT label,
+                   sqrt(list_aggregate(list_transform(emb,
                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
                        AS l2
-            FROM embeddings
-            WHERE embedding IS NOT NULL AND len(embedding) > 0
+            FROM clean
+            WHERE len(emb) > 0
         )
         SELECT label,
                CAST(count(*) AS BIGINT) AS n_vecs,
@@ -876,13 +886,21 @@ def q_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The fold ORDER is position order on both engines (Spark aggregate,
     DuckDB list_aggregate sum left-to-right), so the accumulated sums
-    are bit-identical — same-order accumulation, not reassociation."""
-    e = _t(spark, sf_dir, "embeddings").filter(
-        F.col("embedding").isNotNull() & (F.size("embedding") > 0)
-    )
+    are bit-identical — same-order accumulation, not reassociation.
+
+    NULL-element contract (ADVICE r3): elements are dropped BEFORE the
+    fold on both engines (Spark array filter / DuckDB list_filter), so
+    a vector with some NULL elements contributes its partial norm and a
+    vector whose elements are ALL NULL is excluded entirely (from
+    n_vecs too) — without this, Spark's `a + x*x` fold NULL-poisons
+    the whole norm while DuckDB's list_aggregate('sum') skips NULLs,
+    a silent cross-engine divergence."""
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    clean = F.filter(F.col("embedding"), lambda x: x.isNotNull())
+    e = e.select("label", clean.alias("emb")).filter(F.size("emb") > 0)
     l2 = F.sqrt(
         F.aggregate(
-            F.col("embedding"),
+            F.col("emb"),
             F.lit(0.0),
             lambda a, x: a + x.cast("double") * x.cast("double"),
         )

@@ -326,7 +326,10 @@ def q_collect_types_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             -- min-of-struct sorts NULL first (it would WIN) while this
             -- window's DESC NULLS LAST puts it last — filter on both
             -- sides instead of relying on either engine's NULL order.
-            FROM events WHERE value IS NOT NULL
+            -- NaN likewise (ADVICE-r3 class): DuckDB orders NaN above
+            -- every real value (it would win) while Spark's negated
+            -- min_by struct puts it last — NaN is not a rankable measure.
+            FROM events WHERE value IS NOT NULL AND NOT isnan(value)
         )
         WHERE rn = 1
     """,
@@ -341,6 +344,7 @@ def q_argmax_type_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`lab11:94-112`)."""
     events = _t(spark, sf_dir, "events")
     rows = events.select(F.to_date("ts").alias("day"), "value", "event_type").filter(
-        F.col("value").isNotNull()  # NULL measures excluded — see oracle
+        # NULL and NaN measures excluded by policy — see oracle comment
+        F.col("value").isNotNull() & ~F.isnan("value")
     )
     return argmax_per_group(rows, "day", "value", "event_type")

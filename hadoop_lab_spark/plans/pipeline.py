@@ -458,13 +458,36 @@ _COS_SQL = (
     " * 1000000) / 1000000)"
 )
 
+# Similarity-family input contract (ADVICE-r3 class): a vector with any
+# NULL element has no defined cosine or hyperplane signature — Spark's
+# dot-product fold NULL-poisons the whole score while DuckDB's list_sum
+# skips NULL elements and yields a partial dot product, a silent
+# cross-engine divergence. Partial vectors are therefore excluded from
+# every similarity query on BOTH engines (NULL embeddings included).
+_EMB_CLEAN_SQL = (
+    "(embedding IS NOT NULL"
+    " AND len(list_filter(embedding, x -> x IS NULL)) = 0)"
+)
+
+
+def _emb_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embeddings table under the similarity contract (see
+    _EMB_CLEAN_SQL): NULL vectors and vectors containing NULL elements
+    dropped. Scan-local array predicate — no shuffle added."""
+    return _t(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+        & ~F.exists("embedding", lambda x: x.isNull())
+    )
+
 
 @register(
     "sim_topk_bruteforce",
     oracle=f"""
         WITH q AS (SELECT vec_id AS query_id, embedding AS qv
-                   FROM embeddings WHERE vec_id < {_N_QUERIES}),
-        c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+                   FROM embeddings
+                   WHERE {_EMB_CLEAN_SQL} AND vec_id < {_N_QUERIES}),
+        c AS (SELECT vec_id AS neighbor_id, embedding AS cv
+              FROM embeddings WHERE {_EMB_CLEAN_SQL}),
         scored AS (
             SELECT query_id, neighbor_id, {_COS_SQL} AS cos
             FROM c CROSS JOIN q
@@ -485,7 +508,7 @@ _COS_SQL = (
 def q_sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus is never shuffled: queries broadcast, cosine evaluated
     in the scan stage, and the only exchange carries candidate rows."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _emb_clean(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
     out = S.cosine_topk(queries, emb, _TOP_K, id_col="vec_id", vec_col="embedding")
     return out.select("query_id", "neighbor_id", "cos", "rk")
@@ -514,7 +537,7 @@ def _sig_sql(v: str) -> str:
     oracle=f"""
         WITH tagged AS (
             SELECT vec_id, embedding, {_sig_sql("embedding")} AS sig
-            FROM embeddings
+            FROM embeddings WHERE {_EMB_CLEAN_SQL}
         ),
         q AS (SELECT vec_id AS query_id, embedding AS qv, sig FROM tagged
               WHERE vec_id < {_N_QUERIES}),
@@ -537,7 +560,7 @@ def _sig_sql(v: str) -> str:
     tags=("pipeline", "similarity", "lsh"),
 )
 def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _emb_clean(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
     out = S.lsh_ann_topk(queries, emb, _TOP_K, id_col="vec_id", vec_col="embedding")
     return out.select("query_id", "neighbor_id", "cos", "rk")
@@ -548,7 +571,7 @@ def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
         WITH tagged AS (
             SELECT vec_id, embedding, {_sig_sql("embedding")} AS sig
-            FROM embeddings
+            FROM embeddings WHERE {_EMB_CLEAN_SQL}
         ),
         a AS (SELECT vec_id AS id_a, embedding AS qv, sig FROM tagged),
         b AS (SELECT vec_id AS id_b, embedding AS cv, sig FROM tagged)
@@ -560,7 +583,7 @@ def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("pipeline", "dedup", "similarity"),
 )
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _emb_clean(spark, sf_dir)
     out = S.cosine_near_dup_pairs(
         emb, COSINE_DUP_THRESHOLD, id_col="vec_id", vec_col="embedding"
     )
@@ -579,7 +602,7 @@ _FLIP_SQL = (
     oracle=f"""
         WITH tagged AS (
             SELECT vec_id, embedding, {_sig_sql("embedding")} AS sig
-            FROM embeddings
+            FROM embeddings WHERE {_EMB_CLEAN_SQL}
         ),
         q AS (
             SELECT query_id, qv, CASE WHEN i = 0 THEN sig0 ELSE {_FLIP_SQL} END AS sig
@@ -606,7 +629,7 @@ _FLIP_SQL = (
     tags=("pipeline", "similarity", "lsh"),
 )
 def q_sim_topk_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _emb_clean(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
     out = S.lsh_ann_topk_multiprobe(
         queries, emb, _TOP_K, id_col="vec_id", vec_col="embedding"
@@ -632,12 +655,15 @@ def _cos_sql(a: str, b: str) -> str:
 @register(
     "sim_topk_ivf",
     oracle=f"""
-        WITH cent AS (
+        WITH clean AS (
+            SELECT * FROM embeddings WHERE {_EMB_CLEAN_SQL}
+        ),
+        cent AS (
             SELECT label, arg_min(embedding, vec_id) AS cent
-            FROM embeddings GROUP BY label
+            FROM clean GROUP BY label
         ),
         q AS (SELECT vec_id AS query_id, embedding AS qv
-              FROM embeddings WHERE vec_id < {_N_QUERIES}),
+              FROM clean WHERE vec_id < {_N_QUERIES}),
         ps AS (
             SELECT query_id, qv, label, {_cos_sql("qv", "cent")} AS cs
             FROM q CROSS JOIN cent
@@ -652,7 +678,7 @@ def _cos_sql(a: str, b: str) -> str:
         scored AS (
             SELECT query_id, neighbor_id, {_cos_sql("qv", "cv")} AS cos
             FROM (SELECT vec_id AS neighbor_id, embedding AS cv, label
-                  FROM embeddings) c
+                  FROM clean) c
             JOIN probes USING (label)
             WHERE neighbor_id <> query_id
         )
@@ -668,7 +694,7 @@ def _cos_sql(a: str, b: str) -> str:
     tags=("pipeline", "similarity", "ivf"),
 )
 def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _emb_clean(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
     out = S.ivf_topk(
         queries, emb, _TOP_K, nprobe=_IVF_NPROBE,
@@ -1196,6 +1222,7 @@ def q_bigram_lm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CASE WHEN value > lag(value) OVER w THEN 0 ELSE 1 END AS brk
             FROM events
             WHERE user_id IS NOT NULL AND value IS NOT NULL
+              AND NOT isnan(value)
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ),
         runs AS (
@@ -1226,7 +1253,10 @@ def q_user_longest_increasing_run(spark: SparkSession, sf_dir: str) -> DataFrame
     are totally ordered by (ts, event_id) so equal timestamps cannot
     make the scan nondeterministic; NULL users/values are filtered on
     both engines (a NULL comparison would end a run on one engine and
-    be skipped on the other).
+    be skipped on the other), and NaN values likewise (ADVICE r3:
+    pandas `v > prev` is False for NaN so the run resets, while DuckDB
+    orders NaN above every value so the run continues — NaN cannot be
+    part of a stable cross-engine run contract).
 
     UDF body is self-contained (nested imports only) — see
     functions/multimodal.py note on by-value pickling.
@@ -1251,7 +1281,9 @@ def q_user_longest_increasing_run(spark: SparkSession, sf_dir: str) -> DataFrame
         )
 
     events = _t(spark, sf_dir, "events").filter(
-        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+        F.col("user_id").isNotNull()
+        & F.col("value").isNotNull()
+        & ~F.isnan("value")
     )
     return events.select("user_id", "ts", "event_id", "value").groupBy(
         "user_id"

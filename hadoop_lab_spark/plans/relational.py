@@ -403,6 +403,10 @@ def q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(quantile_cont(value, 0.50), 4) AS p50,
                round(quantile_cont(value, 0.75), 4) AS p75
         FROM events
+        -- NaN excluded on both engines (ADVICE-r3 class): engines
+        -- disagree on where NaN sorts inside the interpolation; NULLs
+        -- stay (both percentile impls skip them identically)
+        WHERE value IS NULL OR NOT isnan(value)
         GROUP BY event_type
     """,
     doc="exact linear-interpolated percentiles per group",
@@ -410,7 +414,9 @@ def q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=False,
 )
 def q_value_quartiles_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = _t(spark, sf_dir, "events")
+    events = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNull() | ~F.isnan("value")
+    )
     return events.groupBy("event_type").agg(
         F.round(F.expr("percentile(value, 0.25)"), 4).alias("p25"),
         F.round(F.expr("percentile(value, 0.50)"), 4).alias("p50"),
@@ -433,6 +439,7 @@ def q_value_quartiles_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
                              PARTITION BY user_id ORDER BY ts, event_id))) > 3600 THEN 1
                         ELSE 0 END AS new_session
             FROM events
+            WHERE ts IS NOT NULL
         )
         GROUP BY user_id
     """,
@@ -446,8 +453,11 @@ def q_sessions_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor(epoch(ts)) per timestamp (DuckDB epoch() is a fractional
     DOUBLE — un-floored, a gap in (3600, 3601) flips the predicate
     between engines). One shuffle on user_id for the window, one
-    aggregate reusing the partitioning."""
-    events = _t(spark, sf_dir, "events")
+    aggregate reusing the partitioning. NULL ts is excluded on both
+    engines (ADVICE-r3 class): an undated event has no position in an
+    inactivity-gap timeline, and NULL window sort keys order
+    differently across engines."""
+    events = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     win = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(win))
     new_session = F.when(gap.isNull() | (gap > 3600), 1).otherwise(0)
@@ -552,8 +562,12 @@ def q_union_all_key_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "event_value_deltas",
     oracle="""
         SELECT event_id,
+               -- NULLS FIRST explicitly: Spark ASC windows default to it,
+               -- DuckDB defaults to NULLS LAST — a NULL-ts event must
+               -- occupy the same lag position on both engines
                value - lag(value) OVER (
-                   PARTITION BY user_id ORDER BY ts, event_id) AS delta
+                   PARTITION BY user_id
+                   ORDER BY ts NULLS FIRST, event_id) AS delta
         FROM events
     """,
     doc="lag window: per-user event-over-event value delta in timestamp order "
@@ -1169,7 +1183,7 @@ def q_customer_name_fuzzy_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH first_seen AS (
             SELECT user_id, min(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS d
             FROM events
-            WHERE user_id IS NOT NULL
+            WHERE user_id IS NOT NULL AND ts IS NOT NULL
             GROUP BY user_id
         ),
         per_day AS (
@@ -1194,10 +1208,17 @@ def q_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     turns the problem into one groupBy(user) min, one tiny per-day
     count, and a running sum over |days| rows — at 100 TB the only wide
     shuffle is the per-user min (uniform key), and the window runs over
-    a day-count-sized frame."""
+    a day-count-sized frame.
+
+    NULL ts is excluded on both engines (ADVICE r3): an all-NULL-ts
+    user would otherwise yield d=NULL, and a NULL window ORDER key is
+    exactly the cross-engine sort instability documented in
+    cumulative_monthly_revenue."""
     from pyspark.sql.window import Window
 
-    e = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
     first_seen = e.groupBy("user_id").agg(
         F.min(F.date_trunc("day", "ts")).alias("d")
     )
@@ -1222,14 +1243,14 @@ def q_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT user_id,
                    min(CAST(date_trunc('month', ts) AS TIMESTAMP)) AS cohort_m
             FROM events
-            WHERE user_id IS NOT NULL
+            WHERE user_id IS NOT NULL AND ts IS NOT NULL
             GROUP BY user_id
         ),
         activity AS (
             SELECT DISTINCT user_id,
                    CAST(date_trunc('month', ts) AS TIMESTAMP) AS active_m
             FROM events
-            WHERE user_id IS NOT NULL
+            WHERE user_id IS NOT NULL AND ts IS NOT NULL
         )
         SELECT f.cohort_m, a.active_m,
                CAST(count(*) AS BIGINT) AS n_users
@@ -1247,8 +1268,12 @@ def q_user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed by user or (cohort, month), both unskewed. The cohort table is
     |users| rows; at 100 TB it broadcast-joins onto the distinct
     activity stream if users fit, else shuffles on the same uniform
-    key — either way no stage ever holds more than a month-pair count."""
-    e = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    key — either way no stage ever holds more than a month-pair count.
+    NULL ts is excluded on both engines (ADVICE r3): an all-NULL-ts
+    user must not mint a NULL cohort."""
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
     month = F.date_trunc("month", "ts")
     firsts = e.groupBy("user_id").agg(F.min(month).alias("cohort_m"))
     activity = e.select("user_id", month.alias("active_m")).distinct()

@@ -124,6 +124,11 @@ _EVENTS: list[tuple] = [
     (14, _ts(90), 4, "error", 0.0, '{"k": 0}'),  # count tie error-vs-view per day
     (15, _ts(100), 4, "view", 0.5, '{"k": 1}'),
     (16, _ts(110), 4, "view", 0.5, '{"k": 1}'),
+    # ADVICE r3 lanes: NULL ts (must not mint NULL days/cohorts or NULL
+    # window sort keys) and NaN value (run/agg contracts exclude NaN)
+    (17, None, 5, "view", 1.0, '{"k": 1}'),  # NULL ts
+    (18, _ts(120), 5, "view", float("nan"), '{"k": 1}'),  # NaN value
+    (19, _ts(130), 5, "view", 2.0, '{"k": 2}'),
 ]
 
 
@@ -355,6 +360,11 @@ _EMBS: list[tuple[int, list[float] | None, int]] = [
     (5, _vec(5), 1),
     (6, _vec(5), 2),  # exact duplicate of 5 (cosine 1.0 pair)
     (7, [-x for x in _vec(1)], 3),  # antipode of 1 (cosine -1.0)
+    # NULL elements INSIDE a vector (ADVICE r3): partial-NULL vector
+    # must contribute its partial norm identically on both engines,
+    # all-NULL vector must be excluded entirely (not NULL-poison aggs)
+    (16, [None if i % 4 == 0 else x for i, x in enumerate(_vec(16))], 0),
+    (17, [None] * _DIM, 1),  # every element NULL
 ] + [(i, _vec(i), i % 4) for i in range(8, 16)]
 
 
