@@ -281,7 +281,6 @@ def q_count_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="lab8/lab10 parity variant: COUNT(*) per event_type",
     tags=("parity", "lab8", "lab10", "aggregate"),
-    bench=False,
 )
 def q_count_per_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return count_per_group(_t(spark, sf_dir, "events"), "event_type")

@@ -1212,9 +1212,10 @@ def q_bigram_lm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Grouped-map applyInPandas (per-key imperative logic escape hatch)
 # ---------------------------------------------------------------------------
-@register(
-    "user_longest_increasing_run",
-    oracle="""
+# Shared by the applyInPandas demo and its window-function twin below:
+# one oracle, two physical strategies — the twin quantifies the Arrow
+# round-trip cost the escape hatch pays (r3 verdict #2).
+_LONGEST_RUN_ORACLE = """
         -- gaps-and-islands twin of the imperative pandas scan: runs of
         -- strictly increasing value in (ts, event_id) order per user
         WITH ordered AS (
@@ -1237,7 +1238,12 @@ def q_bigram_lm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM (SELECT user_id, count(*) AS run_len
               FROM runs GROUP BY user_id, run_id)
         GROUP BY user_id
-    """,
+"""
+
+
+@register(
+    "user_longest_increasing_run",
+    oracle=_LONGEST_RUN_ORACLE,
     doc="grouped-map applyInPandas: per-user longest strictly-increasing "
     "value run in event-time order — the per-key imperative escape hatch "
     "(sequential scan semantics that windows express only via "
@@ -1289,6 +1295,54 @@ def q_user_longest_increasing_run(spark: SparkSession, sf_dir: str) -> DataFrame
         "user_id"
     ).applyInPandas(
         longest_run, "user_id BIGINT, longest_run BIGINT, n_events BIGINT"
+    )
+
+
+@register(
+    "user_longest_increasing_run_window",
+    oracle=_LONGEST_RUN_ORACLE,
+    doc="gaps-and-islands window twin of user_longest_increasing_run — "
+    "the RECOMMENDED shape: pure Column expressions (lag + running sum + "
+    "two aggregates), no Python execution, no Arrow round-trip; the "
+    "applyInPandas sibling stays registered as the grouped-map API demo",
+    tags=("pipeline", "window", "stateful"),
+)
+def q_user_longest_increasing_run_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identical semantics to the applyInPandas demo, stated as
+    gaps-and-islands: a run breaks wherever value fails to strictly
+    increase; the running sum of breaks labels each run; the longest run
+    is a max over per-run counts. Everything stays in whole-stage
+    codegen — the one shuffle on user_id feeds the window, and the two
+    aggregates ride the same partitioning. At 100 TB this is the plan
+    you ship; the pandas sibling exists to exercise (and price) the
+    per-key imperative escape hatch against it (r3 verdict #2).
+
+    Same NULL/NaN exclusions as the sibling (a NULL or NaN comparison
+    cannot be part of a stable run contract)."""
+    from pyspark.sql import Window
+
+    events = _t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("value").isNotNull()
+        & ~F.isnan("value")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    brk = F.when(F.col("value") > F.lag("value").over(w), F.lit(0)).otherwise(
+        F.lit(1)
+    )
+    run_id = F.sum("brk").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    runs = (
+        events.select("user_id", "ts", "event_id", "value")
+        .withColumn("brk", brk)
+        .withColumn("run_id", run_id)
+        .groupBy("user_id", "run_id")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    return runs.groupBy("user_id").agg(
+        F.max("run_len").cast("bigint").alias("longest_run"),
+        F.sum("run_len").cast("bigint").alias("n_events"),
     )
 
 

@@ -292,7 +292,6 @@ def q_customers_without_urgent_orders(spark: SparkSession, sf_dir: str) -> DataF
     """,
     doc="semi join (EXISTS): parts that appear in any lineitem, per brand",
     tags=("extension", "join", "semi"),
-    bench=False,
 )
 def q_parts_shipped_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
@@ -316,7 +315,6 @@ def q_parts_shipped_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="left outer join: customer count per nation, nations with zero kept",
     tags=("extension", "join", "outer"),
-    bench=False,
 )
 def q_nation_customer_counts_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
@@ -339,7 +337,6 @@ def q_nation_customer_counts_outer(spark: SparkSession, sf_dir: str) -> DataFram
     """,
     doc="set op: INTERSECT of customer sets by order status",
     tags=("extension", "setop"),
-    bench=False,
 )
 def q_fulfilled_and_pending_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
@@ -359,7 +356,6 @@ def q_fulfilled_and_pending_customers(spark: SparkSession, sf_dir: str) -> DataF
     """,
     doc="set op: EXCEPT — customers with only fulfilled orders",
     tags=("extension", "setop"),
-    bench=False,
 )
 def q_only_fulfilled_customers_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
@@ -411,7 +407,6 @@ def q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="exact linear-interpolated percentiles per group",
     tags=("extension", "aggregate", "percentile"),
-    bench=False,
 )
 def q_value_quartiles_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _t(spark, sf_dir, "events").filter(
