@@ -6,13 +6,19 @@ hash or source, and run decode / feature-extraction as Arrow-batched
 ``mapInPandas`` — one Python process per partition, columnar transfer,
 no per-row serialization.
 
-This container has no image/audio libraries, so the actual codec step is
-STUBBED (``decode_image_real`` raises ``NotImplementedError`` unless PIL
-is importable). Everything around it — the binary column, the schemas,
-the UDF signatures, the 1→1 and 1→N batch shapes — is real and tested:
-the deterministic fake "decoder" derives pseudo-metadata from sha256 of
-the payload, which a SQL oracle reproduces bit-for-bit, so the entire
-Python/Arrow path is verified end-to-end.
+Two decoder tiers ship side by side:
+
+- REAL decoders (``decode_image_real``, ``decode_audio_real``): parse
+  actual PNG/GIF/BMP/JPEG headers (Pillow when importable, a stdlib
+  struct parser otherwise — they read the same bytes) and decode real
+  WAV PCM via the stdlib ``wave`` module. Tested against files encoded
+  in-test with independent stdlib codecs (tests/test_multimodal_real.py)
+  — no raise on the default path, no optional dependency required.
+- deterministic FAKE decoders (everything else): derive pseudo-metadata
+  from sha256 of the payload, which a SQL oracle reproduces bit-for-bit
+  — these keep the entire Python/Arrow plumbing (schemas, UDF
+  signatures, 1→1 and 1→N batch shapes, NULL propagation) under the
+  cross-engine differential gate, which real codecs cannot be.
 """
 
 from __future__ import annotations
@@ -129,32 +135,89 @@ def sample_frames(df: DataFrame, id_col: str = "doc_id", payload_col: str = "pay
 
 
 def decode_image_real(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
-    """REAL image decode — STUB: requires an image library this
-    container does not ship. The mapInPandas shape is identical to
-    :func:`extract_image_features`; only the per-batch body differs.
-    """
-    try:
-        import PIL  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - no PIL in container
-        raise NotImplementedError(
-            "image decoding requires Pillow; container ships no image libs "
-            "(see module docstring — plumbing is tested via the fake decoder)"
-        ) from exc
+    """REAL image decode over a binary column (1→1).
 
-    def decode(batches: Iterator) -> Iterator:  # pragma: no cover
-        import io
+    Same mapInPandas shape as :func:`extract_image_features`; the batch
+    body parses ACTUAL image headers. Two tiers per batch, chosen at
+    worker import time:
+
+    - Pillow, when importable: ``Image.open(BytesIO).size`` (lazy header
+      parse — it does not decompress pixel data either).
+    - stdlib fallback (always available): direct header parsing for
+      PNG (IHDR), GIF (logical screen descriptor), BMP (BITMAPINFOHEADER)
+      and JPEG (SOF segment walk) — the same bytes PIL reads for
+      ``.size``, so the two tiers agree on any well-formed file
+      (pinned by tests/test_multimodal_real.py on in-test-encoded
+      files).
+
+    Undecodable or NULL payloads yield NULL dims (null propagation, not
+    a crashed batch) — at 100 TB some corrupt blobs are a certainty and
+    one must not kill a task. n_bytes/sha_prefix still identify the bad
+    blob for quarantine queries.
+    """
+
+    def decode(batches: Iterator) -> Iterator:
+        import hashlib as _hl
+        import struct as _st
 
         import pandas as pd
-        from PIL import Image
+
+        try:  # Pillow preferred when present; stdlib tier otherwise
+            from PIL import Image as _img  # type: ignore
+            import io as _io
+        except ImportError:
+            _img = None
+
+        def _dims(b: bytes):
+            if _img is not None:
+                try:
+                    return _img.open(_io.BytesIO(b)).size
+                except Exception:
+                    return (None, None)
+            try:
+                if b[:8] == b"\x89PNG\r\n\x1a\n" and b[12:16] == b"IHDR":
+                    return _st.unpack(">II", b[16:24])
+                if b[:6] in (b"GIF87a", b"GIF89a"):
+                    return _st.unpack("<HH", b[6:10])
+                if b[:2] == b"BM":
+                    w, h = _st.unpack("<ii", b[18:26])
+                    return (abs(w), abs(h))  # negative h = top-down rows
+                if b[:2] == b"\xff\xd8":  # JPEG: walk to a SOFn marker
+                    i = 2
+                    while i + 9 < len(b):
+                        if b[i] != 0xFF:
+                            return (None, None)
+                        marker = b[i + 1]
+                        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                            i += 2  # standalone markers have no length
+                            continue
+                        seglen = _st.unpack(">H", b[i + 2 : i + 4])[0]
+                        if 0xC0 <= marker <= 0xCF and marker not in (
+                            0xC4,
+                            0xC8,
+                            0xCC,
+                        ):
+                            h, w = _st.unpack(">HH", b[i + 5 : i + 9])
+                            return (w, h)
+                        i += 2 + seglen
+            except (_st.error, IndexError):
+                pass
+            return (None, None)
 
         for pdf in batches:
-            sizes = [Image.open(io.BytesIO(b)).size for b in pdf[payload_col]]
+            sizes = [
+                (None, None) if b is None else _dims(bytes(b))
+                for b in pdf[payload_col]
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
-                    "n_bytes": [len(b) for b in pdf[payload_col]],
+                    "n_bytes": [
+                        None if b is None else len(b) for b in pdf[payload_col]
+                    ],
                     "sha_prefix": [
-                        hashlib.sha256(b).hexdigest()[:16] for b in pdf[payload_col]
+                        None if b is None else _hl.sha256(bytes(b)).hexdigest()[:16]
+                        for b in pdf[payload_col]
                     ],
                     "width": [s[0] for s in sizes],
                     "height": [s[1] for s in sizes],
@@ -205,6 +268,81 @@ def audio_window_energy(
             )
 
     return df.select(id_col, payload_col).mapInPandas(energy, AUDIO_ENERGY_SCHEMA)
+
+
+#: Output schema of the REAL WAV analyzer (1→N windows).
+AUDIO_WAV_SCHEMA = (
+    "doc_id BIGINT, window_idx INT, n_samples INT, energy BIGINT, peak INT"
+)
+
+#: PCM samples per analysis window for the real WAV path (~23 ms @ 44.1k).
+WAV_WINDOW_SAMPLES = 1024
+
+
+def decode_audio_real(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL audio analysis: decode a binary WAV payload with the stdlib
+    ``wave`` module and emit per-window sum-of-|sample| energy and peak
+    over the 16-bit PCM stream (1→N, window = WAV_WINDOW_SAMPLES frames,
+    channels interleaved into the same window).
+
+    No optional dependency at all — ``wave``/``struct``/``array`` are
+    stdlib — so unlike images there is no fake/real split: this IS the
+    shipped decoder. Integer metrics keep results engine- and
+    platform-exact (no float RMS accumulation order to pin).
+
+    Non-WAV, compressed, non-16-bit, or NULL payloads yield zero windows
+    rather than a crashed batch (same quarantine-not-kill policy as
+    decode_image_real). The per-document fan-out is |frames|/window —
+    bounded by payload size, which object stores already cap.
+    """
+
+    def analyze(batches: Iterator) -> Iterator:
+        import array as _arr
+        import io as _io
+        import sys as _sys
+        import wave as _wave
+
+        import pandas as pd
+
+        win = 1024  # WAV_WINDOW_SAMPLES, inlined: closure must be self-contained
+        for pdf in batches:
+            ids, idxs, ns, es, ps = [], [], [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                try:
+                    with _wave.open(_io.BytesIO(bytes(payload))) as w:
+                        if w.getsampwidth() != 2 or w.getcomptype() != "NONE":
+                            continue
+                        nch = w.getnchannels()
+                        raw = w.readframes(w.getnframes())
+                except Exception:
+                    continue  # not a (supported) WAV → zero windows
+                samples = _arr.array("h")
+                samples.frombytes(raw[: len(raw) - (len(raw) % 2)])
+                if _sys.byteorder == "big":  # WAV PCM is little-endian
+                    samples.byteswap()
+                step = win * nch
+                for i in range(0, len(samples), step):
+                    chunk = samples[i : i + step]
+                    ids.append(doc_id)
+                    idxs.append(i // step)
+                    ns.append(len(chunk))
+                    es.append(sum(abs(s) for s in chunk))
+                    ps.append(max(abs(s) for s in chunk))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "window_idx": idxs,
+                    "n_samples": ns,
+                    "energy": es,
+                    "peak": ps,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(analyze, AUDIO_WAV_SCHEMA)
 
 
 #: Output schema of the fake resize planner (1→1).

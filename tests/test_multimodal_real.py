@@ -1,0 +1,181 @@
+"""Real multimodal decoders over real files (r3 verdict #3).
+
+The files are ENCODED in-test with stdlib codecs (zlib/struct for PNG,
+the ``wave`` writer for WAV), so the decoders are exercised against
+genuine file formats with independently-known ground truth — no fixture
+binaries in the repo, no optional deps required. When Pillow IS
+importable the image path uses it; these tests pass under either tier
+because both read the same header bytes.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+import zlib
+
+import pytest
+
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from hadoop_lab_spark.functions import multimodal as M
+
+
+# --- in-test encoders (ground truth by construction) -----------------------
+
+
+def make_png(width: int, height: int) -> bytes:
+    """A complete, valid 8-bit grayscale PNG of the given dimensions."""
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + bytes(width) for _ in range(height))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def make_gif(width: int, height: int) -> bytes:
+    """GIF89a header + logical screen descriptor + trailer."""
+    return b"GIF89a" + struct.pack("<HH", width, height) + b"\x00\x00\x00\x3b"
+
+
+def make_bmp(width: int, height: int) -> bytes:
+    """BMP file header + BITMAPINFOHEADER (no pixel data needed for dims)."""
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, 0, 0, 0, 0, 0)
+    header = b"BM" + struct.pack("<IHHI", 54, 0, 0, 54)
+    return header + info
+
+
+def make_jpeg(width: int, height: int) -> bytes:
+    """Minimal JPEG marker stream: SOI, APP0, DQT, SOF0(dims), EOI."""
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + b"\x00" * 6
+    dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(64)
+    sof0 = (
+        b"\xff\xc0"
+        + struct.pack(">H", 11)
+        + b"\x08"
+        + struct.pack(">HH", height, width)
+        + b"\x01\x11\x00"
+    )
+    return b"\xff\xd8" + app0 + dqt + sof0 + b"\xff\xd9"
+
+
+def make_wav(samples: list[int], nchannels: int = 1, rate: int = 8000) -> bytes:
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(nchannels)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
+def _payload_df(spark, payloads: list[bytes | None]):
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+    return spark.createDataFrame(
+        [(i, p) for i, p in enumerate(payloads)], schema
+    )
+
+
+# --- image decode ----------------------------------------------------------
+
+IMAGES = [
+    ("png", make_png, (37, 53)),
+    ("gif", make_gif, (320, 200)),
+    ("bmp", make_bmp, (64, 48)),
+    ("jpeg", make_jpeg, (123, 45)),
+]
+
+
+def test_decode_image_real_reads_actual_headers(spark):
+    payloads = [enc(w, h) for _, enc, (w, h) in IMAGES]
+    payloads += [None, b"not an image at all"]
+    df = _payload_df(spark, payloads)
+    rows = {r.doc_id: r for r in M.decode_image_real(df).collect()}
+    assert len(rows) == len(payloads)
+    for i, (fmt, _, (w, h)) in enumerate(IMAGES):
+        assert (rows[i].width, rows[i].height) == (w, h), fmt
+        assert rows[i].n_bytes == len(payloads[i])
+        assert len(rows[i].sha_prefix) == 16
+    # NULL payload → NULL everything; garbage → NULL dims, real n_bytes
+    assert rows[4].width is None and rows[4].n_bytes is None
+    assert rows[5].width is None and rows[5].n_bytes == len(payloads[5])
+
+
+def test_decode_image_real_top_down_bmp_height_is_positive(spark):
+    """Top-down BMPs store a NEGATIVE height; dims must come back abs()."""
+    info = struct.pack("<Iii", 40, 64, -48) + bytes(28)
+    bmp = b"BM" + struct.pack("<IHHI", 54, 0, 0, 54) + info
+    df = _payload_df(spark, [bmp])
+    row = M.decode_image_real(df).collect()[0]
+    assert (row.width, row.height) == (64, 48)
+
+
+# --- audio decode ----------------------------------------------------------
+
+
+def test_decode_audio_real_windows_match_ground_truth(spark):
+    # 2500 mono samples → windows of 1024: [1024, 1024, 452]
+    samples = [((i * 37) % 2001) - 1000 for i in range(2500)]
+    df = _payload_df(spark, [make_wav(samples)])
+    rows = sorted(M.decode_audio_real(df).collect(), key=lambda r: r.window_idx)
+    assert [r.n_samples for r in rows] == [1024, 1024, 452]
+    w = M.WAV_WINDOW_SAMPLES
+    for r in rows:
+        chunk = samples[r.window_idx * w : (r.window_idx + 1) * w]
+        assert r.energy == sum(abs(s) for s in chunk)
+        assert r.peak == max(abs(s) for s in chunk)
+
+
+def test_decode_audio_real_stereo_interleaves_channels(spark):
+    # 1030 stereo frames = 2060 samples → windows of 1024*2: [2048, 12]
+    left = [100] * 1030
+    right = [-200] * 1030
+    inter = [s for pair in zip(left, right) for s in pair]
+    df = _payload_df(spark, [make_wav(inter, nchannels=2)])
+    rows = sorted(M.decode_audio_real(df).collect(), key=lambda r: r.window_idx)
+    assert [r.n_samples for r in rows] == [2048, 12]
+    assert rows[0].energy == 1024 * (100 + 200)
+    assert rows[0].peak == 200
+
+
+def test_decode_audio_real_rejects_garbage_without_crashing(spark):
+    df = _payload_df(spark, [None, b"RIFFgarbage", make_wav([1, -1, 32767])])
+    rows = M.decode_audio_real(df).collect()
+    # only the valid WAV yields windows
+    assert {r.doc_id for r in rows} == {2}
+    assert rows[0].energy == 1 + 1 + 32767
+    assert rows[0].peak == 32767
+
+
+def test_pillow_tier_agrees_when_present(spark):
+    """When Pillow is importable both tiers must agree — the stdlib
+    parser reads the same header bytes PIL's lazy .size does."""
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError:
+        pytest.skip("Pillow not installed — stdlib tier already covered above")
+    for fmt, enc, (w, h) in IMAGES:
+        assert Image.open(io.BytesIO(enc(w, h))).size == (w, h), fmt
