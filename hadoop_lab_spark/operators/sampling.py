@@ -70,6 +70,7 @@ def collect_per_group_salted(
     buckets: int = 16,
     out: str = "collected",
     sep: str = ", ",
+    salt_on: str | Column | None = None,
 ) -> DataFrame:
     """Sorted string-collect per key, salted: level 1 collects per
     (key, salt) sub-group, level 2 merges the ≤``buckets`` partial
@@ -77,10 +78,22 @@ def collect_per_group_salted(
     ``collect_per_group`` (elements sorted before joining) — only the
     shuffle shape changes: the hottest key costs |key|/buckets rows per
     task at level 1 instead of |key| in one task.
+
+    ``salt_on`` picks the column whose hash spreads the hot key —
+    it MUST be high-cardinality WITHIN a key for the bound to hold: the
+    default (the value itself) degrades to |key|/|distinct values| when
+    values repeat (e.g. an enum-typed value gives ≤5 effective salt
+    buckets no matter how many were requested — the r4 skew stress
+    caught exactly this). Pass a row-unique column (an event id) for a
+    true |key|/buckets bound.
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
     value_col = F.col(value) if isinstance(value, str) else value
-    salt = hash_bucket(value_col, buckets).alias("_salt")
+    if salt_on is None:
+        salt_src = value_col
+    else:
+        salt_src = F.col(salt_on) if isinstance(salt_on, str) else salt_on
+    salt = hash_bucket(salt_src, buckets).alias("_salt")
     partial = (
         df.select(*keys, value_col.alias("_v"), salt)
         .groupBy(*keys, "_salt")

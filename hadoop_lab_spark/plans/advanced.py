@@ -126,8 +126,15 @@ def q_sampled_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame
     tags=("advanced", "skew", "collect"),
 )
 def q_salted_collect_types_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salt on event_id, not the value: event_type is a 5-value enum, so
+    value-hash salting gives at most 5 effective sub-groups per key and
+    the hot-key bound silently degrades to |key|/5 (r4 skew-stress
+    finding). event_id is row-unique → true |key|/buckets level-1 bound,
+    asserted on a hostile fixture in tests/test_skew_stress.py."""
     events = _t(spark, sf_dir, "events")
-    return collect_per_group_salted(events, "user_id", "event_type", buckets=8)
+    return collect_per_group_salted(
+        events, "user_id", "event_type", buckets=16, salt_on="event_id"
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -863,45 +863,85 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Inverted index (posting lists)
 # ---------------------------------------------------------------------------
+#: Contract bound on posting-list length: tokens in more documents than
+#: this are NOT indexed (they are stopword-like — frequency questions
+#: about them belong in the heavy-hitters/CMS lane, not an index).
+MAX_POSTINGS = 256
+
+
 @register(
     "inverted_index_rare_tokens",
     oracle=f"""
-        SELECT tok,
-               CAST(count(*) AS BIGINT) AS df_,
-               string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
-                   AS postings
-        FROM (
+        WITH toks AS (
             SELECT DISTINCT doc_id, unnest({_TOKS}) AS tok
             FROM documents
+        ),
+        rare AS (
+            SELECT tok FROM toks
+            WHERE length(tok) >= 9
+            GROUP BY tok
+            HAVING count(doc_id) <= {MAX_POSTINGS}
         )
-        WHERE length(tok) >= 9
+        SELECT tok,
+               CAST(count(doc_id) AS BIGINT) AS df_,
+               string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+                   AS postings
+        FROM toks JOIN rare USING (tok)
         GROUP BY tok
     """,
-    doc="inverted index over rare (long) tokens: per-token document-frequency "
-    "+ sorted posting list — the IR/dedup-support structure, built as one "
-    "explode + one groupBy",
+    doc=f"inverted index over rare tokens (length >= 9 AND document "
+    f"frequency <= {MAX_POSTINGS}): per-token df + sorted posting list — "
+    "the IR/dedup-support structure; the df cap is the contract that "
+    "bounds both per-task collect state and output row size",
     tags=("pipeline", "text", "index"),
 )
 def q_inverted_index_rare_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Posting lists are per-token collects — the classic skew hazard
-    (a stopword's list is the corpus). Restricting to long tokens bounds
-    df; the unrestricted production form pairs this with the salted
-    collect (operators/sampling.py) for the hot tail. Postings render as
-    a canonical comma-joined string so the oracle can hash-match the
-    LIST layout across engines."""
+    (a stopword's list is the corpus). Token length alone does NOT
+    bound df — a long token can still ride a boilerplate template into
+    30% of the corpus (r4 skew stress) — so rarity is enforced as an
+    explicit df cap: a count-only pass (tiny map-side-combined state)
+    selects tokens with df <= MAX_POSTINGS, and only those reach the
+    collect. State and output are then <= MAX_POSTINGS ids per token BY
+    CONTRACT at any corpus size.
+
+    Plan: the fan-out is pinned behind repartition(tok) so the df pass,
+    the rare-token join, and the postings collect all reuse ONE
+    exchange (the CMS ReusedExchange pattern, functions/sketch.py) —
+    the cap costs no extra scan or shuffle of the token stream."""
     docs = _t(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        F.explode(F.array_distinct(F.split(F.trim("text"), X.WS_RE))).alias("tok"),
-    ).filter(F.length("tok") >= 9)
-    return toks.groupBy("tok").agg(
-        F.count(F.lit(1)).alias("df_"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list("doc_id")), lambda x: x.cast("string")
+    toks = (
+        docs.select(
+            "doc_id",
+            F.explode(F.array_distinct(F.split(F.trim("text"), X.WS_RE))).alias(
+                "tok"
             ),
-            ",",
-        ).alias("postings"),
+        )
+        .filter(F.length("tok") >= 9)
+        .repartition("tok")
+    )
+    # count(doc_id), not count(1): Catalyst would prune doc_id out of a
+    # count(1) branch, giving the df pass a DIFFERENT exchange than the
+    # postings probe — with both branches consuming (doc_id, tok), the
+    # canonical plans match and AQE reuses one shuffle for both.
+    rare = (
+        toks.groupBy("tok")
+        .agg(F.count("doc_id").alias("df_"))
+        .filter(F.col("df_") <= MAX_POSTINGS)
+    )
+    return (
+        toks.join(rare, "tok")
+        .groupBy("tok")
+        .agg(
+            F.min("df_").cast("bigint").alias("df_"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings"),
+        )
     )
 
 

@@ -285,3 +285,35 @@ def test_cms_sketch_exchange_reused_in_final_adaptive_plan(spark):
         "execute twice (double scan+shuffle) at exactly the scale where it "
         "hurts\n" + final[:1500]
     )
+
+
+def test_inverted_index_exchange_reused_in_final_adaptive_plan(spark, tmp_path):
+    """The df-cap pass and the postings probe must share ONE token
+    fan-out (scan + explode + shuffle) via the repartition(tok) pin +
+    count(doc_id) column alignment — without it the cap doubles the
+    most expensive stage of the query. Same execute-first discipline as
+    the CMS pin: AQE stitches the reuse in at runtime only.
+
+    Needs a corpus that actually CONTAINS long tokens (the sf fixtures
+    have none, AQE collapses the empty result to EmptyRelation and no
+    exchange survives to be reused), so the test writes its own."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    texts = [f"alpha beta gammadeltatoken{i % 40:04d} w{i}" for i in range(400)]
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(range(400), "int64"),
+            "text": pa.array(texts, "string"),
+        }),
+        str(tmp_path / "documents.parquet"),
+    )
+    df = REGISTRY["inverted_index_rare_tokens"].fn(spark, str(tmp_path))
+    assert df.count() == 40  # sanity: the index is non-empty
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in final
+    assert "ReusedExchange" in final, (
+        "inverted-index exchange reuse lost: the token stream would be "
+        "scanned, exploded, and shuffled twice\n" + final[:1500]
+    )
