@@ -49,6 +49,9 @@ def _replay(spark: SparkSession, stream: DataFrame, base: str, mode: str) -> Dat
                CAST(count(*) AS BIGINT) AS cnt,
                round(sum(value), 2) AS sum_value
         FROM events
+        -- explicit contract: the watermark operator drops NULL event
+        -- times silently; the oracle must not mint a NULL-window group
+        WHERE ts IS NOT NULL
         GROUP BY 1, 2
     """,
     doc="streaming tumbling-window (1h) counts + sums per event_type with "
@@ -93,7 +96,11 @@ def q_stream_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT user_id,
                CAST(count(*) AS BIGINT) AS cnt,
-               max(value) AS max_value
+               -- pandas .max() skips NULL AND NaN; DuckDB max() would
+               -- let NaN win — mask it so the running max matches the
+               -- state function's semantics (cnt still counts the row)
+               max(CASE WHEN isnan(value) THEN NULL ELSE value END)
+                   AS max_value
         FROM events
         GROUP BY user_id
     """,
@@ -127,6 +134,7 @@ def q_stream_user_counts_stateful(spark: SparkSession, sf_dir: str) -> DataFrame
                         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                         THEN 1 ELSE 0 END AS new_session
             FROM events
+            WHERE ts IS NOT NULL  -- same contract as batch sessions_per_user
         ),
         sessions AS (
             SELECT user_id, ts,

@@ -112,8 +112,17 @@ def stream_windowed_event_counts(
     is O(active windows), not O(stream length). Update mode emits each
     window's running result per micro-batch; the harness re-aggregates,
     making the output invariant to how the replay was batched.
+
+    NULL event times are excluded EXPLICITLY on both engines: Spark's
+    watermark operator silently drops them anyway, while a batch oracle
+    would mint a NULL-window group — the filter turns an engine accident
+    into a stated contract (r4 adversarial-stream finding).
     """
-    events = stream_events(spark, sf_dir).withWatermark("ts", watermark)
+    events = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("ts").isNotNull())
+        .withWatermark("ts", watermark)
+    )
     return events.groupBy(
         F.window("ts", window).alias("w"), "event_type"
     ).agg(
@@ -164,8 +173,10 @@ def stream_user_event_counts_stateful(spark: SparkSession, sf_dir: str) -> DataF
         for pdf in pdf_iter:
             cnt += len(pdf)
             if len(pdf):
-                m = float(pdf["value"].max())
-                mx = m if mx is None else max(mx, m)
+                m = pdf["value"].max()  # pandas max skips NULL and NaN
+                if not pd.isna(m):  # all-NULL/NaN batch contributes no max
+                    m = float(m)
+                    mx = m if mx is None else max(mx, m)
         if state.exists:
             old_cnt, old_mx = state.get
         else:
@@ -204,8 +215,16 @@ def stream_session_window_counts(
     State is one open session per (user, window) merged as events
     arrive; the watermark finalizes and evicts sessions whose close time
     passed it, bounding state to active sessions only.
+
+    NULL event times excluded explicitly on both engines (same contract
+    as the batch sessions_per_user: an undated event has no place in an
+    inactivity timeline, and the watermark would drop it silently).
     """
-    events = stream_events(spark, sf_dir).withWatermark("ts", watermark)
+    events = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("ts").isNotNull())
+        .withWatermark("ts", watermark)
+    )
     return events.groupBy(
         F.session_window("ts", gap).alias("w"), "user_id"
     ).agg(F.count(F.lit(1)).alias("cnt")).select(

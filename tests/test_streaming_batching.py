@@ -62,8 +62,12 @@ def _write_events(path: str, rows: list[tuple]) -> None:
 def split_events_dir(tmp_path_factory):
     """events.parquet (early rows) + events2.parquet (strictly later)."""
     d = str(tmp_path_factory.mktemp("splitstream"))
-    early = [r for r in _STREAM_EVENTS if r[1] <= _EVENTS[8][1]]  # ≤ ts(1800)
-    late = [r for r in _STREAM_EVENTS if r[1] > _EVENTS[8][1]]
+    # NULL-ts rows (ADVICE-r3 fixture lane) ride in the early file: they
+    # have no event-time position, so "early vs late" is arbitrary for
+    # them — what matters is that every query's contract handles them
+    cut = _EVENTS[8][1]  # ts(1800)
+    early = [r for r in _STREAM_EVENTS if r[1] is None or r[1] <= cut]
+    late = [r for r in _STREAM_EVENTS if r[1] is not None and r[1] > cut]
     assert early and late, (len(early), len(late))
     _write_events(os.path.join(d, "events.parquet"), early)
     _write_events(os.path.join(d, "events2.parquet"), late)
