@@ -294,8 +294,17 @@ def q_customers_without_urgent_orders(spark: SparkSession, sf_dir: str) -> DataF
     tags=("extension", "join", "semi"),
 )
 def q_parts_shipped_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The probe side is DEDUPED before the semi join: a semi join only
+    needs the key SET, and distinct(l_partkey) is bounded by the part
+    domain (|part| keys) no matter how large lineitem grows — without
+    it, Spark sizes the raw single-column fact projection under the
+    broadcast threshold and builds a fact-sized hash relation on the
+    driver (found OOM-ing the 10× scale sweep at 6M lineitem rows under
+    a 1 GiB driver; at 100 TB it would be fatal). The distinct is one
+    map-side-combined shuffle of ≤|part| rows, and it also gives the
+    planner an honest size estimate for the broadcast decision."""
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    li = _t(spark, sf_dir, "lineitem").select("l_partkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey").distinct()
     return (
         part.join(li, part.p_partkey == li.l_partkey, "left_semi")
         .groupBy("p_brand")
