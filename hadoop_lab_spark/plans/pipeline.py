@@ -1263,7 +1263,7 @@ _LONGEST_RUN_ORACLE = """
                    CASE WHEN value > lag(value) OVER w THEN 0 ELSE 1 END AS brk
             FROM events
             WHERE user_id IS NOT NULL AND value IS NOT NULL
-              AND NOT isnan(value)
+              AND NOT isnan(value) AND ts IS NOT NULL
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ),
         runs AS (
@@ -1302,7 +1302,11 @@ def q_user_longest_increasing_run(spark: SparkSession, sf_dir: str) -> DataFrame
     be skipped on the other), and NaN values likewise (ADVICE r3:
     pandas `v > prev` is False for NaN so the run resets, while DuckDB
     orders NaN above every value so the run continues — NaN cannot be
-    part of a stable cross-engine run contract).
+    part of a stable cross-engine run contract). NULL ts is excluded
+    too: an undated event has no position in a run timeline, and the
+    three orderers involved disagree on where NULLs sort (Spark windows
+    NULLS FIRST, pandas sort_values NaT-last, DuckDB NULLS LAST — the
+    r4 hostile NULL-ts lane caught the window twin diverging).
 
     UDF body is self-contained (nested imports only) — see
     functions/multimodal.py note on by-value pickling.
@@ -1330,6 +1334,7 @@ def q_user_longest_increasing_run(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("user_id").isNotNull()
         & F.col("value").isNotNull()
         & ~F.isnan("value")
+        & F.col("ts").isNotNull()
     )
     return events.select("user_id", "ts", "event_id", "value").groupBy(
         "user_id"
@@ -1365,6 +1370,7 @@ def q_user_longest_increasing_run_window(spark: SparkSession, sf_dir: str) -> Da
         F.col("user_id").isNotNull()
         & F.col("value").isNotNull()
         & ~F.isnan("value")
+        & F.col("ts").isNotNull()
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     brk = F.when(F.col("value") > F.lag("value").over(w), F.lit(0)).otherwise(

@@ -107,6 +107,17 @@ def get_spark(
     static["spark.sql.shuffle.partitions"] = str(
         shuffle_partitions or default_parallelism()
     )
+    if master.startswith("local"):
+        # In local mode the driver JVM IS every executor, yet Spark's
+        # default heap is 1 GiB — 32 concurrent tasks spill-thrash and
+        # can OOM outright (found by the 10× scale sweep: a sort-based
+        # aggregation fallback died in stage 7). Static conf: must be
+        # set before the JVM starts, so only get_spark() sessions get
+        # it; SPARK_GRAFT_DRIVER_MEM overrides.
+        static.setdefault(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        )
     for key, value in {**static, **_RUNTIME_CONF, **(extra_conf or {})}.items():
         if value is not None:
             builder = builder.config(key, value)

@@ -134,9 +134,11 @@ def test_cosine_self_similarity(spark):
     assert row["cos"] == 1.0
 
 
-def test_multimodal_stub_and_plumbing(spark):
-    """Real decode is stubbed (no image libs); fake path emits the
-    declared schema with bounded frame fan-out."""
+def test_multimodal_fake_plumbing_and_real_quarantine(spark):
+    """Fake path emits the declared schema with bounded frame fan-out;
+    the REAL decoder (r4: no longer a stub — stdlib header parser, see
+    tests/test_multimodal_real.py for real-file coverage) must
+    quarantine undecodable payloads as NULL dims, never raise."""
     from hadoop_lab_spark.functions import multimodal as M
 
     df = spark.createDataFrame([(1, "x" * 250), (2, "y" * 950)], ["doc_id", "text"])
@@ -151,10 +153,9 @@ def test_multimodal_stub_and_plumbing(spark):
     got = {r["doc_id"]: r["count"] for r in frames}
     assert got == {1: 2, 2: M.MAX_FRAMES}
 
-    import pytest as _pytest
-
-    with _pytest.raises(NotImplementedError):
-        M.decode_image_real(wp).collect()
+    real = {r["doc_id"]: r for r in M.decode_image_real(wp).collect()}
+    assert real[1]["n_bytes"] == 250  # payload identified for quarantine
+    assert real[1]["width"] is None and real[1]["height"] is None
 
 
 def test_plane_weights_literal_equals_column_md5(spark):
