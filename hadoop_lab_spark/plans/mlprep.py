@@ -189,8 +189,13 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("df_"))
     n = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    # df_ is UNHINTED (r4 broadcast audit): its cardinality is the
+    # corpus vocabulary, which grows with the data — a forced broadcast
+    # is an OOM bomb on a noisy 100 TB corpus. The planner broadcasts
+    # it while it fits and falls back to a shuffle join on tok when it
+    # doesn't; only the provably-tiny N (1 row) keeps its hint.
     scored = (
-        tf.join(F.broadcast(df_), "tok")
+        tf.join(df_, "tok")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",

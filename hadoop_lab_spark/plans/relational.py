@@ -106,9 +106,14 @@ def q_revenue_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .select("c_custkey", "n_name")
     )
+    # cust_nation is |customer|-sized — scale-proportional, so no
+    # forced broadcast hint (r4 audit): the planner broadcasts it while
+    # it fits the threshold and switches to a shuffle join when the
+    # customer axis outgrows it. Only the fixed-size region/nation dims
+    # keep their hints.
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust_nation), orders.o_custkey == cust_nation.c_custkey)
+        .join(cust_nation, orders.o_custkey == cust_nation.c_custkey)
         .groupBy("n_name")
         .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
     )
@@ -269,11 +274,16 @@ def q_distinct_customers_per_priority(spark: SparkSession, sf_dir: str) -> DataF
     tags=("extension", "join", "anti"),
 )
 def q_customers_without_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join probe side deduped before the join (same discipline as
+    parts_shipped_semi, r4 scale sweep): NOT EXISTS only needs the key
+    set, and distinct(o_custkey) is bounded by |customer| at any order
+    volume — the raw filtered-fact projection is not."""
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     urgent = (
         _t(spark, sf_dir, "orders")
         .filter(F.col("o_orderpriority") == "1-URGENT")
         .select("o_custkey")
+        .distinct()
     )
     return (
         cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
@@ -764,9 +774,11 @@ def q_building_unshipped_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
     l = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # filtered customers are still |customer|/|segments| — unhinted
+    # (r4 audit), the planner broadcasts while small
     return (
         l.join(o, l["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .groupBy("l_orderkey", "o_orderdate")
         .agg(F.round(F.sum(rev), 2).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")
@@ -931,8 +943,10 @@ def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate").isNotNull())
     part = _t(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # part scales with SF (it's a TPC-H scaled table, not a fixed dim)
+    # — unhinted (r4 audit), the planner broadcasts while it fits
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(F.date_trunc("month", "l_shipdate").alias("ship_month"))
         .agg(
             F.round(
