@@ -519,17 +519,15 @@ _W_SQL = (
     "CAST({d} AS VARCHAR)), 1, 1)) - 1 AS DOUBLE) - 7.5)"
 )
 
-_SIG_SQL = " || ".join(
-    "(CASE WHEN list_sum(list_transform(range(1, len({v}) + 1), "
-    "i -> CAST({v}[CAST(i AS INT)] AS DOUBLE) * "
-    + _W_SQL.format(p=p, d="i - 1")
-    + ")) >= 0 THEN '1' ELSE '0' END)"
-    for p in range(S.LSH_PLANES)
-)
-
-
-def _sig_sql(v: str) -> str:
-    return _SIG_SQL.replace("{v}", v)
+def _sig_sql(v: str, planes: int = S.LSH_PLANES) -> str:
+    sig = " || ".join(
+        "(CASE WHEN list_sum(list_transform(range(1, len({v}) + 1), "
+        "i -> CAST({v}[CAST(i AS INT)] AS DOUBLE) * "
+        + _W_SQL.format(p=p, d="i - 1")
+        + ")) >= 0 THEN '1' ELSE '0' END)"
+        for p in range(planes)
+    )
+    return sig.replace("{v}", v)
 
 
 @register(
@@ -586,6 +584,53 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb_clean(spark, sf_dir)
     out = S.cosine_near_dup_pairs(
         emb, COSINE_DUP_THRESHOLD, id_col="vec_id", vec_col="embedding"
+    )
+    return out.select("id_a", "id_b", "cos")
+
+
+#: Plane count for the scale-tuned near-dup lane: +3 planes = 8× more
+#: buckets, ÷8 expected in-bucket pairs. THE knob for the quadratic
+#: term — at 10× corpus you add log₂10 ≈ 3–4 planes and in-bucket pair
+#: mass (Σ bucket²) returns to where it was (PERFORMANCE.md sf1.0
+#: scaling table: the fixed-plane lane was the one >2×-per-10× outlier).
+WIDE_PLANES = S.LSH_PLANES + 3
+
+
+@register(
+    "dedup_embedding_cosine_wide",
+    oracle=f"""
+        WITH tagged AS (
+            SELECT vec_id, embedding,
+                   {{sig}} AS sig
+            FROM embeddings WHERE {_EMB_CLEAN_SQL}
+        ),
+        a AS (SELECT vec_id AS id_a, embedding AS qv, sig FROM tagged),
+        b AS (SELECT vec_id AS id_b, embedding AS cv, sig FROM tagged)
+        SELECT id_a, id_b, {_COS_SQL} AS cos
+        FROM a JOIN b USING (sig)
+        WHERE id_a < id_b AND {_COS_SQL} >= {COSINE_DUP_THRESHOLD}
+    """.replace("{sig}", _sig_sql("embedding", WIDE_PLANES)),
+    doc=f"embedding-cosine near-dup pairs with log-scaled LSH blocking "
+    f"({WIDE_PLANES} planes vs {S.LSH_PLANES}): the production setting of "
+    "dedup_embedding_cosine's plane knob — 8× more buckets keeps the "
+    "in-bucket pair mass linear as the corpus grows, at the standard "
+    "LSH recall trade (near-dups straddling an extra plane are missed)",
+    tags=("pipeline", "dedup", "similarity", "lsh"),
+)
+def q_dedup_embedding_cosine_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same operator, scale-tuned blocking: plane count is the contract
+    knob (baked into both engines' signatures, so the oracle replays the
+    exact buckets). Registered beside the fixed-plane lane so the
+    quadratic-vs-linear behavior is MEASURED per round, not asserted —
+    at sf1.0 the fixed-plane lane was 41.7× for 10× data; this lane's
+    Σ bucket² stays ≈ linear."""
+    emb = _emb_clean(spark, sf_dir)
+    out = S.cosine_near_dup_pairs(
+        emb,
+        COSINE_DUP_THRESHOLD,
+        id_col="vec_id",
+        vec_col="embedding",
+        planes=WIDE_PLANES,
     )
     return out.select("id_a", "id_b", "cos")
 
