@@ -179,3 +179,35 @@ def test_pillow_tier_agrees_when_present(spark):
         pytest.skip("Pillow not installed — stdlib tier already covered above")
     for fmt, enc, (w, h) in IMAGES:
         assert Image.open(io.BytesIO(enc(w, h))).size == (w, h), fmt
+
+
+def test_decode_image_real_randomized_dims_single_pass(spark):
+    """~40 random and extreme dimension pairs across all four formats in
+    ONE Spark job — catches endianness/offset mistakes the single
+    handpicked sizes above could mask. Ground truth is the encoder
+    input, independent of the parser."""
+    import random
+
+    rnd = random.Random(20260814)
+    cases = [(1, 1), (65535, 1), (1, 65535), (65535, 65535)]
+    cases += [(rnd.randint(1, 65535), rnd.randint(1, 65535)) for _ in range(6)]
+    payloads, expect = [], []
+    for w, h in cases:
+        for enc in (make_png, make_gif, make_bmp, make_jpeg):
+            payloads.append(enc(w, h))
+            expect.append((w, h))
+    df = _payload_df(spark, payloads)
+    rows = {r.doc_id: r for r in M.decode_image_real(df).collect()}
+    for i, (w, h) in enumerate(expect):
+        assert (rows[i].width, rows[i].height) == (w, h), (i, w, h)
+
+
+def test_decode_audio_real_extreme_samples(spark):
+    """int16 extremes: abs(-32768) must not overflow or wrap, and a
+    silent window must report zero energy."""
+    samples = [-32768, 32767, 0, -1] + [0] * 1020 + [5] * 10
+    df = _payload_df(spark, [make_wav(samples)])
+    rows = sorted(M.decode_audio_real(df).collect(), key=lambda r: r.window_idx)
+    assert rows[0].energy == 32768 + 32767 + 0 + 1
+    assert rows[0].peak == 32768
+    assert rows[1].energy == 50 and rows[1].peak == 5
