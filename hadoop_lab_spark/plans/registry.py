@@ -80,4 +80,5 @@ def load_all_query_modules() -> None:
         pipeline,
         relational,
         stream_queries,
+        tpch_deep,
     )

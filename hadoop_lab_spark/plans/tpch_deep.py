@@ -1,0 +1,494 @@
+"""Deep TPC-H-shaped analytics — subquery, decorrelation, and
+disjunctive-predicate patterns.
+
+SURVEY.md §2.11 extension surface, round 4: the reference's query set
+(and the earlier relational.py lanes) cover scans, star joins, windows,
+and set ops; what was still missing is the *subquery* family every
+warehouse workload leans on — correlated scalar subqueries (TPC-H Q17),
+scalar-aggregate thresholds (Q15, Q22), HAVING-IN shapes (Q18),
+EXISTS/NOT-EXISTS self-joins (Q21), and multi-band disjunctive predicate
+pushdown (Q19). Each lane is the standard TPC-H query re-phrased onto
+the driver's schema (lineitem has no commitdate/receiptdate/shipmode and
+part has no container, so Q21 derives lateness from o_orderdate+60d and
+Q17/Q19 band on p_size — the optimizer shapes are unchanged).
+
+Spark-first decorrelation: Catalyst rewrites none of these for us from
+the DataFrame API, so each plan hand-decorrelates the subquery the way
+the optimizer would — correlated scalar aggregates become groupBy +
+equi-join (scale-proportional, never force-broadcast), global scalar
+aggregates become a 1-row broadcast, EXISTS/NOT EXISTS become
+left_semi/left_anti with mixed equi + non-equi conditions (still hash
+joins on the equi key — the inequality rides along as a join filter).
+
+Cross-engine float policy (registry docstring): double sums rounded to
+2dp, ratios/averages to 4dp on both sides. l_quantity is integral, so
+its sums/averages are bit-exact in IEEE double on both engines
+regardless of accumulation order (each intermediate is an exact
+integer < 2^53, and the final avg is one correctly-rounded division).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_lab_spark.plans.registry import register
+from hadoop_lab_spark.session import tune_session
+from hadoop_lab_spark.sources import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    tune_session(spark)
+    return load_table(spark, sf_dir, name)
+
+
+def _revenue():
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q7: volume shipping between two nations
+# ---------------------------------------------------------------------------
+@register(
+    "q7_volume_shipping",
+    oracle="""
+        SELECT supp_nation, cust_nation, l_year,
+               round(sum(volume), 2) AS revenue
+        FROM (
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                   l_extendedprice * (1 - l_discount) AS volume
+            FROM lineitem
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN orders   ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+              AND l_shipdate BETWEEN TIMESTAMP '1996-01-01'
+                                 AND TIMESTAMP '1997-12-31'
+        ) shipping
+        GROUP BY supp_nation, cust_nation, l_year
+    """,
+    doc="TPC-H Q7: revenue flow between two nations per direction per year",
+    tags=("extension", "join", "tpch"),
+)
+def q_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both nation filters are applied BEFORE the fact-table joins: the
+    supplier axis shrinks to 2/N nations ahead of the lineitem probe, so
+    at 100 TB the only large shuffle is lineitem⋈orders on orderkey.
+    The 25-row nation dim broadcasts; the filtered supplier/customer
+    maps are scale-proportional, so the planner chooses their strategy."""
+    n1, n2 = "NATION_1", "NATION_2"
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_name").isin(n1, n2))
+    sup_n = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust_n = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between(
+            F.lit("1996-01-01").cast("timestamp"), F.lit("1997-12-31").cast("timestamp")
+        )
+    ).select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        li.join(sup_n, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust_n, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(
+            ((F.col("supp_nation") == n1) & (F.col("cust_nation") == n2))
+            | ((F.col("supp_nation") == n2) & (F.col("cust_nation") == n1))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q8: national market share within a region
+# ---------------------------------------------------------------------------
+@register(
+    "q8_market_share",
+    oracle="""
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               round(sum(CASE WHEN n2.n_name = 'NATION_3'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END)
+                     / sum(l_extendedprice * (1 - l_discount)), 4) AS mkt_share
+        FROM lineitem
+        JOIN part     ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region    ON n1.n_regionkey = r_regionkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+        GROUP BY o_year
+    """,
+    doc="TPC-H Q8: share of PROMO-part revenue in ASIA supplied by one "
+    "nation, per order year (conditional-sum ratio over a 7-table join)",
+    tags=("extension", "join", "aggregate", "tpch"),
+)
+def q_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The selective p_type filter prunes the fact table FIRST (Catalyst
+    pushes it into the part-side scan); region/nation dims broadcast.
+    The numerator rides the same shuffle as the denominator via a
+    conditional sum — one aggregation, no second pass over the join."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust_in_region = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    supp_nation = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    vol = _revenue()
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp_nation, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust_in_region, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0.0)))
+                / F.sum(vol),
+                4,
+            ).alias("mkt_share")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q15: top supplier by quarterly revenue (scalar MAX subquery)
+# ---------------------------------------------------------------------------
+@register(
+    "q15_top_supplier",
+    oracle="""
+        WITH rev AS (
+            SELECT l_suppkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1996-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+    """,
+    doc="TPC-H Q15: supplier(s) with max revenue in one quarter — scalar "
+    "MAX subquery decorrelated into a 1-row equi-join",
+    tags=("extension", "aggregate", "subquery", "tpch"),
+)
+def q_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scalar MAX becomes a 1-row aggregate broadcast-EQUI-joined
+    back on the rounded revenue value (a BroadcastHashJoin, not a
+    nested-loop filter), so the revenue table is scanned once and never
+    re-shuffled. Revenue is rounded to 2dp BEFORE the max/equality on
+    both engines, making the winner decimal-deterministic. At 100 TB the
+    per-supplier aggregate is supplier-cardinality-sized; the 1-row max
+    is the only driver-independent global state."""
+    rev = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.round(F.sum(_revenue()), 2).alias("total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("total_revenue"))
+    best = rev.join(F.broadcast(mx), "total_revenue")
+    supplier = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return supplier.join(
+        best, F.col("s_suppkey") == F.col("l_suppkey")
+    ).select("s_suppkey", "s_name", "total_revenue")
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q17: small-quantity-order revenue (correlated scalar AVG subquery)
+# ---------------------------------------------------------------------------
+@register(
+    "q17_small_quantity_orders",
+    oracle="""
+        SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#1' AND p_size < 15
+          AND l_quantity < (
+              SELECT 0.2 * avg(l2.l_quantity)
+              FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey
+          )
+    """,
+    doc="TPC-H Q17: revenue from orders below 20%% of the part's average "
+    "quantity — correlated scalar subquery decorrelated to groupBy+join",
+    tags=("extension", "subquery", "tpch"),
+)
+def q_q17_small_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hand-decorrelation: the per-part average becomes ONE groupBy over
+    lineitem equi-joined back on partkey (part-cardinality-sized — the
+    planner picks broadcast vs shuffle; no forced hint). l_quantity is
+    integral so avg is bit-identical across engines (exact integer sum,
+    one correctly-rounded division) — the strict `<` threshold cannot
+    flip on accumulation order."""
+    li = _t(spark, sf_dir, "lineitem")
+    part_f = (
+        _t(spark, sf_dir, "part")
+        .filter((F.col("p_brand") == "Brand#1") & (F.col("p_size") < 15))
+        .select("p_partkey")
+    )
+    per_part_avg = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_thresh")
+    )
+    return (
+        li.select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(part_f, F.col("l_partkey") == F.col("p_partkey"))
+        .join(per_part_avg, F.col("l_partkey") == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg(F.round(F.sum("l_extendedprice") / F.lit(7.0), 2).alias("avg_yearly"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18: large-volume customers (HAVING + IN subquery)
+# ---------------------------------------------------------------------------
+@register(
+    "q18_large_volume_customers",
+    oracle="""
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+               round(total_qty, 2) AS total_qty
+        FROM orders
+        JOIN (
+            SELECT l_orderkey, sum(l_quantity) AS total_qty
+            FROM lineitem GROUP BY l_orderkey
+            HAVING sum(l_quantity) > 250
+        ) big ON o_orderkey = big.l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+    """,
+    doc="TPC-H Q18: orders whose total quantity exceeds 250, with their "
+    "customers — the HAVING-IN shape folded into one aggregation",
+    tags=("extension", "aggregate", "subquery", "tpch"),
+)
+def q_q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic Q18 scans lineitem twice (IN-subquery + outer
+    re-aggregation); here the aggregate is computed ONCE and carried
+    through the join — the decorrelation Catalyst cannot do from the
+    SQL shape. sum(l_quantity) is an exact integer in double on both
+    engines, so the >250 boundary is deterministic. The surviving-order
+    set is tiny (heavy-hitter tail), so the orders/customer joins
+    hash-join against a pruned probe side."""
+    big = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("raw_qty"))
+        .filter(F.col("raw_qty") > 250)
+        .select("l_orderkey", F.round(F.col("raw_qty"), 2).alias("total_qty"))
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q19: disjunctive multi-band predicate (OR of conjunctions)
+# ---------------------------------------------------------------------------
+@register(
+    "q19_disjunctive_bands",
+    oracle="""
+        SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_lines
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30
+               AND l_quantity BETWEEN 20 AND 30)
+    """,
+    doc="TPC-H Q19: revenue under an OR of three brand/size/quantity "
+    "conjunction bands — the disjunctive-pushdown stress shape",
+    tags=("extension", "join", "tpch"),
+)
+def q_q19_disjunctive_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalyst factors the common conjuncts out of the OR: the
+    lineitem-side l_quantity range (1..30 hull) and the part-side
+    brand/size hull both push into their scans BEFORE the join, so at
+    100 TB the join probes only band-plausible rows; the exact
+    three-band predicate re-applies post-join."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    band = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(1, 20)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(1, 30)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .filter(band)
+        .agg(
+            F.round(F.sum(_revenue()), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q21 (adapted): suppliers solely responsible for late orders
+# ---------------------------------------------------------------------------
+@register(
+    "q21_lone_late_supplier",
+    oracle="""
+        SELECT s_name, count(*) AS numwait
+        FROM lineitem l1
+        JOIN orders   ON o_orderkey = l1.l_orderkey
+        JOIN supplier ON s_suppkey = l1.l_suppkey
+        WHERE o_orderstatus = 'F'
+          AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+          AND EXISTS (
+              SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+              SELECT 1 FROM lineitem l3
+              WHERE l3.l_orderkey = l1.l_orderkey
+                AND l3.l_suppkey <> l1.l_suppkey
+                AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY
+          )
+        GROUP BY s_name
+    """,
+    doc="TPC-H Q21 on this schema (lateness = shipped >60d after order "
+    "date): per supplier, late lines on finished multi-supplier orders "
+    "where NO other supplier shipped late — EXISTS + NOT EXISTS self-joins",
+    tags=("extension", "join", "subquery", "tpch"),
+)
+def q_q21_lone_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS → left_semi, NOT EXISTS → left_anti, both hash joins on
+    the orderkey equi-key with the supplier inequality riding as a join
+    condition. The late-line set is computed ONCE (lineitem⋈orders) and
+    reused as both the outer side and the NOT-EXISTS probe — at 100 TB
+    that is one orderkey shuffle amortized across all three roles, and
+    the semi/anti probes are co-partitioned with it."""
+    lines = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderstatus")
+    late = (
+        lines.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey", "o_orderstatus")
+    )
+    l1 = late.filter(F.col("o_orderstatus") == "F").select("l_orderkey", "l_suppkey")
+    other_lines = lines.select(
+        F.col("l_orderkey").alias("o2_orderkey"), F.col("l_suppkey").alias("o2_suppkey")
+    )
+    other_late = late.select(
+        F.col("l_orderkey").alias("o3_orderkey"), F.col("l_suppkey").alias("o3_suppkey")
+    )
+    waiting = (
+        l1.join(
+            other_lines,
+            (F.col("l_orderkey") == F.col("o2_orderkey"))
+            & (F.col("l_suppkey") != F.col("o2_suppkey")),
+            "left_semi",
+        ).join(
+            other_late,
+            (F.col("l_orderkey") == F.col("o3_orderkey"))
+            & (F.col("l_suppkey") != F.col("o3_suppkey")),
+            "left_anti",
+        )
+    )
+    supplier = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        waiting.join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q22 (adapted): high-balance customers gone idle
+# ---------------------------------------------------------------------------
+@register(
+    "q22_idle_rich_customers",
+    oracle="""
+        SELECT c_mktsegment, count(*) AS numcust,
+               round(sum(c_acctbal), 2) AS totacctbal
+        FROM customer
+        WHERE c_acctbal > (
+              SELECT round(avg(c_acctbal), 4) FROM customer WHERE c_acctbal > 0
+          )
+          AND NOT EXISTS (
+              SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey
+                AND o_orderdate >= TIMESTAMP '2001-01-01'
+          )
+        GROUP BY c_mktsegment
+    """,
+    doc="TPC-H Q22 on this schema (segment instead of phone country "
+    "code): above-average-balance customers with no order in the final "
+    "year — global scalar-AVG threshold + NOT-EXISTS anti join",
+    tags=("extension", "subquery", "tpch"),
+)
+def q_q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The global average is a 1-row aggregate broadcast onto the
+    customer scan (the only sanctioned nested-loop shape — bounded by
+    construction); the NOT EXISTS is a left_anti hash join against the
+    date-pruned orders slice. The threshold is rounded to 4dp on BOTH
+    engines before the strict `>` so a last-ulp accumulation difference
+    cannot flip a boundary customer."""
+    cust = _t(spark, sf_dir, "customer")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.round(F.avg("c_acctbal"), 4).alias("avg_bal")
+    )
+    recent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )

@@ -61,6 +61,11 @@ ALLOWED = {
         "MapInPandas": "intended Arrow-batched resize planner (1→1, "
         "integer box-fit arithmetic)",
     },
+    "q22_idle_rich_customers": {
+        "BroadcastNestedLoopJoin": "1-row global average-balance "
+        "threshold broadcast onto the customer scan (bounded by "
+        "construction — the decorrelated scalar subquery)",
+    },
     "user_longest_increasing_run": {
         "FlatMapGroupsInPandas": "intended grouped-map applyInPandas "
         "escape hatch (per-key sequential scan; state bounded by the "
