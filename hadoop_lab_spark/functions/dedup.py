@@ -200,6 +200,59 @@ def minhash_near_dups(
     return exact_jaccard(doc_sets, pairs, id_col).filter(F.col("jaccard") >= threshold)
 
 
+def minhash_incremental_dups(
+    base: DataFrame,
+    delta: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    n: int = SHINGLE_N,
+    seeds: int = MINHASH_SEEDS,
+    bands: int = LSH_BANDS,
+) -> DataFrame:
+    """Probe a DELTA batch of new documents against the BASE corpus's
+    LSH index: (new_id, base_id, jaccard) for near-dup collisions.
+
+    The production shape for a growing corpus — each ingest batch is
+    checked against the existing index without ever re-pairing the base
+    with itself (no base×base and no delta×delta work; dedup WITHIN the
+    batch is the plain ``minhash_near_dups`` on the delta alone). The
+    band join's probe side is delta-sized, so incremental cost scales
+    with the batch, not the corpus: at 100 TB the base band signatures
+    are a precomputed index table (bounded: bands × docs rows) and this
+    plan's base subtree is exactly the query that maintains it.
+    """
+    base_sets = word_shingle_arrays(base, id_col, text_col, n).repartition(F.col(id_col))
+    delta_sets = word_shingle_arrays(delta, id_col, text_col, n).repartition(F.col(id_col))
+    base_bands = _band_signatures(base_sets, id_col, seeds, bands).select(
+        F.col(id_col).alias("base_id"), "band", "band_sig"
+    )
+    delta_bands = _band_signatures(delta_sets, id_col, seeds, bands).select(
+        F.col(id_col).alias("new_id"), "band", "band_sig"
+    )
+    pairs = (
+        delta_bands.join(base_bands, ["band", "band_sig"])
+        .select("new_id", "base_id")
+        .distinct()
+    )
+    a = delta_sets.select(F.col(id_col).alias("new_id"), F.col("sh_arr").alias("_sa"))
+    b = base_sets.select(F.col(id_col).alias("base_id"), F.col("sh_arr").alias("_sb"))
+    inter = F.size(F.array_intersect(F.col("_sa"), F.col("_sb")))
+    return (
+        pairs.join(a, "new_id")
+        .join(b, "base_id")
+        .select(
+            "new_id",
+            "base_id",
+            (
+                inter.cast("long")
+                / (F.size("_sa") + F.size("_sb") - inter).cast("long")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,

@@ -921,3 +921,46 @@ def q_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         X.trunc(F.max("l2")).alias("max_l2"),
         X.trunc(F.expr("percentile(l2, 0.5)")).alias("median_l2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Language rebalancing: per-language sampling rates toward uniform share
+# ---------------------------------------------------------------------------
+@register(
+    "language_rebalance_weights",
+    oracle="""
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+               round(least(1.0,
+                     (SELECT count(*) FROM documents) * 1.0
+                     / (SELECT count(DISTINCT lang) FROM documents)
+                     / count(*)), 4) AS sample_rate
+        FROM documents GROUP BY lang
+    """,
+    doc="per-language downsampling rates toward a uniform language mix — "
+    "the corpus-rebalancing step of a multilingual training-data build "
+    "(rate = min(1, fair_share / lang_count), capped so no language is "
+    "upsampled)",
+    tags=("mlprep", "aggregate", "text"),
+)
+def q_language_rebalance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One corpus-wide groupBy(lang) — bounded cardinality (languages,
+    not documents) — then the fair share is derived from that SAME tiny
+    aggregate via an unpartitioned window (single-partition exchange
+    over ≤|languages| rows, bounded at any corpus scale; the documents
+    table itself is never re-scanned or re-shuffled). Division order
+    (total / k / n_docs) is identical on both engines: each step is one
+    correctly-rounded IEEE division of exact integer counts."""
+    from pyspark.sql import Window
+
+    per_lang = (
+        _t(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+    w = Window.partitionBy()
+    fair = F.sum("n_docs").over(w).cast("double") / F.count(F.lit(1)).over(w)
+    return per_lang.select(
+        "lang",
+        "n_docs",
+        F.round(F.least(F.lit(1.0), fair / F.col("n_docs")), 4).alias("sample_rate"),
+    )

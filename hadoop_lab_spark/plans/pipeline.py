@@ -266,6 +266,48 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_minhash_incremental",
+    oracle=f"""
+        WITH sh AS ({_SHINGLES_SQL}),
+        bands AS ({_BANDS_SQL}),
+        pairs AS (
+            SELECT DISTINCT d.doc_id AS new_id, b.doc_id AS base_id
+            FROM bands d JOIN bands b
+              ON d.band = b.band AND d.band_sig = b.band_sig
+            WHERE d.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+        )
+        SELECT p.new_id, p.base_id,
+               i.inter / (sa.n_sh + sb.n_sh - i.inter) AS jaccard
+        FROM pairs p
+        JOIN (
+            SELECT a.doc_id AS new_id, b.doc_id AS base_id,
+                   CAST(count(*) AS BIGINT) AS inter
+            FROM sh a JOIN sh b ON a.shingle = b.shingle
+            GROUP BY 1, 2
+        ) i ON i.new_id = p.new_id AND i.base_id = p.base_id
+        JOIN (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1) sa
+          ON sa.doc_id = p.new_id
+        JOIN (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1) sb
+          ON sb.doc_id = p.base_id
+        WHERE i.inter / (sa.n_sh + sb.n_sh - i.inter) >= {MINHASH_THRESHOLD}
+    """,
+    doc="incremental MinHash dedup: a delta batch (doc_id %% 5 = 0) "
+    "probed against the base corpus's LSH band index — the growing-"
+    "corpus ingest shape (no base×base or delta×delta re-pairing)",
+    tags=("pipeline", "dedup", "lsh", "incremental"),
+)
+def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The delta split stands in for an ingest batch; in production the
+    base band signatures are a maintained index table and only the
+    delta-sized probe side is computed per batch. See
+    functions/dedup.py:minhash_incremental_dups for the scale analysis."""
+    docs = _t(spark, sf_dir, "documents")
+    delta = docs.filter(F.col("doc_id") % 5 == 0)
+    base = docs.filter(F.col("doc_id") % 5 != 0)
+    return D.minhash_incremental_dups(base, delta, "doc_id", "text", MINHASH_THRESHOLD)
+
+
+@register(
     "dedup_ngram_jaccard",
     oracle=f"""
         WITH sh AS ({_SHINGLES_SQL}),
