@@ -931,10 +931,10 @@ def q_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
                round(least(1.0,
-                     (SELECT count(*) FROM documents) * 1.0
+                     (SELECT count(*) FROM documents WHERE lang IS NOT NULL) * 1.0
                      / (SELECT count(DISTINCT lang) FROM documents)
                      / count(*)), 4) AS sample_rate
-        FROM documents GROUP BY lang
+        FROM documents WHERE lang IS NOT NULL GROUP BY lang
     """,
     doc="per-language downsampling rates toward a uniform language mix — "
     "the corpus-rebalancing step of a multilingual training-data build "
@@ -949,11 +949,18 @@ def q_language_rebalance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     over ≤|languages| rows, bounded at any corpus scale; the documents
     table itself is never re-scanned or re-shuffled). Division order
     (total / k / n_docs) is identical on both engines: each step is one
-    correctly-rounded IEEE division of exact integer counts."""
+    correctly-rounded IEEE division of exact integer counts.
+
+    NULL-lang contract: documents without a language id are excluded on
+    BOTH engines (they can't be rebalanced) — without the filter Spark's
+    groupBy keeps a NULL group that inflates the language count while
+    DuckDB's count(DISTINCT lang) skips NULLs, a cross-engine divergence
+    the adversarial corpus reproduces."""
     from pyspark.sql import Window
 
     per_lang = (
         _t(spark, sf_dir, "documents")
+        .filter(F.col("lang").isNotNull())
         .groupBy("lang")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     )
