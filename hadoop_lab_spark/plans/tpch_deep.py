@@ -210,7 +210,16 @@ def q_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-shuffled. Revenue is rounded to 2dp BEFORE the max/equality on
     both engines, making the winner decimal-deterministic. At 100 TB the
     per-supplier aggregate is supplier-cardinality-sized; the 1-row max
-    is the only driver-independent global state."""
+    is the only driver-independent global state.
+
+    Deliberate trade: the rev subtree executes twice (once for max, once
+    for the join-back) — a repartition pin after the agg is optimized
+    away as redundant (same-key partitioning), and forcing reuse by
+    repartitioning BEFORE the agg would shuffle the raw quarter slice
+    with no map-side combine, strictly more bytes than the second
+    pruned+combined scan costs. Both scans are shipdate-row-group-pruned
+    and 4-column; this is how the view-referenced-twice Q15 executes in
+    most engines."""
     rev = (
         _t(spark, sf_dir, "lineitem")
         .filter(

@@ -317,3 +317,69 @@ def test_inverted_index_exchange_reused_in_final_adaptive_plan(spark, tmp_path):
         "inverted-index exchange reuse lost: the token stream would be "
         "scanned, exploded, and shuffled twice\n" + final[:1500]
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H deep subquery family (plans/tpch_deep.py)
+# ---------------------------------------------------------------------------
+def test_q19_disjunctive_bands_pushed_to_both_scans(spark):
+    """The OR-of-conjunctions must reach BOTH parquet scans as a pushed
+    hull (quantity bands on lineitem, brand/size bands on part) — a scan
+    reading unfiltered rows for a 3-band predicate re-checks the bands
+    post-join over the full join mass at 100 TB."""
+    plan = _plan(spark, "q19_disjunctive_bands")
+    scans = re.findall(r"PushedFilters: \[[^\]]*\]", plan)
+    ored = [s for s in scans if "Or(" in s]
+    assert len(ored) >= 2, scans
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q15_scalar_max_is_equi_join(spark):
+    """The decorrelated scalar-MAX must join back as a hash join on the
+    rounded revenue value — a nested-loop filter against a 1-row side
+    would pass the lint but lose the hash probe."""
+    plan = _plan(spark, "q15_top_supplier")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 1
+
+
+def test_q17_decorrelated_avg_is_equi_join(spark):
+    """The correlated scalar-AVG subquery must decorrelate to equi-joins
+    on partkey only — no nested-loop shapes."""
+    plan = _plan(spark, "q17_small_quantity_orders")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q21_exists_shapes_are_semi_and_anti(spark):
+    """EXISTS/NOT EXISTS must plan as left_semi/left_anti hash joins on
+    the orderkey equi-key (the supplier inequality rides as a join
+    condition) — never as a join+distinct or a filter over a cross."""
+    plan = _plan(spark, "q21_lone_late_supplier")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q22_anti_join_prunes_orders_scan(spark):
+    """The NOT-EXISTS side must scan orders with the o_orderdate bound
+    pushed down and only (o_custkey, o_orderdate) read — the anti join
+    probes a date-pruned two-column slice, not the orders table."""
+    plan = _plan(spark, "q22_idle_rich_customers")
+    assert "LeftAnti" in plan
+    assert re.search(
+        r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(o_orderdate", plan
+    ), plan
+    assert "ReadSchema: struct<o_custkey:bigint,o_orderdate:timestamp_ntz>" in plan
+
+
+def test_incremental_minhash_scans_only_id_and_text(spark):
+    """Both the base and delta subtrees must read only (doc_id, text)
+    from the documents scan — signature computation happens in
+    projections, never against the full row."""
+    plan = _plan(spark, "dedup_minhash_incremental")
+    read = re.findall(r"ReadSchema: struct<[^>]*>", plan)
+    doc_reads = [r for r in read if "text" in r]
+    assert doc_reads, read
+    assert all(r == "ReadSchema: struct<doc_id:bigint,text:string>" for r in doc_reads), read
