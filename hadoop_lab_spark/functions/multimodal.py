@@ -150,6 +150,15 @@ def decode_image_real(df: DataFrame, id_col: str = "doc_id", payload_col: str = 
       (pinned by tests/test_multimodal_real.py on in-test-encoded
       files).
 
+    Both tiers sniff the magic number FIRST and accept only these four
+    formats — the Pillow tier deliberately refuses formats the stdlib
+    tier can't parse (WEBP, TIFF, ...), because on a cluster with
+    heterogeneous Python envs a Pillow-only format would decode on some
+    workers and NULL on others, making output depend on executor
+    placement (ADVICE r4). Unsupported-but-valid images land in the
+    same NULL-dims quarantine as corrupt blobs, identically on every
+    worker.
+
     Undecodable or NULL payloads yield NULL dims (null propagation, not
     a crashed batch) — at 100 TB some corrupt blobs are a certainty and
     one must not kill a task. n_bytes/sha_prefix still identify the bad
@@ -168,7 +177,18 @@ def decode_image_real(df: DataFrame, id_col: str = "doc_id", payload_col: str = 
         except ImportError:
             _img = None
 
+        def _supported(b: bytes) -> bool:
+            # The four-format contract, shared by BOTH tiers.
+            return (
+                (b[:8] == b"\x89PNG\r\n\x1a\n" and b[12:16] == b"IHDR")
+                or b[:6] in (b"GIF87a", b"GIF89a")
+                or b[:2] == b"BM"
+                or b[:2] == b"\xff\xd8"
+            )
+
         def _dims(b: bytes):
+            if not _supported(b):
+                return (None, None)
             if _img is not None:
                 try:
                     return _img.open(_io.BytesIO(b)).size
@@ -180,17 +200,34 @@ def decode_image_real(df: DataFrame, id_col: str = "doc_id", payload_col: str = 
                 if b[:6] in (b"GIF87a", b"GIF89a"):
                     return _st.unpack("<HH", b[6:10])
                 if b[:2] == b"BM":
-                    w, h = _st.unpack("<ii", b[18:26])
-                    return (abs(w), abs(h))  # negative h = top-down rows
+                    # DIB header size discriminates BITMAPINFOHEADER (>=40,
+                    # 32-bit signed dims at 18) from the OS/2
+                    # BITMAPCOREHEADER (12, 16-bit unsigned dims at 18);
+                    # anything else is quarantined, not mis-unpacked.
+                    (dib,) = _st.unpack("<I", b[14:18])
+                    if dib >= 40:
+                        w, h = _st.unpack("<ii", b[18:26])
+                        return (abs(w), abs(h))  # negative h = top-down rows
+                    if dib == 12:
+                        return _st.unpack("<HH", b[18:22])
+                    return (None, None)
                 if b[:2] == b"\xff\xd8":  # JPEG: walk to a SOFn marker
                     i = 2
                     while i + 9 < len(b):
                         if b[i] != 0xFF:
                             return (None, None)
+                        # Runs of 0xFF are legal fill before any marker.
+                        while i + 9 < len(b) and b[i + 1] == 0xFF:
+                            i += 1
                         marker = b[i + 1]
                         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                             i += 2  # standalone markers have no length
                             continue
+                        if marker in (0xDA, 0xD9):
+                            # SOS starts entropy-coded data (markerless
+                            # scan bytes) and EOI ends the stream: a SOF
+                            # past either doesn't exist — stop walking.
+                            return (None, None)
                         seglen = _st.unpack(">H", b[i + 2 : i + 4])[0]
                         if 0xC0 <= marker <= 0xCF and marker not in (
                             0xC4,

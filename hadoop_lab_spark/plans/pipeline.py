@@ -291,7 +291,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
           ON sb.doc_id = p.base_id
         WHERE i.inter / (sa.n_sh + sb.n_sh - i.inter) >= {MINHASH_THRESHOLD}
     """,
-    doc="incremental MinHash dedup: a delta batch (doc_id %% 5 = 0) "
+    doc="incremental MinHash dedup: a delta batch (doc_id % 5 = 0) "
     "probed against the base corpus's LSH band index — the growing-"
     "corpus ingest shape (no base×base or delta×delta re-pairing)",
     tags=("pipeline", "dedup", "lsh", "incremental"),

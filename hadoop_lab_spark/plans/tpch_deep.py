@@ -251,7 +251,7 @@ def q_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
               FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey
           )
     """,
-    doc="TPC-H Q17: revenue from orders below 20%% of the part's average "
+    doc="TPC-H Q17: revenue from orders below 20% of the part's average "
     "quantity — correlated scalar subquery decorrelated to groupBy+join",
     tags=("extension", "subquery", "tpch"),
 )

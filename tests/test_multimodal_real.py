@@ -211,3 +211,79 @@ def test_decode_audio_real_extreme_samples(spark):
     assert rows[0].energy == 32768 + 32767 + 0 + 1
     assert rows[0].peak == 32768
     assert rows[1].energy == 50 and rows[1].peak == 5
+
+
+# --- ADVICE r4 decoder hardening -------------------------------------------
+
+
+def test_jpeg_fill_bytes_before_markers_are_skipped(spark):
+    """0xFF fill bytes before a marker are legal padding (ITU T.81
+    B.1.1.2); the walker must skip runs of 0xFF instead of reading a
+    bogus length segment for marker 0xFF."""
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + b"\x00" * 6
+    sof0 = (
+        b"\xff\xc0"
+        + struct.pack(">H", 11)
+        + b"\x08"
+        + struct.pack(">HH", 77, 99)
+        + b"\x01\x11\x00"
+    )
+    jpg = b"\xff\xd8" + app0 + b"\xff\xff\xff" + sof0 + b"\xff\xd9"
+    row = M.decode_image_real(_payload_df(spark, [jpg])).collect()[0]
+    assert (row.width, row.height) == (99, 77)
+
+
+def test_jpeg_walk_terminates_at_sos_and_eoi(spark):
+    """A JPEG whose SOS (or EOI) arrives before any SOF must quarantine
+    (NULL dims) — entropy-coded scan bytes after SOS are markerless, so
+    walking past it would read garbage as segment lengths."""
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + b"\x00" * 6
+    # SOS followed by scan bytes that LOOK like a huge plausible SOF
+    sos = b"\xff\xda" + struct.pack(">H", 8) + b"\x01\x01\x00\x00\x00\x00"
+    fake_scan = b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", 1, 1) + b"\x01\x11\x00"
+    no_sof = b"\xff\xd8" + app0 + sos + fake_scan + b"\xff\xd9"
+    eoi_first = b"\xff\xd8" + app0 + b"\xff\xd9" + fake_scan
+    rows = {
+        r.doc_id: r
+        for r in M.decode_image_real(_payload_df(spark, [no_sof, eoi_first])).collect()
+    }
+    for i in (0, 1):
+        assert rows[i].width is None and rows[i].height is None
+        assert rows[i].n_bytes is not None  # still identified for quarantine
+
+
+def make_bmp_os2(width: int, height: int) -> bytes:
+    """OS/2 BITMAPCOREHEADER: 12-byte DIB header, 16-bit unsigned dims."""
+    core = struct.pack("<IHHHH", 12, width, height, 1, 24)
+    return b"BM" + struct.pack("<IHHI", 26, 0, 0, 26) + core
+
+
+def test_bmp_os2_core_header_dims(spark):
+    """A BITMAPCOREHEADER BMP must decode its 16-bit dims, not silently
+    mis-unpack 32-bit fields at the BITMAPINFOHEADER offsets."""
+    df = _payload_df(spark, [make_bmp_os2(300, 200)])
+    row = M.decode_image_real(df).collect()[0]
+    assert (row.width, row.height) == (300, 200)
+
+
+def test_bmp_unknown_dib_header_quarantines(spark):
+    """A DIB header size that is neither >=40 nor 12 (here 20) is not a
+    layout we know — NULL dims, never wrong non-NULL ones."""
+    weird = b"BM" + struct.pack("<IHHI", 34, 0, 0, 34) + struct.pack("<Iii", 20, 9, 9) + bytes(8)
+    row = M.decode_image_real(_payload_df(spark, [weird])).collect()[0]
+    assert row.width is None and row.height is None
+
+
+def test_unsupported_formats_null_on_every_tier(spark):
+    """WEBP/TIFF are outside the four-format contract: BOTH tiers must
+    return NULL dims (the Pillow tier sniffs magic before Image.open),
+    so results never depend on which workers have Pillow."""
+    webp = b"RIFF" + struct.pack("<I", 20) + b"WEBPVP8 " + bytes(8)
+    tiff = b"II*\x00" + bytes(16)
+    rows = {
+        r.doc_id: r
+        for r in M.decode_image_real(_payload_df(spark, [webp, tiff])).collect()
+    }
+    for i in (0, 1):
+        assert rows[i].width is None and rows[i].height is None
+        assert rows[i].n_bytes is not None
