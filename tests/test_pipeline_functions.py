@@ -259,3 +259,40 @@ def test_multiprobe_recall_superset_of_single_probe(spark):
     assert set(single) <= set(multi)
     for pair, cos in single.items():
         assert multi[pair] == cos
+
+
+def test_adaptive_planes_formula():
+    """Plane count grows one per corpus doubling past N0 and never
+    shrinks below the base — the formula both engines must agree on
+    (oracle prm CTE mirrors this exactly)."""
+    from hadoop_lab_spark.plans.pipeline import (
+        ADAPTIVE_PLANES_N0,
+        adaptive_planes,
+    )
+
+    base = S.LSH_PLANES
+    assert ADAPTIVE_PLANES_N0 == 1000
+    assert adaptive_planes(0) == base  # degenerate corpus: no extra planes
+    assert adaptive_planes(1) == base
+    assert adaptive_planes(500) == base  # sf0.01 corpus -> identical to fixed lane
+    assert adaptive_planes(1000) == base  # exactly N0: log2(1) = 0
+    assert adaptive_planes(1001) == base + 1
+    assert adaptive_planes(2000) == base + 1  # sf0.1 corpus
+    assert adaptive_planes(4000) == base + 2
+    assert adaptive_planes(20000) == base + 5  # sf1.0 corpus
+    assert adaptive_planes(20_000_000) == base + 15  # ~100 TB embedding table
+
+
+def test_adaptive_lane_equals_fixed_lane_at_base_n(spark):
+    """At a corpus below N0 the adaptive lane resolves to the base plane
+    count, so its pairs are EXACTLY the fixed lane's — the adaptive
+    knob only kicks in past N0."""
+    from hadoop_lab_spark.plans.registry import REGISTRY, load_all_query_modules
+
+    load_all_query_modules()
+    sf = "/root/testdata/sf0.001"
+    fixed = REGISTRY["dedup_embedding_cosine"].fn(spark, sf)
+    adaptive = REGISTRY["dedup_embedding_cosine_adaptive"].fn(spark, sf)
+    assert sorted(map(tuple, fixed.collect())) == sorted(
+        map(tuple, adaptive.collect())
+    )
