@@ -1156,7 +1156,11 @@ def q_order_priority_tokens_outer(spark: SparkSession, sf_dir: str) -> DataFrame
     """,
     doc="entity resolution: block customer names on their stem (name minus "
     "last 2 chars), verify candidate pairs with levenshtein <= 2 — the "
-    "block-then-verify fuzzy-dedup shape, aggregated per block",
+    "block-then-verify fuzzy-dedup shape, aggregated per block. The "
+    "single-key demo: in-block verify is B² wherever a stem is hot, so "
+    "the production shape is customer_name_fuzzy_blocks_fine (composite "
+    "deletion-neighborhood blocking, sub-blocks bounded by the tail "
+    "alphabet)",
     tags=("extension", "join", "string", "dedup"),
 )
 def q_customer_name_fuzzy_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1187,6 +1191,119 @@ def q_customer_name_fuzzy_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             F.when(F.levenshtein("n_a", "n_b") <= 2, 1).otherwise(0)
         )
+        .cast("bigint")
+        .alias("n_matches"),
+    )
+
+
+@register(
+    "customer_name_fuzzy_blocks_fine",
+    oracle="""
+        WITH keyed AS (
+            SELECT c_custkey, c_name,
+                   substring(c_name, 1, greatest(length(c_name) - 2, 1)) AS blk
+            FROM customer
+            WHERE c_name IS NOT NULL
+        ),
+        variants AS (
+            SELECT c_custkey, c_name, blk, 0 AS vid,
+                   substring(c_name, 1, greatest(length(c_name) - 1, 1)) AS vkey
+            FROM keyed
+            UNION ALL
+            SELECT c_custkey, c_name, blk, 1 AS vid,
+                   blk || substring(c_name, length(c_name), 1) AS vkey
+            FROM keyed
+        ),
+        cand AS (
+            SELECT DISTINCT a.blk, a.c_custkey AS ka, b.c_custkey AS kb,
+                   a.c_name AS na, b.c_name AS nb
+            FROM variants a JOIN variants b
+              ON a.vid = b.vid AND a.vkey = b.vkey
+                 AND a.c_custkey < b.c_custkey
+        )
+        SELECT blk,
+               CAST(count(*) AS BIGINT) AS n_candidates,
+               CAST(sum(CASE WHEN levenshtein(na, nb) <= 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_matches
+        FROM cand
+        GROUP BY blk
+    """,
+    doc="entity resolution, composite deletion-neighborhood blocking "
+    "(VERDICT r4 #2): two passes — name minus its LAST char, and stem + "
+    "last char (i.e. penultimate deleted) — union-distinct candidates, "
+    "verify levenshtein <= 2, aggregate per stem block. Each pass key "
+    "extends the stem by one tail char, so a hot stem block of size B "
+    "subdivides by the tail alphabet (expected B/|alphabet| per "
+    "sub-block) and the size-squared verify term collapses; recall trade: "
+    "pairs whose names differ in BOTH tail positions are not candidates",
+    tags=("extension", "join", "string", "dedup"),
+)
+def q_customer_name_fuzzy_blocks_fine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale-safe twin of customer_name_fuzzy_blocks. The coarse
+    lane's blocks grow with the table wherever a stem is shared (the
+    hostile fixture's 30% hot stem makes the in-block verify B²); here
+    each blocking pass deletes ONE of the two tail positions the stem
+    excludes, so candidates are exactly the pairs differing in a single
+    tail position — pigeonhole over the deleted position, the
+    symmetric-delete (SymSpell) blocking discipline. Hot-stem candidate
+    mass drops from B²/2 to ~B²/|alphabet| while every
+    single-substitution near-dup is still found; only double-tail-edit
+    pairs (lev = 2 spread across both positions) are traded away, the
+    same priced-recall contract as the LSH plane knob. Note the
+    VERDICT's literal 'stem+length' suggestion is a no-op on this
+    corpus — equal stems already imply equal lengths (stem = name minus
+    2 chars) — which is why the composite extends the stem into the
+    tail instead. Both passes ride ONE self-join: variants are exploded
+    (2 rows/name), the join shuffles on the variant key (uniform even
+    under hot stems), and distinct dedups pairs caught by both passes."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_name").isNotNull())
+    stem = F.substring(
+        F.col("c_name"), 1, F.greatest(F.length("c_name") - 2, F.lit(1))
+    )
+    drop_last = F.substring(
+        F.col("c_name"), 1, F.greatest(F.length("c_name") - 1, F.lit(1))
+    )
+    last_char = F.substring(F.col("c_name"), F.length("c_name"), F.lit(1))
+    keyed = c.select(
+        "c_custkey",
+        "c_name",
+        stem.alias("blk"),
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("vid"), drop_last.alias("vkey")),
+                F.struct(
+                    F.lit(1).alias("vid"),
+                    F.concat(stem, last_char).alias("vkey"),
+                ),
+            )
+        ).alias("v"),
+    ).select("c_custkey", "c_name", "blk", "v.vid", "v.vkey")
+    a = keyed.select(
+        F.col("vid"),
+        F.col("vkey"),
+        F.col("blk"),
+        F.col("c_custkey").alias("ka"),
+        F.col("c_name").alias("na"),
+    )
+    b = keyed.select(
+        F.col("vid").alias("vid_b"),
+        F.col("vkey").alias("vkey_b"),
+        F.col("c_custkey").alias("kb"),
+        F.col("c_name").alias("nb"),
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("vid") == F.col("vid_b"))
+            & (F.col("vkey") == F.col("vkey_b"))
+            & (F.col("ka") < F.col("kb")),
+        )
+        .select("blk", "ka", "kb", "na", "nb")
+        .distinct()
+    )
+    return cand.groupBy("blk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+        F.sum(F.when(F.levenshtein("na", "nb") <= 2, 1).otherwise(0))
         .cast("bigint")
         .alias("n_matches"),
     )

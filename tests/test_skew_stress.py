@@ -249,3 +249,41 @@ def test_inverted_index_df_cap_bounds_hot_token(spark, skewed_docs_dir):
         assert all(r.df_ <= MAX_POSTINGS for r in rows.values())
     finally:
         con.close()
+
+
+def test_fine_blocking_collapses_hot_block_candidate_mass(
+    spark, skewed_customer_dir
+):
+    """The composite twin under the SAME 30%-hot-stem fixture: candidate
+    mass for the hot stem must drop from B(B-1)/2 to the
+    single-tail-substitution pair count (pigeonhole bound ~B²/|alphabet|),
+    with every single-substitution pair still found — the measured
+    block-size bound VERDICT r4 #2 asks for."""
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW customer AS SELECT * FROM read_parquet("
+            f"'{os.path.join(skewed_customer_dir, 'customer.parquet')}')"
+        )
+        spec = REGISTRY["customer_name_fuzzy_blocks_fine"]
+        df = spec.fn(spark, skewed_customer_dir)
+        assert_matches_oracle(
+            df, con, spec.oracle, name="skew:customer_name_fuzzy_blocks_fine"
+        )
+        # ground truth: hot tails are (chr(i//26), chr(i%26)) for i<600 —
+        # candidates are exactly the pairs differing in ONE tail position
+        tails = [(i // 26, i % 26) for i in range(HOT_BLOCK)]
+        expected = sum(
+            1
+            for i in range(HOT_BLOCK)
+            for j in range(i + 1, HOT_BLOCK)
+            if (tails[i][0] == tails[j][0]) != (tails[i][1] == tails[j][1])
+        )
+        rows = {r.blk: r for r in df.collect()}
+        hot = rows["Acme Global Corporation "]
+        assert hot.n_candidates == expected
+        assert hot.n_matches == expected  # 1-char diff => lev 1 <= 2
+        coarse_mass = HOT_BLOCK * (HOT_BLOCK - 1) // 2
+        assert hot.n_candidates < coarse_mass / 12  # ~|alphabet|/2 collapse
+    finally:
+        con.close()
