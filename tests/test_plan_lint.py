@@ -61,6 +61,11 @@ ALLOWED = {
         "MapInPandas": "intended Arrow-batched resize planner (1→1, "
         "integer box-fit arithmetic)",
     },
+    "q11_important_stock": {
+        "BroadcastNestedLoopJoin": "1-row global 0.2%-of-total threshold "
+        "broadcast onto the per-part aggregate (bounded by construction "
+        "— the decorrelated scalar subquery, same shape as q22)",
+    },
     "q22_idle_rich_customers": {
         "BroadcastNestedLoopJoin": "1-row global average-balance "
         "threshold broadcast onto the customer scan (bounded by "

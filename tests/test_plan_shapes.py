@@ -383,3 +383,64 @@ def test_incremental_minhash_scans_only_id_and_text(spark):
     doc_reads = [r for r in read if "text" in r]
     assert doc_reads, read
     assert all(r == "ReadSchema: struct<doc_id:bigint,text:string>" for r in doc_reads), read
+
+
+def test_q2_multikey_joinback_is_hash_join(spark):
+    """The correlated MIN must decorrelate to hash joins (the join-back
+    carries BOTH partkey and the min offer as equi-keys) — no
+    nested-loop or cartesian shapes anywhere in the plan."""
+    plan = _plan(spark, "q2_min_cost_supplier")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # lineitem reached pruned to the 4 offer-building columns
+    assert re.search(
+        r"ReadSchema: struct<l_partkey:bigint,l_suppkey:bigint,"
+        r"(l_quantity:double,l_extendedprice:double|"
+        r"l_extendedprice:double,l_quantity:double)>",
+        plan,
+    ), plan
+
+
+def test_q4_exists_is_semi_join_with_pruned_scans(spark):
+    """EXISTS must plan as ONE left_semi hash join on orderkey with the
+    date inequality riding as a join condition; the orders scan must
+    carry the quarter bounds as pushed filters."""
+    plan = _plan(spark, "q4_priority_checking")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert re.search(
+        r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(o_orderdate", plan
+    ), plan
+    assert "ReadSchema: struct<l_orderkey:bigint,l_shipdate:timestamp_ntz>" in plan
+
+
+def test_q11_threshold_is_broadcast_scalar(spark):
+    """The global 0.2% threshold must reach the per-part aggregate as a
+    1-row broadcast, and the nation-filtered slice must feed both
+    aggregations — no second lineitem scan shape regression."""
+    plan = _plan(spark, "q11_important_stock")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q13_left_join_preserves_zero_bucket(spark):
+    """The histogram must use a LEFT outer join (zero-order customers
+    survive) with the priority filter applied to the orders side before
+    the join — pushed into the orders scan, not evaluated post-join."""
+    plan = _plan(spark, "q13_customer_distribution")
+    assert re.search(r"LeftOuter|BuildRight.*LeftOuter", plan), plan
+    assert re.search(
+        r"PushedFilters: \[[^\]]*Not\(EqualTo\(o_orderpriority,5-LOW\)", plan
+    ), plan
+
+
+def test_q20_in_chain_is_all_semi_joins(spark):
+    """Every IN in the chain (parts, dominant suppliers, ASIA nations)
+    must plan as a left_semi hash join — never distinct+inner — and the
+    lineitem scan must carry the ship-date window pushed down."""
+    plan = _plan(spark, "q20_dominant_suppliers")
+    assert plan.count("LeftSemi") >= 3
+    assert "CartesianProduct" not in plan
+    assert re.search(
+        r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(l_shipdate", plan
+    ), plan
