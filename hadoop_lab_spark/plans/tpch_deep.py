@@ -237,6 +237,60 @@ def q_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("s_suppkey", "s_name", "total_revenue")
 
 
+@register(
+    "q15_top_supplier_cached",
+    oracle="""
+        WITH rev AS (
+            SELECT l_suppkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1996-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+    """,
+    doc="TPC-H Q15, materialized-view variant: the per-supplier revenue "
+    "subtree is persisted once (supplier-cardinality-sized) and both "
+    "consumers — the scalar MAX and the join-back — read the cache, so "
+    "lineitem is scanned ONCE. The canonical 100 TB shape for a "
+    "view-referenced-twice query; the twice-scanned q15_top_supplier "
+    "lane prices the alternative",
+    tags=("extension", "aggregate", "subquery", "tpch", "cache"),
+)
+def q_q15_top_supplier_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VERDICT r4 #6: the .persist()-based single-scan Q15. ``rev`` is
+    bounded by supplier cardinality at any SF — exactly the table a
+    warehouse would materialize for a view its query references twice —
+    so caching it trades a few MB of executor memory for the second
+    pruned lineitem scan + partial agg. Within the single action the
+    InMemoryRelation populates on first use and the second consumer
+    reads it back; a long-lived production job would unpersist after
+    the action (here the entry stays for Spark's LRU — it is one
+    supplier-sized table per run). The plan pin asserts both consumers
+    read InMemoryTableScan and only ONE lineitem scan survives."""
+    from pyspark import StorageLevel
+
+    rev = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.round(F.sum(_revenue()), 2).alias("total_revenue"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    mx = rev.agg(F.max("total_revenue").alias("total_revenue"))
+    best = rev.join(F.broadcast(mx), "total_revenue")
+    supplier = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return supplier.join(
+        best, F.col("s_suppkey") == F.col("l_suppkey")
+    ).select("s_suppkey", "s_name", "total_revenue")
+
+
 # ---------------------------------------------------------------------------
 # TPC-H Q17: small-quantity-order revenue (correlated scalar AVG subquery)
 # ---------------------------------------------------------------------------

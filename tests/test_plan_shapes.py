@@ -444,3 +444,19 @@ def test_q20_in_chain_is_all_semi_joins(spark):
     assert re.search(
         r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(l_shipdate", plan
     ), plan
+
+
+def test_q15_cached_variant_scans_lineitem_once(spark):
+    """The materialized variant must read the persisted rev from
+    InMemoryTableScan in BOTH consumers (scalar max + join-back) and
+    leave exactly ONE lineitem scan in the plan — the whole point of
+    the variant vs the twice-scanned q15_top_supplier."""
+    plan = _plan(spark, "q15_top_supplier_cached")
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    assert len(re.findall(r"lineitem", plan)) <= 2, plan  # 1 scan node (path + schema lines)
+
+
+def test_q15_cached_matches_uncached(spark):
+    a = REGISTRY["q15_top_supplier"].fn(spark, SF_DIR)
+    b = REGISTRY["q15_top_supplier_cached"].fn(spark, SF_DIR)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
