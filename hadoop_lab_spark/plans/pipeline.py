@@ -308,6 +308,90 @@ def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_ingest_merge",
+    oracle=f"""
+        WITH RECURSIVE sh AS ({_SHINGLES_SQL}),
+        bands AS ({_BANDS_SQL}),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.band_sig = b.band_sig
+            WHERE a.doc_id < b.doc_id
+              AND (a.doc_id % 5 = 0 OR b.doc_id % 5 = 0)
+        ),
+        ver AS (
+            SELECT id_a, id_b FROM ({_JACCARD_SQL})
+            WHERE jaccard >= {MINHASH_THRESHOLD}
+        ),
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM ver
+            UNION
+            SELECT id_b AS src, id_a AS dst FROM ver
+        ),
+        nodes AS (
+            SELECT doc_id FROM documents WHERE doc_id % 5 = 0
+            UNION
+            SELECT src AS doc_id FROM edges
+        ),
+        reach(root, node) AS (
+            SELECT doc_id, doc_id FROM nodes
+            UNION
+            SELECT r.root, e.dst FROM reach r JOIN edges e ON e.src = r.node
+        ),
+        cc AS (SELECT root AS doc_id, min(node) AS keeper
+               FROM reach GROUP BY root)
+        SELECT doc_id, keeper,
+               CASE WHEN keeper = doc_id THEN 'insert' ELSE 'merge' END AS action
+        FROM cc WHERE doc_id % 5 = 0
+    """,
+    doc="end-to-end ingest-batch dedup (VERDICT r4 #8): the delta batch "
+    "(doc_id % 5 = 0) is probed against the base corpus's LSH index AND "
+    "deduped within itself, the verified pair graph is resolved to "
+    "transitive clusters, and every delta doc gets its SCD1 upsert "
+    "action — 'insert' (it is its own cluster keeper) or 'merge' (an "
+    "existing/earlier doc keeps the cluster; the record maps to keeper)",
+    tags=("pipeline", "dedup", "lsh", "graph", "incremental"),
+)
+def q_dedup_ingest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full production ingest path composed from the pieces that
+    were individually green in r4: ``minhash_incremental_dups`` (delta
+    probes the base band index — no base×base re-pairing, probe side is
+    batch-sized), ``minhash_near_dups`` on the delta alone (within-batch
+    dups), then ``connected_components`` over ONLY the touched subgraph
+    (delta docs + base docs hit by a cross pair — the untouched 99%+ of
+    a 100 TB base corpus never enters the iteration), and finally the
+    keeper classification that feeds an SCD1 upsert (plans/mlprep.py's
+    scd1 lane is the apply step: 'insert' rows append, 'merge' rows
+    update their keeper's alias list). Output is per-delta-doc, so
+    result size ∝ batch, not corpus."""
+    from hadoop_lab_spark.operators.graph import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    delta = docs.filter(F.col("doc_id") % 5 == 0)
+    base = docs.filter(F.col("doc_id") % 5 != 0)
+    cross = D.minhash_incremental_dups(
+        base, delta, "doc_id", "text", MINHASH_THRESHOLD
+    ).select(F.col("new_id").alias("id_a"), F.col("base_id").alias("id_b"))
+    within = D.minhash_near_dups(
+        delta, "doc_id", "text", MINHASH_THRESHOLD
+    ).select("id_a", "id_b")
+    edges = cross.unionByName(within)
+    nodes = (
+        delta.select("doc_id")
+        .unionByName(cross.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    cc = connected_components(nodes, edges, "doc_id")
+    return cc.filter(F.col("id") % 5 == 0).select(
+        F.col("id").alias("doc_id"),
+        F.col("comp").alias("keeper"),
+        F.when(F.col("comp") == F.col("id"), "insert")
+        .otherwise("merge")
+        .alias("action"),
+    )
+
+
+@register(
     "dedup_ngram_jaccard",
     oracle=f"""
         WITH sh AS ({_SHINGLES_SQL}),

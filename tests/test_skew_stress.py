@@ -287,3 +287,70 @@ def test_fine_blocking_collapses_hot_block_candidate_mass(
         assert hot.n_candidates < coarse_mass / 12  # ~|alphabet|/2 collapse
     finally:
         con.close()
+
+
+# --- hub ingest batch: 30% of the delta near-dups ONE base doc --------------
+
+N_INGEST_DOCS = 300
+
+
+@pytest.fixture(scope="module")
+def hub_ingest_dir(tmp_path_factory):
+    """Delta batch (doc_id % 5 == 0) where ~30% of delta docs are
+    near-copies of ONE base document — the star cluster an ingest of
+    syndicated/boilerplate content produces. The rest of the corpus is
+    pairwise-disjoint vocabulary (no accidental shingle collisions)."""
+    d = tmp_path_factory.mktemp("hubingest")
+    hub_words = [f"hubword{k}" for k in range(15)]
+    ids, texts = [], []
+    for i in range(N_INGEST_DOCS):
+        ids.append(i)
+        if i == 1:  # the base hub doc
+            texts.append(" ".join(hub_words))
+        elif i % 5 == 0 and (i // 5) % 3 == 0:  # 1/3 of the delta: hub dups
+            texts.append(" ".join(hub_words[:-1] + [f"tail{i}"]))
+        else:
+            texts.append(" ".join(f"doc{i}w{j}" for j in range(12)))
+    table = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    pq.write_table(table, os.path.join(str(d), "documents.parquet"))
+    return str(d)
+
+
+def test_ingest_merge_hub_cluster_resolves_to_one_keeper(spark, hub_ingest_dir):
+    from hadoop_lab_spark.plans.registry import REGISTRY
+    from hadoop_lab_spark.testing import assert_matches_oracle
+
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM read_parquet("
+            f"'{os.path.join(hub_ingest_dir, 'documents.parquet')}')"
+        )
+        spec = REGISTRY["dedup_ingest_merge"]
+        df = spec.fn(spark, hub_ingest_dir)
+        assert_matches_oracle(df, con, spec.oracle, name="skew:dedup_ingest_merge")
+        rows = {r.doc_id: r for r in df.collect()}
+        hub_deltas = [
+            i
+            for i in range(N_INGEST_DOCS)
+            if i % 5 == 0 and (i // 5) % 3 == 0 and i != 1
+        ]
+        # doc 0 is a hub dup and the smallest id in the cluster: it is
+        # the keeper; every other hub delta merges into 0 (transitively
+        # through the base hub doc 1)
+        assert rows[0].action == "insert" and rows[0].keeper == 0
+        for i in hub_deltas:
+            if i == 0:
+                continue
+            assert rows[i].action == "merge" and rows[i].keeper == 0, i
+        # non-hub delta docs are singletons: insert, keeper = self
+        for i in range(N_INGEST_DOCS):
+            if i % 5 == 0 and i not in hub_deltas:
+                assert rows[i].action == "insert" and rows[i].keeper == i, i
+    finally:
+        con.close()
