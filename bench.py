@@ -39,6 +39,24 @@ import sys
 import time
 
 
+#: Canary normalization (VERDICT r4 #5). The recorded 73–93 s
+#: host-drift band exceeds the signal a single-lane regression adds, so
+#: cross-round comparison needs a host-independent scale. These three
+#: lanes span the workload classes (pruned scan+agg, LSH band join,
+#: banded self-join+verify), their PLANS are pinned by
+#: tests/test_plan_shapes.py, and their reference medians below are the
+#: r4 round-of-record figures at sf0.1 (bench_detail.json @ 7ef5247).
+#: Each run reports canary_ratio = median(current/reference); divide
+#: any lane's wall time by it to compare rounds on a common scale.
+#: Only meaningful at sf0.1 (the reference SF) — at other SFs the
+#: ratio is emitted as null.
+CANARY_REFERENCE_SF01 = {
+    "wordcount": 0.236,
+    "dedup_minhash_lsh": 2.438,
+    "dedup_simhash_pairs": 2.636,
+}
+
+
 def _time_query(fn, spark, sf_dir: str, repeats: int) -> list[float]:
     times = []
     for _ in range(repeats):
@@ -91,6 +109,19 @@ def main() -> None:
         print(f"DETAIL {json.dumps({name: {'median': streaming[name], 'streaming': True}})}", flush=True)
 
     total = round(sum(timings.values()), 3)
+
+    # Host-drift normalization: median of the canary lanes' ratio to
+    # their r4 reference medians (sf0.1 only — see CANARY_REFERENCE_SF01).
+    canary_ratio = None
+    if sf == 0.1 and all(n in timings for n in CANARY_REFERENCE_SF01):
+        ratios = sorted(
+            timings[n] / ref for n, ref in CANARY_REFERENCE_SF01.items()
+        )
+        canary_ratio = round(ratios[len(ratios) // 2], 3)
+    normalized_total = (
+        round(total / canary_ratio, 3) if canary_ratio else None
+    )
+
     out_dir = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(out_dir, "bench_detail.json"), "w") as f:
         json.dump(
@@ -98,6 +129,9 @@ def main() -> None:
                 "sf": sf,
                 "repeats": repeats,
                 "total_median_sec": total,
+                "canary_ratio": canary_ratio,
+                "canary_reference": CANARY_REFERENCE_SF01,
+                "normalized_total_sec": normalized_total,
                 "queries": detail,
                 "streaming": streaming,
             },
@@ -117,6 +151,8 @@ def main() -> None:
                 "sf": sf,
                 "repeats": repeats,
                 "n_queries": len(timings),
+                "canary_ratio": canary_ratio,
+                "normalized_total": normalized_total,
                 "detail_file": "bench_detail.json",
             }
         )
