@@ -891,3 +891,318 @@ def q_q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(asia_nations, F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
         .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q3: shipping-priority top-k (join + agg + deterministic top-10)
+# ---------------------------------------------------------------------------
+@register(
+    "q3_shipping_priority",
+    oracle="""
+        SELECT l_orderkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               o_orderdate, o_orderpriority
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-06-01'
+          AND l_shipdate > TIMESTAMP '1998-06-01'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderdate, l_orderkey
+        LIMIT 10
+    """,
+    doc="TPC-H Q3 on this schema (orderpriority stands in for the "
+    "unshipped shippriority column): top-10 highest-revenue BUILDING-"
+    "segment orders placed before but shipped after the cutoff — the "
+    "join + aggregate + deterministic top-k shape",
+    tags=("extension", "join", "aggregate", "topk", "tpch"),
+)
+def q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both date predicates push to their scans (complementary pruning:
+    orders BEFORE the cutoff, lineitem shipped AFTER it), the segment
+    filter prunes the customer build side, and the top-10 is a
+    TakeOrderedAndProject over rounded revenue — ordering on the 2dp
+    value with (date, orderkey) tiebreaks, so cross-engine last-ulp sum
+    differences cannot reorder the cut. One shuffle: the (orderkey,
+    date, priority) aggregate; no global sort materializes."""
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    lines = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    return (
+        lines.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q9 (adapted): product-family profit by nation and year
+# ---------------------------------------------------------------------------
+@register(
+    "q9_product_profit",
+    oracle="""
+        SELECT n_name AS nation,
+               CAST(year(o_orderdate) AS INTEGER) AS o_year,
+               round(sum(CAST(round(l_extendedprice * 100, 0)
+                              * (100 - round(l_discount * 100, 0))
+                              - 50 * round(p_retailprice * 100, 0) * l_quantity
+                              AS BIGINT)) / 10000.0, 2) AS profit
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ON n_nationkey = s_nationkey
+        JOIN orders ON o_orderkey = l_orderkey
+        WHERE p_name LIKE '%widget%'
+        GROUP BY n_name, year(o_orderdate)
+    """,
+    doc="TPC-H Q9 on this schema (cost proxy 0.5 x retailprice x qty; no "
+    "partsupp supplycost ships): widget-family profit per supplier "
+    "nation per order year — the 5-table star join feeding a two-level "
+    "rollup key",
+    tags=("extension", "join", "aggregate", "tpch"),
+)
+def q_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Q9 plan discipline: the part-name filter prunes the ONLY
+    scale-growing build side (part) before the fact join; supplier and
+    nation broadcast at any SF; orders joins on the already
+    part-filtered lineitem slice. One fact shuffle for the final
+    (nation, year) aggregate — 25 nations x a handful of years, so the
+    result is dim-bounded.
+
+    Float policy, stricter than round-after-sum: the profit mixes 4dp
+    revenue with 0.005-granularity cost terms, so a group sum CAN land
+    exactly on a .005 rounding boundary where accumulation order flips
+    round(·, 2) (it did at sf0.001: 219973.625). Each row's profit is
+    therefore computed as an EXACT scaled integer (cents x cents —
+    inputs are cent-exact, so round(x*100) reconstructs the true
+    integer), summed as BIGINT (order-independent), and divided once at
+    output — both engines round the bit-identical double."""
+    part_f = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_discount",
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    ext100 = F.round(F.col("l_extendedprice") * 100, 0)
+    disc100 = F.round(F.col("l_discount") * 100, 0)
+    ret100 = F.round(F.col("p_retailprice") * 100, 0)
+    scaled = (
+        ext100 * (100 - disc100) - 50 * ret100 * F.col("l_quantity")
+    ).cast("bigint")
+    return (
+        li.join(part_f, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(nation, F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(
+            F.round(F.sum(scaled) / F.lit(10000.0), 2).alias("profit")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q10: returned-item losers (multi-table join + top-20 customers)
+# ---------------------------------------------------------------------------
+@register(
+    "q10_returned_items",
+    oracle="""
+        SELECT c_custkey, c_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               round(c_acctbal, 2) AS c_acctbal, n_name
+        FROM customer
+        JOIN orders ON o_custkey = c_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation ON n_nationkey = c_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+          AND o_orderdate < TIMESTAMP '1998-07-01'
+          AND l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """,
+    doc="TPC-H Q10: customers who returned the most revenue in one "
+    "half-year — returnflag + date predicates pushed to both fact "
+    "scans, customer-grain aggregate, deterministic top-20",
+    tags=("extension", "join", "aggregate", "topk", "tpch"),
+)
+def q_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-lineitem revenue aggregates FIRST at order grain riding
+    the orderkey join, then at customer grain — but since each order
+    belongs to one customer, a single customer-grain aggregate after
+    the join is the same shuffle count; the plan keeps one fact shuffle
+    (the groupBy) with both filters pushed to scans. Top-20 is
+    TakeOrderedAndProject on 2dp-rounded revenue with the custkey
+    tiebreak (cross-engine-stable ordering)."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-07-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    lines = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        lines.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(nation, F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.round("c_acctbal", 2).alias("c_acctbal"),
+            "n_name",
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q12 (adapted): late lines by status, priority-conditional counts
+# ---------------------------------------------------------------------------
+@register(
+    "q12_priority_by_status",
+    oracle="""
+        SELECT l_linestatus,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        FROM orders
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+          AND l_shipdate >= TIMESTAMP '1998-01-01'
+          AND l_shipdate < TIMESTAMP '1999-01-01'
+        GROUP BY l_linestatus
+    """,
+    doc="TPC-H Q12 on this schema (linestatus stands in for the "
+    "unshipped shipmode column; lateness = shipped >60d after order "
+    "date): per line status, conditional counts of high- vs "
+    "low-priority late lines — the CASE-inside-SUM pivot-style "
+    "aggregation over a fact join",
+    tags=("extension", "aggregate", "join", "tpch"),
+)
+def q_q12_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The conditional counts fold BOTH output columns into ONE pass
+    over the joined rows (sum of CASE — never two filtered joins), the
+    ship-date year bounds push into the lineitem scan, and the
+    cross-table lateness inequality rides the orderkey hash join as a
+    residual. Output is status-cardinality rows off one fact shuffle
+    with map-side partial aggregation."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lines = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_shipdate", "l_linestatus")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        lines.join(
+            orders,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q16 (adapted): supplier diversity per part group, minus excluded set
+# ---------------------------------------------------------------------------
+@register(
+    "q16_parts_supplier_diversity",
+    oracle="""
+        SELECT p_brand, p_size,
+               CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#3'
+          AND p_size IN (1, 4, 9, 16, 25)
+          AND l_suppkey NOT IN (
+              SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+          )
+        GROUP BY p_brand, p_size
+    """,
+    doc="TPC-H Q16 on this schema (supplier-part relation from lineitem; "
+    "negative account balance stands in for the complaints comment "
+    "filter): distinct supplier count per (brand, size) for selected "
+    "part groups, excluding blacklisted suppliers — NOT-IN anti join "
+    "feeding a COUNT(DISTINCT) grouping",
+    tags=("extension", "join", "distinct", "aggregate", "tpch"),
+)
+def q_q16_parts_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN collapses to a left_anti hash join against the (bounded,
+    broadcastable) blacklist — safe here because s_suppkey is never
+    NULL; a nullable NOT-IN column would need the three-valued-logic
+    guard. The distinct-count runs as Spark's two-phase partial
+    aggregation (dedup on (brand, size, suppkey) map-side, then count)
+    — one logical fact shuffle, no distinct-induced second pass over
+    raw rows. Part filters (brand <>, size IN) push to the part scan
+    before the fact join."""
+    part_f = (
+        _t(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#3")
+            & (F.col("p_size").isin(1, 4, 9, 16, 25))
+        )
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    blacklist = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(part_f, F.col("l_partkey") == F.col("p_partkey"))
+        .join(blacklist, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+    )

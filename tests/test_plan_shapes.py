@@ -460,3 +460,57 @@ def test_q15_cached_matches_uncached(spark):
     a = REGISTRY["q15_top_supplier"].fn(spark, SF_DIR)
     b = REGISTRY["q15_top_supplier_cached"].fn(spark, SF_DIR)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_q3_topk_never_global_sorts(spark):
+    """The top-10 must be TakeOrderedAndProject (per-partition heap +
+    driver merge), never a global rangepartitioning sort; both date
+    filters must push to their scans."""
+    plan = _plan(spark, "q3_shipping_priority")
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan
+    assert re.search(r"PushedFilters: \[[^\]]*LessThan\(o_orderdate", plan), plan
+    assert re.search(r"PushedFilters: \[[^\]]*GreaterThan\(l_shipdate", plan), plan
+
+
+def test_q9_dims_broadcast_fact_shuffles_once_for_agg(spark):
+    """Supplier/nation broadcast; the widget filter prunes the part
+    build side at its scan; no nested-loop shapes."""
+    plan = _plan(spark, "q9_product_profit")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert re.search(
+        r"PushedFilters: \[[^\]]*StringContains\(p_name,widget\)", plan
+    ), plan
+
+
+def test_q10_filters_push_and_topk_is_heap(spark):
+    plan = _plan(spark, "q10_returned_items")
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan
+    assert re.search(
+        r"PushedFilters: \[[^\]]*EqualTo\(l_returnflag,R\)", plan
+    ), plan
+
+
+def test_q12_single_pass_conditional_counts(spark):
+    """Both priority buckets must ride ONE aggregation over one join —
+    two filtered joins would double the fact shuffle. The lateness
+    inequality rides the orderkey hash join."""
+    plan = _plan(spark, "q12_priority_by_status")
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") <= 4, plan  # one partial+final pair per stage
+    assert re.search(
+        r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(l_shipdate", plan
+    ), plan
+
+
+def test_q16_not_in_is_anti_join_distinct_two_phase(spark):
+    """NOT IN must plan as left_anti (the blacklist side is bounded and
+    broadcastable); count(DISTINCT) must run as the two-phase partial
+    dedup, not a second scan of raw rows."""
+    plan = _plan(spark, "q16_parts_supplier_diversity")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert re.search(r"PushedFilters: \[[^\]]*Not\(EqualTo\(p_brand,Brand#3\)", plan), plan
