@@ -1,16 +1,26 @@
 """Deep TPC-H-shaped analytics — subquery, decorrelation, and
 disjunctive-predicate patterns.
 
-SURVEY.md §2.11 extension surface, round 4: the reference's query set
-(and the earlier relational.py lanes) cover scans, star joins, windows,
-and set ops; what was still missing is the *subquery* family every
-warehouse workload leans on — correlated scalar subqueries (TPC-H Q17),
-scalar-aggregate thresholds (Q15, Q22), HAVING-IN shapes (Q18),
-EXISTS/NOT-EXISTS self-joins (Q21), and multi-band disjunctive predicate
-pushdown (Q19). Each lane is the standard TPC-H query re-phrased onto
-the driver's schema (lineitem has no commitdate/receiptdate/shipmode and
-part has no container, so Q21 derives lateness from o_orderdate+60d and
-Q17/Q19 band on p_size — the optimizer shapes are unchanged).
+SURVEY.md §2.11 extension surface, rounds 4–5: the reference's query
+set (and the earlier relational.py lanes) cover scans, star joins,
+windows, and set ops; what was still missing is the *subquery* family
+every warehouse workload leans on — correlated scalar subqueries
+(TPC-H Q17, Q2), scalar-aggregate thresholds (Q15, Q22, Q11),
+HAVING-IN shapes (Q18), EXISTS/NOT-EXISTS self-joins (Q21, Q4),
+NOT-IN exclusion with distinct counts (Q16), nested IN chains (Q20),
+outer-join histograms (Q13), deterministic top-k over joins (Q3, Q10),
+conditional-count pivots (Q12), multi-dim profit rollups (Q9), and
+multi-band disjunctive predicate pushdown (Q19). Each lane is the
+standard TPC-H query re-phrased onto the driver's schema (lineitem has
+no commitdate/receiptdate/shipmode, part has no container, and there
+is no partsupp table — so Q21/Q4 derive lateness from o_orderdate+Nd,
+Q2/Q16 derive the supplier-part relation from lineitem, Q20 measures
+dominance over shipped quantity, and Q17/Q19 band on p_size; the
+optimizer shapes are unchanged). With Q1 (pricing_summary), Q5
+(revenue_per_nation), Q14 (promo_revenue_share) covered by earlier
+relational.py lanes and Q6's banded filter-sum subsumed by Q19's
+multi-band variant, all 22 TPC-H query SHAPES now have a registered,
+oracle-checked representative.
 
 Spark-first decorrelation: Catalyst rewrites none of these for us from
 the DataFrame API, so each plan hand-decorrelates the subquery the way
