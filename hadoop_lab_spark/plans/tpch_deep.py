@@ -718,33 +718,45 @@ def q_q4_priority_checking(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q11_important_stock",
     oracle="""
         WITH n7 AS (
-            SELECT l_partkey, l_extendedprice * (1 - l_discount) AS val
+            SELECT l_partkey,
+                   CAST(round(l_extendedprice * 100, 0)
+                        * (100 - round(l_discount * 100, 0)) AS BIGINT) AS sval
             FROM lineitem
             JOIN supplier ON s_suppkey = l_suppkey
             JOIN nation ON n_nationkey = s_nationkey
             WHERE n_name = 'NATION_7'
+        ),
+        per_part AS (
+            SELECT l_partkey, sum(sval) AS sraw FROM n7 GROUP BY l_partkey
         )
-        SELECT l_partkey, round(sum(val), 2) AS value
-        FROM n7
-        GROUP BY l_partkey
-        HAVING round(sum(val), 2) > (
-            SELECT round(sum(val) * 0.002, 2) FROM n7
+        SELECT l_partkey, round(sraw / 10000.0, 2) AS value
+        FROM per_part
+        WHERE round(sraw / 10000.0, 2) > (
+            SELECT round(sum(sraw) * 0.002 / 10000.0, 2) FROM per_part
         )
     """,
     doc="TPC-H Q11 on this schema (part value from lineitem revenue "
     "through NATION_7 suppliers; no partsupp ships): parts whose value "
     "exceeds 0.2% of the nation's total — group-by HAVING against a "
-    "global scalar-aggregate subquery",
+    "global scalar-aggregate subquery, with the total derived FROM the "
+    "per-part aggregate so the fact slice is scanned once",
     tags=("extension", "subquery", "aggregate", "tpch"),
 )
 def q_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The global total is a 1-row aggregate broadcast onto the per-part
-    aggregate (bounded by construction — the sanctioned scalar-subquery
-    shape). Both the per-part value and the threshold are rounded to
-    2dp on BOTH engines before the strict `>`, so a last-ulp
-    accumulation-order difference cannot flip a boundary part. The
-    nation-filtered slice is computed once; Spark reuses the exchange
-    between the per-part and global aggregations of the same subtree."""
+    """The global total is derived from the per-part aggregate (sum of
+    the part sums), NOT from a second pass over the fact slice — so
+    both the HAVING threshold and the output values hang off ONE
+    lineitem scan + ONE partkey exchange, which AQE then stitches into
+    a ReusedExchange between the two consumers (pinned execute-first in
+    tests/test_plan_shapes.py, the CMS discipline). Nested summation is
+    only engine-safe because revenue rides the q9 exact-integer policy:
+    each row's value is the true scaled integer (cent-exact inputs),
+    so per-part sums and the sum-of-sums are order-independent BIGINTs
+    and both engines round the bit-identical double at the very end.
+    (With raw doubles, sum-of-sums vs DuckDB's flat subquery sum could
+    disagree in the last ulp exactly at a rounding boundary.) The 1-row
+    threshold broadcasts onto the per-part rows — bounded by
+    construction."""
     li = _t(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
     )
@@ -756,17 +768,23 @@ def q_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s_suppkey")
     )
+    sval = (
+        F.round(F.col("l_extendedprice") * 100, 0)
+        * (100 - F.round(F.col("l_discount") * 100, 0))
+    ).cast("bigint")
     n7 = li.join(supp, F.col("l_suppkey") == F.col("s_suppkey")).select(
-        "l_partkey", _revenue().alias("val")
+        "l_partkey", sval.alias("sval")
     )
-    per_part = n7.groupBy("l_partkey").agg(
-        F.round(F.sum("val"), 2).alias("value")
+    per_part = n7.groupBy("l_partkey").agg(F.sum("sval").alias("sraw"))
+    total = per_part.agg(
+        F.round(F.sum("sraw") * 0.002 / 10000.0, 2).alias("thresh")
     )
-    total = n7.agg(F.round(F.sum("val") * 0.002, 2).alias("thresh"))
     return (
         per_part.join(F.broadcast(total))
-        .filter(F.col("value") > F.col("thresh"))
-        .select("l_partkey", "value")
+        .filter(F.round(F.col("sraw") / 10000.0, 2) > F.col("thresh"))
+        .select(
+            "l_partkey", F.round(F.col("sraw") / 10000.0, 2).alias("value")
+        )
     )
 
 

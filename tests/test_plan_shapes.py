@@ -514,3 +514,29 @@ def test_q16_not_in_is_anti_join_distinct_two_phase(spark):
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
     assert re.search(r"PushedFilters: \[[^\]]*Not\(EqualTo\(p_brand,Brand#3\)", plan), plan
+
+
+def test_q2_offers_exchange_reused_in_final_plan(spark):
+    """The offers aggregate feeds both the regional-min subtree and the
+    join-back; AQE must stitch them into ReusedExchange at runtime (the
+    CMS execute-first discipline) so lineitem is scanned/shuffled once
+    for both roles."""
+    df = REGISTRY["q2_min_cost_supplier"].fn(spark, SF_DIR)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in final
+    assert "ReusedExchange" in final, final[:1500]
+
+
+def test_q11_single_scan_total_derived_from_per_part(spark):
+    """The HAVING threshold must be computed FROM the per-part aggregate
+    (sum of sums over exact scaled integers), sharing its partkey
+    exchange via AQE reuse — not from a second scan of the fact slice.
+    Needs sf0.01: at sf0.001 the result is empty and AQE collapses the
+    plan to EmptyRelation before any exchange survives to be reused."""
+    df = REGISTRY["q11_important_stock"].fn(spark, "/root/testdata/sf0.01")
+    assert df.count() > 0  # non-empty, else the reuse assert is vacuous
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in final
+    assert "ReusedExchange" in final, final[:1500]
