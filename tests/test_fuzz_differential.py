@@ -41,6 +41,11 @@ FUZZ_QUERIES = (
     "dedup_exact",
     "corpus_source_stats",
     "corpus_dataset_card",
+    # r5: the ingest composition — exercises shingle/band signatures, the
+    # delta-vs-base band probe, connected components, AND the recursive
+    # oracle CTE against NULL text, sub-shingle docs, BOM/emoji tokens
+    "dedup_minhash_incremental",
+    "dedup_ingest_merge",
 )
 
 # Broad alphabet: ASCII, exotic whitespace (vertical tab excluded — it is
