@@ -71,3 +71,34 @@ def test_sql_subcommand_runs_over_registered_views():
     assert "r_name" in proc.stdout
     # region has 5 fixed rows at every scale factor
     assert proc.stdout.count("| 1 ") >= 5 or "AFRICA" in proc.stdout
+
+
+def test_sweep_scale_tool_runs_and_reports(tmp_path):
+    """tools/sweep_scale.py is the committed 10x-sweep harness
+    (PERFORMANCE.md r5): one subprocess run on two cheap lanes at
+    sf0.001 must produce MATCH rows, a JSON detail file, and exit 0."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    out = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools", "sweep_scale.py"),
+            "/root/testdata/sf0.001",
+            "--only=wordcount,count_per_priority",
+        ],
+        capture_output=True,
+        text=True,
+        env=env,
+        timeout=300,
+    )
+    assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+    assert "DIFF wordcount: MATCH" in out.stdout
+    assert "DIFF count_per_priority: MATCH" in out.stdout
+    detail = json.load(open("/tmp/sweep_sf0.001.json"))
+    assert detail["failed"] == []
+    assert detail["results"]["wordcount"]["diff"] == "MATCH"
+    assert detail["results"]["wordcount"]["sec"] is not None
