@@ -798,7 +798,7 @@ _ADAPTIVE_TAGGED_SQL = f"""
                   WHERE {_EMB_CLEAN_SQL}),
         prm AS (SELECT {S.LSH_PLANES} + greatest(0, CAST(ceil(log2(
                     count(*) / {ADAPTIVE_PLANES_N0}.0)) AS INT)) AS planes
-                FROM clean),
+                FROM embeddings),
         planed AS (
             SELECT vec_id, embedding,
                    unnest(range(0, (SELECT planes FROM prm))) AS pl
@@ -852,7 +852,12 @@ def q_dedup_embedding_cosine_adaptive(spark: SparkSession, sf_dir: str) -> DataF
     the fixed-plane lane quadratic (41.7× wall at 10× data, r4
     sweep) stays flat by construction."""
     emb = _emb_clean(spark, sf_dir)
-    planes = adaptive_planes(emb.count())
+    # The knob count is the UNFILTERED table count: zero data columns
+    # read (parquet row-group counts only) — at 100 TB the clean filter
+    # would force a full scan of the array column just to size a knob
+    # that only needs order-of-magnitude n. Mirrored by the oracle's
+    # prm CTE counting the raw table.
+    planes = adaptive_planes(_t(spark, sf_dir, "embeddings").count())
     out = S.cosine_near_dup_pairs(
         emb,
         COSINE_DUP_THRESHOLD,
