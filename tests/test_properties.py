@@ -264,3 +264,85 @@ def test_int8_quantize_matches_python_twin(spark, vecs):
             got[i],
             expected[i],
         )
+
+
+# --- composite deletion-neighborhood blocking invariants (r5) ---------------
+
+_name = st.text(
+    alphabet=st.sampled_from(list("abC1#é 火")), min_size=1, max_size=10
+)
+
+
+@given(st.lists(_name, min_size=2, max_size=8, unique=True))
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+def test_fine_blocking_matches_python_pair_model(spark, tmp_path_factory, names):
+    """The fine twin's matched pairs must equal the Python model of its
+    contract on ANY names: pairs agreeing on (name minus last char) or
+    (stem + last char) within the same pass, verified lev<=2. In
+    particular every equal-length pair differing in EXACTLY one of the
+    last two characters must be found — the pigeonhole guarantee the
+    lane's doc promises."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_lab_spark.plans.registry import REGISTRY, load_all_query_modules
+
+    load_all_query_modules()
+    d = str(tmp_path_factory.mktemp("fineprop"))
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array(range(len(names)), pa.int64()),
+                "c_name": pa.array(names, pa.string()),
+            }
+        ),
+        os.path.join(d, "customer.parquet"),
+    )
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    def keys(n: str):
+        stem = n[: max(len(n) - 2, 1)]
+        return (n[: max(len(n) - 1, 1)], stem + n[-1])
+
+    expect = set()
+    for i in range(len(names)):
+        for j in range(i + 1, len(names)):
+            a, b = names[i], names[j]
+            ka, kb = keys(a), keys(b)
+            if (ka[0] == kb[0] or ka[1] == kb[1]) and lev(a, b) <= 2:
+                expect.add((i, j))
+
+    df = REGISTRY["customer_name_fuzzy_blocks_fine"].fn(spark, d)
+    got_matches = sum(r.n_matches for r in df.collect())
+    assert got_matches == len(expect), (sorted(expect), names)
+
+    # pigeonhole guarantee: equal-length pairs sharing the (guarded)
+    # stem and differing in exactly one position — that position is in
+    # the tail by stem equality, so one of the two deletion passes must
+    # catch the pair
+    for i, j in [
+        (i, j)
+        for i in range(len(names))
+        for j in range(i + 1, len(names))
+        if len(names[i]) == len(names[j]) >= 2
+        and sum(x != y for x, y in zip(names[i], names[j])) == 1
+        and names[i][: max(len(names[i]) - 2, 1)]
+        == names[j][: max(len(names[j]) - 2, 1)]
+    ]:
+        assert (i, j) in expect
