@@ -346,3 +346,28 @@ def test_fine_blocking_matches_python_pair_model(spark, tmp_path_factory, names)
         == names[j][: max(len(names[j]) - 2, 1)]
     ]:
         assert (i, j) in expect
+
+
+@given(st.integers(min_value=0, max_value=10**12))
+@settings(max_examples=200, deadline=None)
+def test_adaptive_planes_agrees_with_duckdb_formula(n):
+    """The Spark side computes the plane knob in Python, the oracle in
+    DuckDB SQL; ceil(log2(n/N0)) must agree for EVERY reachable corpus
+    size or the two engines would silently bucket differently. DuckDB's
+    prm CTE is replayed here as a scalar query over the same n."""
+    import duckdb
+
+    from hadoop_lab_spark.functions import similarity as S
+    from hadoop_lab_spark.plans.pipeline import (
+        ADAPTIVE_PLANES_N0,
+        adaptive_planes,
+    )
+
+    sql_planes = duckdb.sql(
+        f"SELECT {S.LSH_PLANES} + greatest(0, CAST(ceil(log2("
+        f"greatest({n}, 1) / {ADAPTIVE_PLANES_N0}.0)) AS INT))"
+    ).fetchone()[0]
+    # the oracle counts rows (n >= 0); count 0 never reaches log2 in SQL
+    # because an empty clean table yields no tagged rows at all — the
+    # Python guard max(n, 1) models that vacuous case
+    assert adaptive_planes(n) == sql_planes, n
