@@ -109,3 +109,76 @@ def _attach_singletons(nodes: DataFrame, labels: DataFrame, id_col: str) -> Data
     return base.join(labels, "id", "left").select(
         "id", F.coalesce("comp", "id").alias("comp")
     )
+
+
+def pagerank(
+    edges: DataFrame, iterations: int = 5, damping: float = 0.85
+) -> DataFrame:
+    """(id, rank) after a FIXED number of synchronous PageRank rounds
+    over a directed, deduplicated edge list (columns ``src``, ``dst``).
+
+    Uses the non-normalized formulation popularized by Spark's own
+    GraphX (``graphx/lib/PageRank.scala``): every node starts at 1.0
+    and each round sets
+
+        rank(v) = (1 - d) + d * sum over in-neighbors u of rank(u)/outdeg(u)
+
+    Dangling nodes (no out-edges) simply leak their mass — no global
+    redistribution term — which keeps every round a pure join+groupBy
+    with NO driver-side scalar, and makes the result a deterministic
+    function of the edge set (oracle-checkable by unrolling the same
+    fixed rounds in SQL).
+
+    Scale design (100 TB / 10⁹ edges), same skeleton as
+    :func:`connected_components`:
+
+    - The edge table is the static side: it is joined once per round,
+      keyed on ``src``, so it is pre-partitioned on ``src`` once and
+      checkpointed — every round's contribution join reads it already
+      hash-clustered instead of re-shuffling the dominant table.
+    - Out-degrees ride ON the edge rows (computed once, before the
+      loop) so the per-round work is exactly one join (ranks → edges)
+      plus one groupBy(dst) — two shuffles of rank-sized rows, never
+      a third pass for degrees.
+    - Ranks are |V|-sized (≪ |E|); contributions combine map-side in
+      the groupBy. No collect anywhere: the loop is a fixed unrolled
+      plan, the canonical "iterate K times" shape for batch PageRank.
+    - ``localCheckpoint`` truncates lineage per round exactly as in CC
+      (without it the unrolled plan doubles per iteration).
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("deg"))
+    # Degrees ride on the edge rows; partition on src = the per-round key.
+    esd = (
+        edges.join(deg, "src")
+        .select("src", "dst", "deg")
+        .repartition(F.col("src"))
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    ranks = nodes.select("id", F.lit(1.0).alias("rank"))
+    for _ in range(iterations):
+        contribs = (
+            esd.join(ranks, esd["src"] == ranks["id"])
+            .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes["id"] == contribs["dst"], "left")
+            .select(
+                "id",
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping) * F.coalesce("s", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

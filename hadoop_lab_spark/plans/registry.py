@@ -79,6 +79,7 @@ def load_all_query_modules() -> None:
         parity,
         pipeline,
         relational,
+        scale_ops,
         stream_queries,
         tpch_deep,
     )

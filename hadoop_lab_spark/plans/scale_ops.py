@@ -1,0 +1,638 @@
+"""Scale-pattern operators: iterative graph rank, exact set-similarity
+join, sorted-neighborhood blocking, mergeable sketches, stratified
+sampling, and skyline — the r5 extension family.
+
+Each lane here demonstrates a distinct 100 TB execution pattern that the
+existing registry did not yet cover:
+
+- ``pagerank_event_handoff`` — fixed-round iterative propagation (the
+  K-iterations twin of connected components' converge-until-done loop).
+- ``ssjoin_prefix_jaccard`` — EXACT set-similarity join via prefix
+  filtering (AllPairs/PPJoin family, Bayardo et al. WWW'07): the
+  deterministic complement to the probabilistic MinHash/SimHash lanes.
+- ``sorted_neighborhood_pairs`` — the third classic entity-resolution
+  blocking paradigm (after hash-blocking and composite blocking):
+  candidates = neighbors in one global sort order.
+- ``stratified_sample_events`` — per-stratum deterministic rate
+  sampling on the portable md5-bucket hash.
+- ``hll_mergeable_distinct`` — sketch MERGEABILITY as the contract:
+  union of per-day HLL sketches must equal the one-pass sketch.
+- ``skyline_parts_pareto`` — two-phase distributed skyline (local
+  skyline per partition, then skyline of the union of local skylines).
+
+Cross-engine float policy (plans/registry.py): Jaccard and dominance
+lanes output only integer ratios / raw parquet doubles (bit-identical,
+unrounded); PageRank folds float sums across shuffles, so ranks are
+floor-truncated to 6dp on BOTH engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hadoop_lab_spark.functions import text as X
+from hadoop_lab_spark.operators.graph import pagerank
+from hadoop_lab_spark.operators.sampling import hash_bucket
+from hadoop_lab_spark.plans.registry import register
+from hadoop_lab_spark.session import tune_session
+from hadoop_lab_spark.sources import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    tune_session(spark)
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the event hand-off graph (fixed K iterations)
+# ---------------------------------------------------------------------------
+_PR_ITERATIONS = 5
+_PR_DAMPING = 0.85
+
+
+def _pagerank_oracle(iterations: int) -> str:
+    """Unroll the fixed-round GraphX-style recurrence as chained CTEs.
+
+    Generated programmatically so the oracle can never drift from the
+    iteration count the Spark lane runs.
+    """
+    ctes = [
+        """lagged AS (
+            SELECT lag(user_id) OVER (PARTITION BY event_type
+                                      ORDER BY ts, event_id) AS src,
+                   user_id AS dst
+            FROM events WHERE user_id IS NOT NULL
+        )""",
+        "edges AS (SELECT DISTINCT src, dst FROM lagged"
+        " WHERE src IS NOT NULL AND src <> dst)",
+        "deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg"
+        " FROM edges GROUP BY src)",
+        "nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges)",
+        "r0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS pr FROM nodes)",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"""r{i} AS (
+            SELECT n.id, 0.15 + 0.85 * COALESCE(s.s, CAST(0.0 AS DOUBLE)) AS pr
+            FROM nodes n LEFT JOIN (
+                SELECT e.dst, sum(r.pr / d.deg) AS s
+                FROM edges e
+                JOIN r{i - 1} r ON e.src = r.id
+                JOIN deg d ON e.src = d.src
+                GROUP BY e.dst) s ON n.id = s.dst
+        )"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT id AS user_id, floor(pr * 1e6) / 1e6 AS rank6 FROM r{iterations}"
+    )
+
+
+@register(
+    "pagerank_event_handoff",
+    oracle=_pagerank_oracle(_PR_ITERATIONS),
+    doc="PageRank (5 fixed rounds, damping 0.85, GraphX's non-normalized "
+    "formulation) over the user hand-off graph: an edge u->v whenever u's "
+    "event immediately precedes v's within an event_type, self-loops and "
+    "duplicates dropped. Oracle unrolls the identical recurrence as CTEs; "
+    "ranks floor-truncated to 6dp on both engines (folded float sums)",
+    tags=("extension", "graph", "iterative"),
+)
+def q_pagerank_event_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration propagation — the second iterative-graph shape
+    beside connected components' converge-until-done loop.
+
+    Scale design (100 TB): edge derivation is one window per
+    event_type (at production scale the partition key would be
+    (event_type, day) to bound a window partition; here event types are
+    the stated parallelism unit). The iteration body is the CC
+    skeleton: static edge side degree-annotated, pre-partitioned on the
+    per-round join key and checkpointed ONCE; each round is one join +
+    one map-side-combining groupBy over rank-sized rows, with NO
+    driver-side scalar (fixed K, no convergence collect). See
+    operators/graph.py:pagerank for the full plan argument.
+    """
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    edges = (
+        e.select(
+            F.lag("user_id").over(w).alias("src"),
+            F.col("user_id").alias("dst"),
+        )
+        .filter(F.col("src").isNotNull() & (F.col("src") != F.col("dst")))
+        .distinct()
+    )
+    ranks = pagerank(edges, iterations=_PR_ITERATIONS, damping=_PR_DAMPING)
+    return ranks.select(
+        F.col("id").alias("user_id"), X.trunc(F.col("rank"), 6).alias("rank6")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact set-similarity join via prefix filtering (AllPairs/PPJoin family)
+# ---------------------------------------------------------------------------
+_SSJOIN_THRESHOLD = 0.6
+
+#: Shared tokenizer twin: lowercase, split on non-alpha runs, drop
+#: empties, set semantics. Spark side mirrors this exactly.
+_SS_TOKS_SQL = (
+    "list_distinct(list_filter("
+    "string_split_regex(lower(text), '[^a-z]+'), t -> len(t) > 0))"
+)
+
+
+@register(
+    "ssjoin_prefix_jaccard",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({_SS_TOKS_SQL}) AS tok
+            FROM documents WHERE text IS NOT NULL
+        ),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+            FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+        FROM inter
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= {_SSJOIN_THRESHOLD}
+    """,
+    doc="EXACT all-pairs Jaccard>=0.6 join over document token sets via "
+    "prefix filtering (AllPairs/PPJoin): tokens globally ordered by "
+    "(document frequency, token), each doc keeps only its |s|-ceil(t|s|)+1 "
+    "rarest tokens as its prefix, candidates share a prefix token, then "
+    "exact verification by array intersection. The oracle is the naive "
+    "exhaustive token join — prefix filtering is lossless by theorem, so "
+    "the two must match exactly. Jaccard is a single integer division: "
+    "bit-identical across engines, no rounding",
+    tags=("extension", "dedup", "join", "scale"),
+)
+def q_ssjoin_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic complement to MinHash LSH: same
+    candidate-then-verify shape, but with a lossless filter.
+
+    Scale design (100 TB): the candidate join is keyed on PREFIX tokens
+    only, and the global (df ASC, token) ordering puts each document's
+    RAREST tokens in its prefix — so join-bucket sizes are bounded by
+    construction (a token with df=d contributes at most d²/2 candidate
+    pairs, and high-df tokens are structurally excluded from prefixes
+    of all but the smallest sets). Verification joins the bounded token
+    ARRAYS back by doc_id (two uniform hash joins) and intersects
+    JVM-side — exploded tokens never cross a shuffle a second time.
+    Compare functions/dedup.py:ngram_jaccard (capped exhaustive): this
+    lane needs no df cap because the prefix IS the principled cap.
+    """
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return prefix_jaccard_join(docs, threshold=_SSJOIN_THRESHOLD)
+
+
+def prefix_jaccard_join(
+    docs: DataFrame, threshold: float, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard) for every UNORDERED doc pair whose
+    token-set Jaccard is >= threshold — exact, via prefix filtering.
+
+    Lossless by the standard AllPairs argument: under any global token
+    order, the minimal-rank common token of a qualifying pair must lie
+    in BOTH prefixes of length |s| - ceil(t*|s|) + 1 (if it didn't, all
+    common tokens would fit in a suffix shorter than the required
+    overlap ceil(t*|s|)). Property-tested against a brute-force pair
+    model in tests/test_scale_ops.py.
+    """
+    t = threshold
+    tok_arr = F.array_distinct(
+        F.filter(
+            F.split(F.lower(F.col(text_col)), "[^a-z]+"),
+            lambda s: F.length(s) > 0,
+        )
+    )
+    base = (
+        docs.select(F.col(id_col).alias("doc_id"), tok_arr.alias("toks"))
+        .withColumn("sz", F.size("toks"))
+        .filter(F.col("sz") > 0)
+    )
+    toks = base.select("doc_id", "sz", F.explode("toks").alias("tok"))
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    pos = F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "tok"))
+    prefix_len = F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1
+    prefix = (
+        toks.join(dfreq, "tok")
+        .withColumn("pos", pos)
+        .filter(F.col("pos") <= prefix_len)
+        .select("doc_id", "sz", "tok")
+    )
+    a = prefix.select(
+        F.col("tok"), F.col("doc_id").alias("doc_a"), F.col("sz").alias("sa")
+    )
+    b = prefix.select(
+        F.col("tok").alias("tok_b"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("sz").alias("sb"),
+    )
+    cand = (
+        a.join(b, (F.col("tok") == F.col("tok_b")) & (F.col("doc_a") < F.col("doc_b")))
+        # Length filter: |x|/|y| outside [t, 1/t] can't reach Jaccard t.
+        .filter(
+            F.least("sa", "sb").cast("double")
+            >= F.lit(t) * F.greatest("sa", "sb")
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    arr_a = base.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"))
+    arr_b = base.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"))
+    inter = F.size(F.array_intersect("ta", "tb"))
+    paired = (
+        cand.join(arr_a, "doc_a")
+        .join(arr_b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.alias("i"),
+            F.size("ta").alias("sa"),
+            F.size("tb").alias("sb"),
+        )
+    )
+    jac = F.col("i").cast("double") / (F.col("sa") + F.col("sb") - F.col("i"))
+    return (
+        paired.select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= t)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood entity-resolution blocking
+# ---------------------------------------------------------------------------
+_SN_WINDOW = 2
+_SN_BUCKET_CHARS = 16
+
+
+@register(
+    "sorted_neighborhood_pairs",
+    oracle=f"""
+        WITH keyed AS (
+            SELECT c_custkey, c_name,
+                   substring(c_name, 1, {_SN_BUCKET_CHARS}) AS bkt
+            FROM customer WHERE c_name IS NOT NULL
+        ),
+        nbr AS (
+            SELECT c_custkey AS k_a, c_name AS n_a, bkt,
+                   lead(c_custkey, 1) OVER w AS k1, lead(c_name, 1) OVER w AS n1,
+                   lead(c_custkey, 2) OVER w AS k2, lead(c_name, 2) OVER w AS n2,
+                   row_number() OVER w AS fs,
+                   row_number() OVER (PARTITION BY bkt
+                                      ORDER BY c_name DESC, c_custkey DESC) AS fe
+            FROM keyed
+            WINDOW w AS (PARTITION BY bkt ORDER BY c_name, c_custkey)
+        ),
+        within_pairs AS (
+            SELECT k_a, k1 AS k_b, n_a, n1 AS n_b FROM nbr WHERE k1 IS NOT NULL
+            UNION ALL
+            SELECT k_a, k2, n_a, n2 FROM nbr WHERE k2 IS NOT NULL
+        ),
+        bdim AS (
+            SELECT bkt, lead(bkt) OVER (ORDER BY bkt) AS nxt
+            FROM (SELECT DISTINCT bkt FROM keyed)
+        ),
+        boundary_pairs AS (
+            SELECT e.k_a, s.k_a AS k_b, e.n_a, s.n_a AS n_b
+            FROM nbr e
+            JOIN bdim d ON e.bkt = d.bkt
+            JOIN nbr s ON s.bkt = d.nxt
+            WHERE e.fe <= {_SN_WINDOW} AND s.fs <= {_SN_WINDOW}
+              AND e.fe + s.fs <= {_SN_WINDOW + 1}
+        ),
+        pairs AS (
+            SELECT * FROM within_pairs UNION ALL SELECT * FROM boundary_pairs
+        )
+        SELECT k_a, k_b, CAST(levenshtein(n_a, n_b) AS INTEGER) AS lev
+        FROM pairs WHERE levenshtein(n_a, n_b) <= 2
+    """,
+    doc="sorted-neighborhood entity resolution (window w=2): customers "
+    "sorted by name, candidate pairs = neighbors within w positions in "
+    "sort order, verified with levenshtein<=2. Distributed as range "
+    "buckets (16-char name prefix) with explicit boundary stitching: "
+    "within-bucket neighbors via lead(), cross-boundary pairs from each "
+    "bucket's last w rows x next bucket's first w rows with combined "
+    "distance <= w. The oracle mirrors the bucketed formulation, which "
+    "equals the single global window whenever every bucket holds >= w "
+    "rows (asserted by tests against the global-window model)",
+    tags=("extension", "dedup", "string", "window"),
+)
+def q_sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third ER blocking paradigm beside hash blocking
+    (customer_name_fuzzy_blocks) and composite deletion-neighborhood
+    blocking (_fine): ONE global sort, candidates linear in n (w per
+    row), immune to hot blocking keys.
+
+    Scale design (100 TB): a global sorted-neighborhood is a
+    range-partitioned sort (Spark's Exchange rangepartitioning) plus
+    per-partition sliding windows, with each partition's last w rows
+    duplicated into its successor — here the range buckets are the
+    16-char name prefix, the boundary stitch is explicit (last-w ×
+    first-w of the next bucket, combined rank distance ≤ w), and the
+    bucket dimension (distinct prefixes) is the only single-partition
+    window — bounded by the key-prefix domain, not the table.
+    Candidate volume is exactly w·n regardless of key skew, the
+    property hash blocking lacks.
+    """
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_name").isNotNull())
+    pairs = sorted_neighborhood_candidates(
+        c, key_col="c_name", id_col="c_custkey",
+        w=_SN_WINDOW, bucket_chars=_SN_BUCKET_CHARS,
+    )
+    lev = F.levenshtein("n_a", "n_b")
+    return (
+        pairs.filter(lev <= 2)
+        .select("k_a", "k_b", lev.cast("int").alias("lev"))
+    )
+
+
+def sorted_neighborhood_candidates(
+    df: DataFrame, key_col: str, id_col: str, w: int = 2, bucket_chars: int = 16
+) -> DataFrame:
+    """Candidate pairs (k_a, k_b, n_a, n_b) of rows within ``w``
+    positions of each other in (key, id) sort order, computed as range
+    buckets (``bucket_chars``-char key prefix) with boundary stitching.
+    Equals the single global sliding window whenever every bucket holds
+    >= w rows (property-tested in tests/test_scale_ops.py); currently
+    supports w <= 2 (one lead() column per offset)."""
+    if not 1 <= w <= 2:
+        raise ValueError(f"w must be 1 or 2, got {w}")
+    keyed = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(key_col).alias("_key"),
+        F.substring(F.col(key_col), 1, bucket_chars).alias("bkt"),
+    )
+    wf = Window.partitionBy("bkt").orderBy("_key", "_id")
+    wr = Window.partitionBy("bkt").orderBy(
+        F.col("_key").desc(), F.col("_id").desc()
+    )
+    lead_cols = []
+    for i in range(1, w + 1):
+        lead_cols.append(F.lead("_id", i).over(wf).alias(f"k{i}"))
+        lead_cols.append(F.lead("_key", i).over(wf).alias(f"n{i}"))
+    nbr = keyed.select(
+        F.col("_id").alias("k_a"),
+        F.col("_key").alias("n_a"),
+        "bkt",
+        *lead_cols,
+        F.row_number().over(wf).alias("fs"),
+        F.row_number().over(wr).alias("fe"),
+    )
+    within = None
+    for i in range(1, w + 1):
+        part = nbr.filter(F.col(f"k{i}").isNotNull()).select(
+            "k_a", F.col(f"k{i}").alias("k_b"), "n_a", F.col(f"n{i}").alias("n_b")
+        )
+        within = part if within is None else within.unionAll(part)
+    bdim = (
+        keyed.select("bkt")
+        .distinct()
+        .select("bkt", F.lead("bkt").over(Window.orderBy("bkt")).alias("nxt"))
+    )
+    ends = nbr.filter(F.col("fe") <= w).select("bkt", "k_a", "n_a", "fe")
+    starts = nbr.filter(F.col("fs") <= w).select(
+        F.col("bkt").alias("bkt_s"),
+        F.col("k_a").alias("k_b"),
+        F.col("n_a").alias("n_b"),
+        "fs",
+    )
+    boundary = (
+        ends.join(bdim, "bkt")
+        .join(starts, F.col("bkt_s") == F.col("nxt"))
+        .filter(F.col("fe") + F.col("fs") <= w + 1)
+        .select("k_a", "k_b", "n_a", "n_b")
+    )
+    return within.unionAll(boundary)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling
+# ---------------------------------------------------------------------------
+#: Per-stratum keep-rates in 256ths: keep every purchase, half of
+#: signups, 1/16 of the high-volume click/view/error streams.
+_STRATA_RATES: dict[str, int] = {
+    "purchase": 256,
+    "signup": 128,
+    "click": 16,
+    "view": 16,
+    "error": 16,
+}
+_DEFAULT_RATE = 8
+
+# DuckDB twin of operators/sampling.hash_bucket for 256 buckets: the
+# integer value of the first two md5 hex nibbles (same mechanism as
+# plans/mlprep's split lanes).
+_MD5_BUCKET_256 = (
+    "((instr('0123456789abcdef', substring(md5(CAST({k} AS VARCHAR)), 1, 1)) - 1) * 16"
+    " + (instr('0123456789abcdef', substring(md5(CAST({k} AS VARCHAR)), 2, 1)) - 1))"
+)
+
+
+def _rate_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN '{s}' THEN {r}" for s, r in sorted(_STRATA_RATES.items())
+    )
+    return f"CASE event_type {whens} ELSE {_DEFAULT_RATE} END"
+
+
+@register(
+    "stratified_sample_events",
+    oracle=f"""
+        WITH sampled AS (
+            SELECT event_type, event_id, value
+            FROM events
+            WHERE {_MD5_BUCKET_256.format(k="event_id")} < {_rate_case_sql()}
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_sampled,
+               round(sum(value), 2) AS sum_value,
+               CAST(min(event_id) AS BIGINT) AS min_event_id,
+               CAST(max(event_id) AS BIGINT) AS max_event_id
+        FROM sampled GROUP BY event_type
+    """,
+    doc="deterministic stratified sampling: per-event_type keep rates "
+    "(purchase 256/256, signup 128/256, click/view/error 16/256) applied "
+    "via the portable md5-bucket hash of event_id, aggregated per stratum. "
+    "Membership is a pure function of the row key, so reruns, engines, "
+    "partitionings, and incremental corpus growth all agree on every "
+    "sampled row; sums rounded 2dp both engines",
+    tags=("extension", "sampling"),
+)
+def q_stratified_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rebalancing a 100 TB event stream (downsample the high-volume
+    strata, keep the rare valuable ones) must NOT use df.sample():
+    partition-seeded RNG changes membership when file splits change.
+    Hash-rate sampling is a scan-local filter (no shuffle, pushes past
+    column pruning) followed by one bounded groupBy — and composes with
+    incremental ingest: yesterday's sample never changes when today's
+    partition lands. Compare language_rebalance_weights, which computes
+    the rates; this lane EXECUTES a fixed rate table.
+    """
+    e = _t(spark, sf_dir, "events")
+    rate = F.coalesce(
+        *[
+            F.when(F.col("event_type") == s, F.lit(r))
+            for s, r in sorted(_STRATA_RATES.items())
+        ],
+        F.lit(_DEFAULT_RATE),
+    )
+    sampled = e.filter(hash_bucket("event_id", 256) < rate)
+    return sampled.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sampled"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.min("event_id").cast("bigint").alias("min_event_id"),
+        F.max("event_id").cast("bigint").alias("max_event_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# HLL sketch mergeability contract
+# ---------------------------------------------------------------------------
+@register(
+    "hll_mergeable_distinct",
+    oracle="""
+        SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_uniq,
+               TRUE AS merged_eq_direct,
+               TRUE AS within_5pct
+        FROM events WHERE user_id IS NOT NULL
+    """,
+    doc="HLL sketch MERGEABILITY as the oracle contract: per-day "
+    "hll_sketch_agg(user_id) sketches are hll_union_agg'd into a global "
+    "estimate, which must EXACTLY equal the single-pass sketch estimate "
+    "(register-wise max is associative) and fall within 5% of the exact "
+    "distinct count. Oracle expects TRUE for both, so any drift in the "
+    "merge path fails the differential",
+    tags=("extension", "approx", "sketch"),
+)
+def q_hll_mergeable_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB pattern this pins: pre-aggregate a tiny HLL sketch
+    per ingest partition (day), persist sketches, answer
+    "distinct users over any date range" by unioning a handful of
+    KB-sized sketches — never re-scanning the fact table. Valid only
+    because sketch union is lossless w.r.t. the one-pass sketch; this
+    lane makes that equality a standing correctness gate (cf.
+    approx_distinct_accuracy, which pins the error bound of the
+    one-pass estimate itself).
+    """
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    daily = e.groupBy(F.to_date("ts").alias("d")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    merged = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged_est")
+    )
+    direct = e.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("direct_est"),
+        F.count_distinct("user_id").alias("exact_uniq"),
+    )
+    return direct.crossJoin(merged).select(
+        F.col("exact_uniq").cast("bigint").alias("exact_uniq"),
+        (F.col("merged_est") == F.col("direct_est")).alias("merged_eq_direct"),
+        (
+            F.abs(F.col("direct_est") - F.col("exact_uniq"))
+            / F.col("exact_uniq")
+            <= 0.05
+        ).alias("within_5pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Two-phase distributed skyline (Pareto frontier)
+# ---------------------------------------------------------------------------
+_SKYLINE_BUCKETS = 16
+
+
+def _local_skyline(df: DataFrame, bucket: F.Column) -> DataFrame:
+    """Rows of ``df`` (p_partkey, p_retailprice, p_size) not dominated
+    within their bucket, where a dominates b iff price<=, size>= with
+    at least one strict. Window-based sweep: one row per (bucket,
+    price) carries the price-group max size; a running ROWS-frame max
+    over strictly-lower prices gives the best dominator candidate."""
+    keyed = df.withColumn("_bkt", bucket)
+    grp = keyed.groupBy("_bkt", "p_retailprice").agg(
+        F.max("p_size").alias("_gmx")
+    )
+    wlow = (
+        Window.partitionBy("_bkt")
+        .orderBy("p_retailprice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    grp = grp.withColumn("_blo", F.max("_gmx").over(wlow))
+    return (
+        keyed.join(grp, ["_bkt", "p_retailprice"])
+        .filter(
+            (F.col("p_size") == F.col("_gmx"))
+            & (F.col("_blo").isNull() | (F.col("p_size") > F.col("_blo")))
+        )
+        .select("p_partkey", "p_retailprice", "p_size")
+    )
+
+
+@register(
+    "skyline_parts_pareto",
+    oracle="""
+        SELECT p.p_partkey, p.p_retailprice, p.p_size
+        FROM part p
+        WHERE p.p_retailprice IS NOT NULL AND p.p_size IS NOT NULL
+          AND NOT EXISTS (
+            SELECT 1 FROM part q
+            WHERE q.p_retailprice IS NOT NULL AND q.p_size IS NOT NULL
+              AND q.p_retailprice <= p.p_retailprice
+              AND q.p_size >= p.p_size
+              AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+          )
+    """,
+    doc="skyline / Pareto frontier of parts (minimize retail price, "
+    "maximize size): every part not dominated by another that is "
+    "cheaper-or-equal AND at-least-as-large with one strict inequality. "
+    "Two-phase distributed plan: window-sweep local skyline per hash "
+    "bucket, then the same sweep over the union of local skylines (the "
+    "global skyline is always a subset of that union, for ANY "
+    "partitioning). Oracle is the naive NOT EXISTS dominance query. "
+    "Pure comparisons on raw parquet values — no float policy needed",
+    tags=("extension", "analytics", "window"),
+)
+def q_skyline_parts_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic OLAP operator Spark has no built-in for, expressed
+    as a lossless two-phase composition (local skyline per partition →
+    skyline of candidates), the standard distributed-skyline scheme.
+
+    Scale design (100 TB): phase 1 is a per-bucket window sweep over
+    (bucket, price) GROUPS (pre-collapsed by one map-side-combining
+    groupBy, so the window sorts one row per distinct price per
+    bucket); buckets are a uniform hash of the row key, so no skew.
+    Phase 2 runs the identical sweep with a constant bucket — a
+    single-partition window, acceptable ONLY because its input is the
+    union of local skylines: O(buckets × per-bucket skyline), and
+    skylines of d=2 data are O(log n) expected — the two-phase shape
+    exists precisely to make the global step's input provably tiny.
+    The dominance semantics never materialize any pairwise join.
+    """
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_retailprice").isNotNull() & F.col("p_size").isNotNull())
+        .select("p_partkey", "p_retailprice", "p_size")
+    )
+    return skyline_2d(p)
+
+
+def skyline_2d(points: DataFrame, buckets: int = _SKYLINE_BUCKETS) -> DataFrame:
+    """Two-phase skyline of (p_partkey, p_retailprice, p_size) points,
+    minimizing price and maximizing size. Lossless for ANY bucketing:
+    a globally dominated point is dominated by its (transitive) maximal
+    dominator, which survives its own bucket — so the global skyline is
+    a subset of the union of local skylines, and re-sweeping that union
+    removes exactly the cross-bucket-dominated leftovers.
+    Property-tested against a brute-force O(n²) model."""
+    local = _local_skyline(
+        points, F.pmod(F.xxhash64("p_partkey"), F.lit(buckets))
+    )
+    return _local_skyline(local, F.lit(0))

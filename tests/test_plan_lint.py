@@ -71,6 +71,11 @@ ALLOWED = {
         "threshold broadcast onto the customer scan (bounded by "
         "construction — the decorrelated scalar subquery)",
     },
+    "hll_mergeable_distinct": {
+        "BroadcastNestedLoopJoin": "two 1-row aggregate results crossed "
+        "(merged-sketch estimate x direct estimate) — both sides bounded "
+        "by construction",
+    },
     "user_longest_increasing_run": {
         "FlatMapGroupsInPandas": "intended grouped-map applyInPandas "
         "escape hatch (per-key sequential scan; state bounded by the "

@@ -1,0 +1,267 @@
+"""Property-based and model tests for the r5 scale-pattern family
+(plans/scale_ops.py): PageRank, prefix-filter set-similarity join,
+sorted-neighborhood blocking, stratified sampling, HLL mergeability,
+and two-phase skyline — each checked against an independent pure-Python
+twin on hypothesis-generated inputs, beyond the registry's DuckDB
+differential (which only exercises the shapes the corpus happens to
+contain)."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from hadoop_lab_spark.operators.graph import pagerank
+from hadoop_lab_spark.plans.scale_ops import (
+    prefix_jaccard_join,
+    skyline_2d,
+    sorted_neighborhood_candidates,
+)
+
+_SETTINGS = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+# ---------------------------------------------------------------------------
+# PageRank vs pure-Python power iteration
+# ---------------------------------------------------------------------------
+def _py_pagerank(edges: set[tuple[int, int]], iterations: int, d: float = 0.85):
+    nodes = sorted({u for e in edges for u in e})
+    out: dict[int, int] = {}
+    for s, _ in edges:
+        out[s] = out.get(s, 0) + 1
+    rank = {v: 1.0 for v in nodes}
+    for _ in range(iterations):
+        contrib: dict[int, float] = {}
+        for s, t in edges:
+            contrib[t] = contrib.get(t, 0.0) + rank[s] / out[s]
+        rank = {v: (1 - d) + d * contrib.get(v, 0.0) for v in nodes}
+    return rank
+
+
+@given(
+    st.sets(
+        st.tuples(st.integers(0, 11), st.integers(0, 11)).filter(
+            lambda e: e[0] != e[1]
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    st.integers(1, 4),
+)
+@_SETTINGS
+def test_pagerank_matches_python_power_iteration(spark, edges, iterations):
+    edf = spark.createDataFrame(sorted(edges), "src bigint, dst bigint")
+    got = {r["id"]: r["rank"] for r in pagerank(edf, iterations=iterations).collect()}
+    want = _py_pagerank(edges, iterations)
+    assert set(got) == set(want)
+    for v in want:
+        # Accumulation order differs (Python dict fold vs shuffle
+        # partials); the fixpoint values agree to float noise.
+        assert got[v] == pytest.approx(want[v], rel=1e-9), v
+
+
+def test_pagerank_rejects_zero_iterations(spark):
+    edf = spark.createDataFrame([(1, 2)], "src bigint, dst bigint")
+    with pytest.raises(ValueError):
+        pagerank(edf, iterations=0)
+
+
+def test_pagerank_sink_and_source_shape(spark):
+    # 1->2->3 with 3 dangling: classic chain. One round:
+    # r(1)=0.15, r(2)=0.15+0.85*1=1.0, r(3)=1.0. Two rounds:
+    # r(2)=0.15+0.85*0.15, r(3)=0.15+0.85*1.0.
+    edf = spark.createDataFrame([(1, 2), (2, 3)], "src bigint, dst bigint")
+    got = {r["id"]: r["rank"] for r in pagerank(edf, iterations=2).collect()}
+    assert got[1] == pytest.approx(0.15)
+    assert got[2] == pytest.approx(0.15 + 0.85 * 0.15)
+    assert got[3] == pytest.approx(0.15 + 0.85 * 1.0)
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filter Jaccard join vs brute force
+# ---------------------------------------------------------------------------
+_WORDS = ["alpha", "bravo", "carol", "delta", "echo", "fox", "golf", "hotel"]
+
+
+def _py_tokens(text: str) -> frozenset[str]:
+    return frozenset(t for t in re.split(r"[^a-z]+", text.lower()) if t)
+
+
+def _py_jaccard_pairs(docs: list[str], t: float):
+    toks = {i: _py_tokens(s) for i, s in enumerate(docs)}
+    out = {}
+    for a in toks:
+        for b in toks:
+            if a < b and toks[a] and toks[b]:
+                i = len(toks[a] & toks[b])
+                j = i / (len(toks[a]) + len(toks[b]) - i)
+                if j >= t:
+                    out[(a, b)] = j
+    return out
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from(_WORDS), min_size=0, max_size=6).map(" ".join),
+        min_size=2,
+        max_size=14,
+    ),
+    st.sampled_from([0.4, 0.6, 0.8]),
+)
+@_SETTINGS
+def test_prefix_jaccard_join_equals_bruteforce(spark, docs, threshold):
+    """Prefix filtering is LOSSLESS: the candidate pruning must return
+    exactly the brute-force qualifying pair set at any threshold."""
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id bigint, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in prefix_jaccard_join(df, threshold=threshold).collect()
+    }
+    want = _py_jaccard_pairs(docs, threshold)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=0.0), k  # exact int ratio
+
+
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood bucketed stitch vs the global sliding window
+# ---------------------------------------------------------------------------
+@given(
+    st.lists(
+        st.text(alphabet="ab", min_size=3, max_size=6),
+        min_size=2,
+        max_size=25,
+    ),
+    st.integers(1, 2),
+)
+@_SETTINGS
+def test_sorted_neighborhood_equals_global_window(spark, keys, w):
+    """With 1-char buckets over a 2-letter alphabet every bucket holds
+    >= w rows only sometimes — hypothesis will generate both. Restrict
+    the assertion to inputs where the precondition holds (the documented
+    equivalence condition); the bucketed result must then match the
+    global w-neighborhood exactly."""
+    rows = [(i, k) for i, k in enumerate(keys)]
+    from collections import Counter
+
+    bucket_sizes = Counter(k[:1] for k in keys)
+    if min(bucket_sizes.values()) < w:
+        return  # precondition of the equivalence theorem not met
+    df = spark.createDataFrame(rows, "id bigint, key string")
+    got = {
+        (r["k_a"], r["k_b"])
+        for r in sorted_neighborhood_candidates(
+            df, key_col="key", id_col="id", w=w, bucket_chars=1
+        ).collect()
+    }
+    order = [i for i, _ in sorted(rows, key=lambda r: (r[1], r[0]))]
+    want = {
+        (order[i], order[i + d])
+        for i in range(len(order))
+        for d in range(1, w + 1)
+        if i + d < len(order)
+    }
+    assert got == want
+
+
+def test_sorted_neighborhood_rejects_large_w(spark):
+    df = spark.createDataFrame([(1, "a")], "id bigint, key string")
+    with pytest.raises(ValueError):
+        sorted_neighborhood_candidates(df, key_col="key", id_col="id", w=3)
+
+
+# ---------------------------------------------------------------------------
+# Two-phase skyline vs brute-force dominance
+# ---------------------------------------------------------------------------
+def _py_skyline(pts: list[tuple[int, float, int]]):
+    out = set()
+    for k, p, s in pts:
+        dominated = any(
+            (q[1] <= p and q[2] >= s and (q[1] < p or q[2] > s)) for q in pts
+        )
+        if not dominated:
+            out.add((k, p, s))
+    return out
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 20), st.integers(0, 9)),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t,
+    )
+)
+@_SETTINGS
+def test_skyline_matches_bruteforce(spark, raw):
+    """Small integer price/size grids force heavy ties and duplicates —
+    the strict-dominance edge cases (equal price, equal size, equal
+    both) the window sweep must get right."""
+    pts = [(i, float(p), s) for i, (p, s) in enumerate(raw)]
+    df = spark.createDataFrame(
+        pts, "p_partkey bigint, p_retailprice double, p_size int"
+    )
+    got = {
+        (r["p_partkey"], r["p_retailprice"], r["p_size"])
+        for r in skyline_2d(df, buckets=4).collect()
+    }
+    assert got == _py_skyline(pts)
+
+
+def test_skyline_duplicate_points_both_survive(spark):
+    # Identical (price, size) points never dominate each other.
+    pts = [(1, 5.0, 3), (2, 5.0, 3), (3, 9.0, 1)]
+    df = spark.createDataFrame(
+        pts, "p_partkey bigint, p_retailprice double, p_size int"
+    )
+    got = {r["p_partkey"] for r in skyline_2d(df).collect()}
+    assert got == {1, 2}
+
+
+# ---------------------------------------------------------------------------
+# Stratified sampling: membership + HLL mergeability on synthetic data
+# ---------------------------------------------------------------------------
+def test_stratified_sample_full_rate_keeps_everything(spark):
+    """purchase's 256/256 rate must keep every purchase row — the
+    boundary where hash sampling degenerates to the identity."""
+    from hadoop_lab_spark.plans.registry import REGISTRY, load_all_query_modules
+    from tests.conftest import SF_DIR
+
+    load_all_query_modules()
+    out = {
+        r["event_type"]: r["n_sampled"]
+        for r in REGISTRY["stratified_sample_events"].fn(spark, SF_DIR).collect()
+    }
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    totals = {r["event_type"]: r["n"] for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert out["purchase"] == totals["purchase"]
+    # Down-sampled strata must be proper non-empty subsets at this SF.
+    for stratum in ("click", "view", "error"):
+        assert 0 < out[stratum] < totals[stratum]
+
+
+def test_hll_union_of_parts_equals_direct_sketch(spark):
+    """Mergeability on synthetic data: union of per-group sketches ==
+    one-pass sketch, for a value set with heavy duplication."""
+    rows = [(i % 7, i % 50) for i in range(2000)]
+    df = spark.createDataFrame(rows, "g int, v int")
+    merged = (
+        df.groupBy("g")
+        .agg(F.hll_sketch_agg("v").alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .collect()[0]["est"]
+    )
+    direct = df.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("v")).alias("est")
+    ).collect()[0]["est"]
+    assert merged == direct
