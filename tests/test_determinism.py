@@ -42,6 +42,16 @@ CANDIDATES = [
     "user_retention_cohorts",
     "orders_scd2_history",
     "priority_multiset_ops",
+    # r5 scale-pattern family: float folds across 5 iterations
+    # (pagerank), candidate-set pruning that must be partition-invariant
+    # (ssjoin), bucketed stitch windows (sorted-neighborhood), and the
+    # two-phase skyline sweep.
+    "pagerank_event_handoff",
+    "ssjoin_prefix_jaccard",
+    "sorted_neighborhood_pairs",
+    "skyline_parts_pareto",
+    "triangle_count_handoff_graph",
+    "quota_sample_per_type",
 ]
 
 

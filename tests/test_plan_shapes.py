@@ -540,3 +540,86 @@ def test_q11_single_scan_total_derived_from_per_part(spark):
     final = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in final
     assert "ReusedExchange" in final, final[:1500]
+
+
+# ---------------------------------------------------------------------------
+# Scale-pattern family (plans/scale_ops.py)
+# ---------------------------------------------------------------------------
+def test_pagerank_lineage_truncated_to_checkpoint(spark):
+    """After K eager localCheckpoints the returned ranks plan must READ
+    the final checkpoint (ExistingRDD), not replay 5 unrolled rounds of
+    joins over the parquet scan — without truncation the plan doubles
+    per iteration and the optimizer re-derives every previous round."""
+    plan = _plan(spark, "pagerank_event_handoff")
+    assert "ExistingRDD" in plan
+    assert "parquet" not in plan.lower(), plan[:800]
+
+
+def test_ssjoin_scans_only_id_and_text_no_nested_loop(spark):
+    """Prefix filtering exists to keep the candidate stage a pure hash
+    join on rare tokens: any nested-loop fallback or a scan reading
+    beyond (doc_id, text) breaks the bounded-bucket argument."""
+    plan = _plan(spark, "ssjoin_prefix_jaccard")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert re.search(r"ReadSchema: struct<doc_id:bigint,text:string>", plan), (
+        "documents scan must prune to (doc_id, text)"
+    )
+
+
+def test_sorted_neighborhood_scans_only_key_and_id(spark):
+    plan = _plan(spark, "sorted_neighborhood_pairs")
+    assert re.search(r"ReadSchema: struct<c_custkey:bigint,c_name:string>", plan), (
+        "customer scan must prune to (c_custkey, c_name)"
+    )
+    assert "CartesianProduct" not in plan
+
+
+def test_stratified_sample_is_scan_local_filter_plus_one_shuffle(spark):
+    """Membership is a row-local hash predicate: the ONLY exchange is
+    the final per-stratum aggregate — sampling must never shuffle the
+    corpus it is about to discard 90% of."""
+    plan = _plan(spark, "stratified_sample_events")
+    assert _exchanges(plan) == 1, plan[:800]
+
+
+def test_hll_merge_scans_only_ts_and_user(spark):
+    plan = _plan(spark, "hll_mergeable_distinct")
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+        assert cols <= {"ts", "user_id"}, cols
+
+
+def test_skyline_single_scan_two_exchanges_no_pair_join(spark):
+    """The two-phase shape must stay a pure window pipeline: ONE part
+    scan, one exchange per phase (bucket hash, then the bounded
+    single-partition candidate sweep), two Window nodes per phase, and
+    ZERO joins — the dominance semantics must never materialize a
+    pairwise comparison or re-scan the input for a join-back."""
+    plan = _plan(spark, "skyline_parts_pareto")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan[:900]
+    assert _exchanges(plan) == 2, plan[:900]
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 4, plan[:900]
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert "ReadSchema: struct<p_partkey:bigint,p_size:int,p_retailprice:double>" in plan
+
+
+def test_quota_sample_uses_rank_limit_pushdown(spark):
+    """The per-stratum top-N must keep a WindowGroupLimit below the
+    stratum exchange (per-task N-row heap) — without it each stratum is
+    fully sorted and shuffled before the rank filter drops everything
+    past row 200."""
+    plan = _plan(spark, "quota_sample_per_type")
+    assert "WindowGroupLimit" in plan, plan[:900]
+
+
+def test_triangle_count_all_hash_joins(spark):
+    """Wedge generation and closure must stay equi-hash-joins on node
+    ids — any nested-loop fallback means the orientation trick was
+    defeated by a non-equi predicate."""
+    plan = _plan(spark, "triangle_count_handoff_graph")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+        assert cols <= {"event_id", "ts", "user_id", "event_type"}, cols

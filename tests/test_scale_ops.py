@@ -88,17 +88,23 @@ def test_pagerank_sink_and_source_shape(spark):
 
 
 # ---------------------------------------------------------------------------
-# Prefix-filter Jaccard join vs brute force
+# Prefix-filter Jaccard join vs brute force (3-word-shingle sets,
+# matching functions/dedup.py:word_shingle_arrays)
 # ---------------------------------------------------------------------------
 _WORDS = ["alpha", "bravo", "carol", "delta", "echo", "fox", "golf", "hotel"]
 
 
-def _py_tokens(text: str) -> frozenset[str]:
-    return frozenset(t for t in re.split(r"[^a-z]+", text.lower()) if t)
+def _py_shingles(text: str, n: int = 3) -> frozenset[str]:
+    # Mirror word_shingle_arrays exactly: trim spaces, split on the
+    # explicit WS_RE class (no \x0b — Java \s vs RE2 divergence).
+    toks = re.split(r"[ \t\n\r\f]+", text.strip(" "))
+    if len(toks) < n:
+        return frozenset()
+    return frozenset(" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1))
 
 
 def _py_jaccard_pairs(docs: list[str], t: float):
-    toks = {i: _py_tokens(s) for i, s in enumerate(docs)}
+    toks = {i: _py_shingles(s) for i, s in enumerate(docs)}
     out = {}
     for a in toks:
         for b in toks:
@@ -112,7 +118,7 @@ def _py_jaccard_pairs(docs: list[str], t: float):
 
 @given(
     st.lists(
-        st.lists(st.sampled_from(_WORDS), min_size=0, max_size=6).map(" ".join),
+        st.lists(st.sampled_from(_WORDS), min_size=0, max_size=8).map(" ".join),
         min_size=2,
         max_size=14,
     ),
@@ -121,7 +127,9 @@ def _py_jaccard_pairs(docs: list[str], t: float):
 @_SETTINGS
 def test_prefix_jaccard_join_equals_bruteforce(spark, docs, threshold):
     """Prefix filtering is LOSSLESS: the candidate pruning must return
-    exactly the brute-force qualifying pair set at any threshold."""
+    exactly the brute-force qualifying pair set at any threshold.
+    Short docs (< 3 tokens) have no shingle set and must produce no
+    pairs — the word_shingle_arrays arity filter."""
     df = spark.createDataFrame(list(enumerate(docs)), "doc_id bigint, text string")
     got = {
         (r["doc_a"], r["doc_b"]): r["jaccard"]
@@ -252,7 +260,11 @@ def test_stratified_sample_full_rate_keeps_everything(spark):
 
 def test_hll_union_of_parts_equals_direct_sketch(spark):
     """Mergeability on synthetic data: union of per-group sketches ==
-    one-pass sketch, for a value set with heavy duplication."""
+    one-pass sketch EXACTLY — valid here because 50 distinct values
+    keep every sketch in sparse (coupon) mode, where DataSketches'
+    union is genuinely lossless. At dense-mode cardinalities the
+    registered lane gates a 2% drift bound instead (the union's
+    HLL_8-gadget round-trip breaks bit-equality; measured at sf1.0)."""
     rows = [(i % 7, i % 50) for i in range(2000)]
     df = spark.createDataFrame(rows, "g int, v int")
     merged = (
@@ -265,3 +277,51 @@ def test_hll_union_of_parts_equals_direct_sketch(spark):
         F.hll_sketch_estimate(F.hll_sketch_agg("v")).alias("est")
     ).collect()[0]["est"]
     assert merged == direct
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting vs brute force
+# ---------------------------------------------------------------------------
+@given(
+    st.sets(
+        st.tuples(st.integers(0, 14), st.integers(0, 14)).filter(
+            lambda e: e[0] != e[1]
+        ),
+        min_size=0,
+        max_size=40,
+    )
+)
+@_SETTINGS
+def test_triangle_count_matches_bruteforce(spark, raw_edges):
+    """Degree-ordered orientation must count every triangle exactly
+    once on arbitrary graphs, including degree ties (where the id
+    tiebreak decides the orientation)."""
+    from itertools import combinations
+
+    from hadoop_lab_spark.plans.scale_ops import triangle_count
+
+    und = {(min(a, b), max(a, b)) for a, b in raw_edges}
+    nodes = {v for e in und for v in e}
+    want = sum(
+        1
+        for x, y, z in combinations(sorted(nodes), 3)
+        if (x, y) in und and (y, z) in und and (x, z) in und
+    )
+    if und:
+        edf = spark.createDataFrame(sorted(und), "a bigint, b bigint")
+    else:
+        edf = spark.createDataFrame([], "a bigint, b bigint")
+    got = triangle_count(edf).collect()[0]["n_triangles"]
+    assert got == want
+
+
+def test_triangle_count_complete_graph(spark):
+    # K5 has C(5,3) = 10 triangles; every vertex ties on degree, so the
+    # orientation falls back to the id order everywhere.
+    from itertools import combinations
+
+    from hadoop_lab_spark.plans.scale_ops import triangle_count
+
+    edges = [(a, b) for a, b in combinations(range(5), 2)]
+    edf = spark.createDataFrame(edges, "a bigint, b bigint")
+    assert triangle_count(edf).collect()[0]["n_triangles"] == 10

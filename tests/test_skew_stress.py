@@ -354,3 +354,104 @@ def test_ingest_merge_hub_cluster_resolves_to_one_keeper(spark, hub_ingest_dir):
                 assert rows[i].action == "insert" and rows[i].keeper == i, i
     finally:
         con.close()
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filter set-similarity join: a universal boilerplate SHINGLE must
+# never enter any prefix, so candidate mass stays linear, not n²
+# ---------------------------------------------------------------------------
+N_SS_DOCS = 1200
+
+
+@pytest.fixture(scope="module")
+def boilerplate_docs_dir(tmp_path_factory):
+    """Every doc ENDS with the same 4-word footer, so the shingles
+    "end of shared" / "of shared footer" have df = n (the hot-join-key
+    nightmare for a naive shingle join); the 11 leading words are
+    doc-unique. Every 300th doc is a planted near-dup of its
+    predecessor: first 10 unique words copied, one replaced —
+    10 shared shingles / union 16 → jaccard 0.625 ≥ 0.6."""
+    d = tmp_path_factory.mktemp("ssjoinskew")
+
+    def alpha(n: int) -> str:
+        s = ""
+        n += 1
+        while n:
+            n, r = divmod(n - 1, 26)
+            s = chr(97 + r) + s
+        return s
+
+    footer = ["end", "of", "shared", "footer"]
+    texts = []
+    for i in range(N_SS_DOCS):
+        words = [f"u{alpha(i)}t{alpha(j)}" for j in range(11)] + footer
+        if i % 300 == 1:  # planted near-dup of the previous doc
+            prev = i - 1
+            words = (
+                [f"u{alpha(prev)}t{alpha(j)}" for j in range(10)]
+                + [f"u{alpha(i)}own"]
+                + footer
+            )
+        texts.append(" ".join(words))
+    table = pa.table(
+        {
+            "doc_id": pa.array(range(N_SS_DOCS), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    pq.write_table(table, os.path.join(str(d), "documents.parquet"))
+    return str(d)
+
+
+def test_ssjoin_prefix_excludes_universal_shingle_and_stays_linear(
+    spark, boilerplate_docs_dir
+):
+    """(a) the lane still matches its exhaustive oracle on the hostile
+    corpus and returns exactly the planted near-dup pairs; (b)
+    recomputing the prefix rule in pure Python, the universal footer
+    shingles are in NO document's prefix and the candidate-pair mass is
+    linear in n — the structural property that lets the exact join
+    survive a corpus where a naive shingle join would build one n²/2
+    bucket."""
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM read_parquet("
+            f"'{os.path.join(boilerplate_docs_dir, 'documents.parquet')}')"
+        )
+        spec = REGISTRY["ssjoin_prefix_jaccard"]
+        df = spec.fn(spark, boilerplate_docs_dir)
+        assert_matches_oracle(df, con, spec.oracle, name="skew:ssjoin")
+        got = {(r.doc_a, r.doc_b) for r in df.collect()}
+        planted = {(i - 1, i) for i in range(N_SS_DOCS) if i % 300 == 1}
+        assert got == planted
+        rows = con.execute("SELECT doc_id, text FROM documents").fetchall()
+    finally:
+        con.close()
+
+    # Independent Python model of the prefix rule (df ASC, shingle ASC):
+    t = 0.6
+    sets = {}
+    for did, text in rows:
+        w = text.split(" ")
+        sets[did] = {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+    dfreq = {}
+    for s in sets.values():
+        for g in s:
+            dfreq[g] = dfreq.get(g, 0) + 1
+    assert dfreq["end of shared"] == N_SS_DOCS  # the universal shingle
+    prefixes = {}
+    for did, s in sets.items():
+        ordered = sorted(s, key=lambda g: (dfreq[g], g))
+        plen = len(s) - math.ceil(t * len(s)) + 1
+        prefixes[did] = set(ordered[:plen])
+    universal = {g for g, c in dfreq.items() if c == N_SS_DOCS}
+    assert all(not (p & universal) for p in prefixes.values())
+    by_g = {}
+    for did, p in prefixes.items():
+        for g in p:
+            by_g.setdefault(g, []).append(did)
+    n_candidates = sum(
+        len(ds) * (len(ds) - 1) // 2 for ds in by_g.values() if len(ds) > 1
+    )
+    assert n_candidates <= 3 * N_SS_DOCS, n_candidates
