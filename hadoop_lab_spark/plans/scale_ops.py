@@ -71,7 +71,7 @@ def _pagerank_oracle(iterations: int, damping: float = _PR_DAMPING) -> str:
     damp = f"CAST('{damping!r}' AS DOUBLE)"
     ctes = [
         """lagged AS (
-            SELECT lag(user_id) OVER (PARTITION BY event_type
+            SELECT lag(user_id) OVER (PARTITION BY event_type, CAST(ts AS DATE)
                                       ORDER BY ts, event_id) AS src,
                    user_id AS dst
             FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
@@ -107,7 +107,8 @@ def _pagerank_oracle(iterations: int, damping: float = _PR_DAMPING) -> str:
     oracle=_pagerank_oracle(_PR_ITERATIONS),
     doc="PageRank (5 fixed rounds, damping 0.85, GraphX's non-normalized "
     "formulation) over the user hand-off graph: an edge u->v whenever u's "
-    "event immediately precedes v's within an event_type; self-loops, "
+    "event immediately precedes v's within an (event_type, day) window; "
+    "self-loops, "
     "duplicates, and NULL-ts events dropped (a NULL timestamp cannot be "
     "ordered, and engines disagree on NULL sort placement). Oracle unrolls the identical recurrence as CTEs; "
     "ranks floor-truncated to 6dp on both engines (folded float sums)",
@@ -117,10 +118,11 @@ def q_pagerank_event_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration propagation — the second iterative-graph shape
     beside connected components' converge-until-done loop.
 
-    Scale design (100 TB): edge derivation is one window per
-    event_type (at production scale the partition key would be
-    (event_type, day) to bound a window partition; here event types are
-    the stated parallelism unit). The iteration body is the CC
+    Scale design (100 TB): edge derivation windows over
+    (event_type, day) — the partition count grows with the data, so no
+    single task ever sorts an event type's full history (hand-offs are
+    a within-day notion by contract; the first event of a day has no
+    predecessor). The iteration body is the CC
     skeleton: static edge side degree-annotated, pre-partitioned on the
     per-round join key and checkpointed ONCE; each round is one join +
     one map-side-combining groupBy over rank-sized rows, with NO
@@ -130,7 +132,7 @@ def q_pagerank_event_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events").filter(
         F.col("user_id").isNotNull() & F.col("ts").isNotNull()
     )
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    w = Window.partitionBy("event_type", F.to_date("ts")).orderBy("ts", "event_id")
     edges = (
         e.select(
             F.lag("user_id").over(w).alias("src"),
@@ -686,7 +688,7 @@ def skyline_2d(points: DataFrame, buckets: int = _SKYLINE_BUCKETS) -> DataFrame:
     "triangle_count_handoff_graph",
     oracle="""
         WITH lagged AS (
-            SELECT lag(user_id) OVER (PARTITION BY event_type
+            SELECT lag(user_id) OVER (PARTITION BY event_type, CAST(ts AS DATE)
                                       ORDER BY ts, event_id) AS src,
                    user_id AS dst
             FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
@@ -700,6 +702,7 @@ def skyline_2d(points: DataFrame, buckets: int = _SKYLINE_BUCKETS) -> DataFrame:
           ON ac.a = ab.a AND ac.b = bc.b
     """,
     doc="global triangle count of the undirected event hand-off graph "
+    "(edges within (event_type, day) windows, as in pagerank_event_handoff) "
     "via degree-ordered edge orientation: every edge points from its "
     "lower-(degree, id) endpoint to the higher, wedges are generated "
     "only at each edge's LOWER endpoint, then closed against the "
@@ -721,7 +724,7 @@ def q_triangle_count_handoff_graph(spark: SparkSession, sf_dir: str) -> DataFram
     e = _t(spark, sf_dir, "events").filter(
         F.col("user_id").isNotNull() & F.col("ts").isNotNull()
     )
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    w = Window.partitionBy("event_type", F.to_date("ts")).orderBy("ts", "event_id")
     lagged = e.select(
         F.lag("user_id").over(w).alias("src"), F.col("user_id").alias("dst")
     ).filter(F.col("src").isNotNull() & (F.col("src") != F.col("dst")))
@@ -827,4 +830,87 @@ def q_quota_sample_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampled.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_sampled"),
         F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus curation composition
+# ---------------------------------------------------------------------------
+_CURATION_MIN_TOKENS = 20
+_CURATION_EN_RATE = 64  # of 256: downsample the dominant language 4x
+
+
+@register(
+    "curation_pipeline_e2e",
+    oracle=f"""
+        WITH quality AS (
+            SELECT doc_id, lang, n_chars, text FROM documents
+            WHERE text IS NOT NULL
+              AND len(regexp_split_to_array(trim(text), '{X.WS_RE}'))
+                  >= {_CURATION_MIN_TOKENS}
+        ),
+        dedup AS (
+            SELECT doc_id, lang, n_chars FROM (
+                SELECT doc_id, lang, n_chars,
+                       row_number() OVER (
+                           PARTITION BY md5(trim(regexp_replace(lower(text),
+                                              '{X.WS_RE}', ' ', 'g')))
+                           ORDER BY doc_id) AS rn
+                FROM quality) WHERE rn = 1
+        ),
+        sampled AS (
+            SELECT doc_id, lang, n_chars FROM dedup
+            WHERE {_MD5_BUCKET_256.format(k="doc_id")} <
+                  CASE WHEN lang = 'en' THEN {_CURATION_EN_RATE} ELSE 256 END
+        )
+        SELECT coalesce(lang, 'unknown') AS lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+               CAST(max(doc_id) AS BIGINT) AS max_doc_id
+        FROM sampled GROUP BY 1
+    """,
+    doc="end-to-end corpus curation composed from the library's own "
+    "stages: quality gate (>=20 whitespace tokens) -> exact dedup on the "
+    "canonical md5 fingerprint (keeper = lowest doc_id via one "
+    "hash-partitioned window) -> deterministic language rebalance "
+    "(md5-rate downsample of 'en' to 64/256, everything else kept) -> "
+    "per-language corpus card. Pure integer outputs, no float policy",
+    tags=("extension", "pipeline", "dedup", "sampling"),
+)
+def q_curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production path the individual lanes exist for, composed:
+    text_stats' token gate, dedup_exact's fingerprint (keeper = min id),
+    stratified_sample_events' hash-rate mechanism applied per language,
+    and corpus_source_stats' card shape — one registered lane proving
+    the stages COMPOSE without driver-side glue.
+
+    Scale design (100 TB): the quality gate is scan-local and prunes
+    before anything moves; dedup is ONE shuffle on the uniform md5
+    fingerprint (window keeper-select, no join-back); the rebalance
+    filter is again scan-local on the dedup output; the card is one
+    bounded groupBy(lang). Total: two shuffles end-to-end, both on
+    uniform keys, each stage shrinking the data before the next.
+    """
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    quality = docs.filter(X.token_count("text") >= _CURATION_MIN_TOKENS)
+    rn = F.row_number().over(
+        Window.partitionBy(X.fingerprint_md5("text")).orderBy("doc_id")
+    )
+    kept = (
+        quality.select("doc_id", "lang", "n_chars", "text")
+        .withColumn("_rn", rn)
+        .filter(F.col("_rn") == 1)
+    )
+    rate = F.when(F.col("lang") == "en", F.lit(_CURATION_EN_RATE)).otherwise(
+        F.lit(256)
+    )
+    sampled = kept.filter(hash_bucket("doc_id", 256) < rate)
+    return sampled.groupBy(
+        F.coalesce("lang", F.lit("unknown")).alias("lang")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.min("doc_id").cast("bigint").alias("min_doc_id"),
+        F.max("doc_id").cast("bigint").alias("max_doc_id"),
     )

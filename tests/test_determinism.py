@@ -52,6 +52,7 @@ CANDIDATES = [
     "skyline_parts_pareto",
     "triangle_count_handoff_graph",
     "quota_sample_per_type",
+    "curation_pipeline_e2e",
 ]
 
 
