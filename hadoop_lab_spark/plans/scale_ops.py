@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hadoop_lab_spark.functions import dedup as D
+from hadoop_lab_spark.functions import sketch as K
 from hadoop_lab_spark.functions import text as X
 from hadoop_lab_spark.operators.graph import pagerank
 from hadoop_lab_spark.operators.sampling import hash_bucket
@@ -913,4 +914,108 @@ def q_curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("bigint").alias("total_chars"),
         F.min("doc_id").cast("bigint").alias("min_doc_id"),
         F.max("doc_id").cast("bigint").alias("max_doc_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch mergeability (exact, by linearity)
+# ---------------------------------------------------------------------------
+@register(
+    "cms_mergeable_grid",
+    oracle=f"""
+        WITH tf AS (
+            SELECT tok, CAST(count(*) AS BIGINT) AS c
+            FROM (SELECT unnest({_P._TOKS}) AS tok FROM documents)
+            WHERE tok <> ''
+            GROUP BY tok
+        ),
+        fanout AS (
+            SELECT tok, c, row, {_P._CMS_BUCKET} % {_P.K.CMS_WIDTH} AS bucket
+            FROM tf CROSS JOIN (SELECT unnest([{_P._CMS_ROWS}]) AS row) r
+        ),
+        sketch AS (
+            SELECT row, bucket, CAST(sum(c) AS BIGINT) AS total
+            FROM fanout GROUP BY row, bucket
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_cells,
+               CAST(max(total) AS BIGINT) AS max_cell,
+               TRUE AS grids_identical
+        FROM sketch
+    """,
+    doc="count-min sketch MERGEABILITY: per-source token sketches are "
+    "entrywise-summed into a merged d x w grid which must equal the "
+    "whole-corpus sketch CELL FOR CELL — CMS is a linear sketch, so its "
+    "merge is exactly lossless (the deliberate contrast to "
+    "hll_mergeable_distinct, whose order-statistics union is only "
+    "accuracy-preserving). Output: occupied-cell count, max cell total, "
+    "and the all-cells-equal boolean the oracle expects TRUE",
+    tags=("extension", "sketch", "approx"),
+)
+def q_cms_mergeable_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-aggregation pattern at 100 TB: keep one d x w counter
+    grid per ingest partition (source/day), answer any cross-partition
+    frequency question by summing grids — never re-scan. Valid for CMS
+    with NO accuracy caveat because the sketch is linear in the input
+    multiset; this lane pins that equality cell-by-cell against the
+    single-pass grid. Both grids are bounded aggregates (<= d*w rows);
+    the compare is a d*w-row full-outer join — constant-size work after
+    the one token-frequency shuffle each side shares.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.explode(F.split(F.trim(F.col("text")), X.WS_RE)).alias("tok")
+    tf_src = (
+        docs.select("source", toks)
+        .filter(F.col("tok") != "")
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(d).alias("row"),
+                    K._bucket(F.col("tok"), d).alias("bucket"),
+                )
+                for d in range(K.CMS_DEPTH)
+            ]
+        )
+    ).alias("rb")
+
+    def grid(tf: DataFrame) -> DataFrame:
+        return (
+            tf.select("c", rows)
+            .select("c", F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+            .groupBy("row", "bucket")
+            .agg(F.sum("c").cast("bigint").alias("total"))
+        )
+
+    # Merged path: per-source grids, entrywise-summed. The per-source
+    # grid stage is the part a real pipeline would persist per ingest
+    # partition; summing them is the d*w-bounded merge.
+    per_source = (
+        tf_src.select("source", "c", rows)
+        .select(
+            "source", "c", F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket")
+        )
+        .groupBy("source", "row", "bucket")
+        .agg(F.sum("c").cast("bigint").alias("cell"))
+    )
+    merged = per_source.groupBy("row", "bucket").agg(
+        F.sum("cell").cast("bigint").alias("m_total")
+    )
+    direct = grid(
+        tf_src.groupBy("tok").agg(F.sum("c").cast("bigint").alias("c"))
+    )
+    joined = direct.join(merged, ["row", "bucket"], "full_outer")
+    agree = (
+        F.min(
+            (F.col("total").isNotNull())
+            & (F.col("m_total").isNotNull())
+            & (F.col("total") == F.col("m_total"))
+        )
+    )
+    return joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.max("total").cast("bigint").alias("max_cell"),
+        agree.alias("grids_identical"),
     )

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hadoop_lab_spark.plans.mlprep import CHUNK_STRIDE, CHUNK_WINDOW
+from hadoop_lab_spark.plans import scale_ops as _SO
 from hadoop_lab_spark.plans.registry import register
 from hadoop_lab_spark.session import tune_session
 from hadoop_lab_spark.streaming.jobs import (
@@ -325,3 +326,40 @@ def q_stream_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(chunk).alias("chunk_len"),
     )
     return _replay(spark, stream, "mem_chunks", "append")
+
+
+@register(
+    "stream_stratified_sample",
+    oracle=f"""
+        WITH sampled AS (
+            SELECT event_type, event_id, value
+            FROM events
+            WHERE {_SO._MD5_BUCKET_256.format(k="event_id")} < {_SO._rate_case_sql()}
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_sampled,
+               round(sum(value), 2) AS sum_value,
+               CAST(min(event_id) AS BIGINT) AS min_event_id,
+               CAST(max(event_id) AS BIGINT) AS max_event_id
+        FROM sampled GROUP BY event_type
+    """,
+    doc="streaming deterministic stratified sampling: the batch lane's "
+    "per-stratum md5-rate filter applied to the event stream as a "
+    "stateless append query — membership is a pure function of the row "
+    "key, so the sample is identical under any micro-batching, restart, "
+    "or backfill (proven multi-batch in tests/test_streaming_batching.py); "
+    "bounded replay re-aggregated equals the batch oracle",
+    tags=("streaming", "sampling"),
+    bench=False,
+)
+def q_stream_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_lab_spark.streaming.jobs import stream_stratified_sample
+
+    stream = stream_stratified_sample(spark, sf_dir)
+    snap = _replay(spark, stream, "mem_strat_sample", "append")
+    return snap.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sampled"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.min("event_id").cast("bigint").alias("min_event_id"),
+        F.max("event_id").cast("bigint").alias("max_event_id"),
+    )

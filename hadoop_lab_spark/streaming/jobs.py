@@ -336,3 +336,33 @@ def stream_foreachbatch_event_totals(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateless deterministic rate sampler over the event stream: the
+    same per-stratum md5-rate filter as the batch
+    ``stratified_sample_events`` lane, applied record-at-a-time.
+
+    THE reason hash sampling (and not RNG sampling) is the streaming
+    shape: membership is a pure function of the row key, so the sampled
+    set is invariant to micro-batch boundaries, replays after restart,
+    and backfills — `df.sample()`'s partition-seeded RNG would emit a
+    different sample per batching. No state, no watermark: this is a
+    scan-local filter the engine can fuse into the source projection.
+    Batching-invariance is proven in tests/test_streaming_batching.py.
+    """
+    from hadoop_lab_spark.operators.sampling import hash_bucket
+    from hadoop_lab_spark.plans.scale_ops import _DEFAULT_RATE, _STRATA_RATES
+
+    rate = F.coalesce(
+        *[
+            F.when(F.col("event_type") == s, F.lit(r))
+            for s, r in sorted(_STRATA_RATES.items())
+        ],
+        F.lit(_DEFAULT_RATE),
+    )
+    return (
+        stream_events(spark, sf_dir)
+        .filter(hash_bucket("event_id", 256) < rate)
+        .select("event_id", "event_type", "value")
+    )

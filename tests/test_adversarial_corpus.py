@@ -697,7 +697,7 @@ STREAM_QUERIES = sorted(
 
 
 def test_stream_selection_is_substantial():
-    assert len(STREAM_QUERIES) == 9, STREAM_QUERIES
+    assert len(STREAM_QUERIES) == 10, STREAM_QUERIES
 
 
 @pytest.mark.parametrize("name", STREAM_QUERIES)

@@ -53,6 +53,7 @@ CANDIDATES = [
     "triangle_count_handoff_graph",
     "quota_sample_per_type",
     "curation_pipeline_e2e",
+    "cms_mergeable_grid",
 ]
 
 

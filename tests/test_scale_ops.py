@@ -325,3 +325,88 @@ def test_triangle_count_complete_graph(spark):
     edges = [(a, b) for a, b in combinations(range(5), 2)]
     edf = spark.createDataFrame(edges, "a bigint, b bigint")
     assert triangle_count(edf).collect()[0]["n_triangles"] == 10
+
+
+# ---------------------------------------------------------------------------
+# Curation composition vs a pure-Python four-stage model
+# ---------------------------------------------------------------------------
+@given(
+    st.lists(
+        st.tuples(
+            st.lists(st.sampled_from(_WORDS), min_size=0, max_size=30).map(
+                " ".join
+            ),
+            st.sampled_from(["en", "de", None]),
+        ),
+        min_size=0,
+        max_size=25,
+    )
+)
+@_SETTINGS
+def test_curation_pipeline_matches_python_model(spark, tmp_path_factory, raw):
+    """The four composed stages (token gate, md5-fingerprint dedup with
+    min-id keeper, per-language md5-rate sampling, per-language card)
+    re-implemented independently in Python over a synthetic documents
+    table — duplicates across languages and NULL langs included."""
+    import hashlib
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_lab_spark.plans.registry import REGISTRY, load_all_query_modules
+
+    load_all_query_modules()
+    d = tmp_path_factory.mktemp("curation")
+    docs = [
+        (i, text if text else None, lang, "synth", len(text))
+        for i, (text, lang) in enumerate(raw)
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in docs], pa.int64()),
+                "text": pa.array([r[1] for r in docs], pa.string()),
+                "lang": pa.array([r[2] for r in docs], pa.string()),
+                "source": pa.array([r[3] for r in docs], pa.string()),
+                "n_chars": pa.array([r[4] for r in docs], pa.int64()),
+            }
+        ),
+        os.path.join(str(d), "documents.parquet"),
+    )
+
+    def md5hex(s: str) -> str:
+        return hashlib.md5(s.encode()).hexdigest()
+
+    # Stage 1+2: token gate, canonical-fingerprint dedup (keeper=min id)
+    kept = {}
+    for i, text, lang, _, n_chars in docs:
+        if text is None or len(re.split(r"[ \t\n\r\f]+", text.strip(" "))) < 20:
+            continue
+        # canonical form: lower, collapse whitespace runs to single
+        # spaces, trim — mirror functions/text.fingerprint_md5
+        canon = re.sub(r"[ \t\n\r\f]+", " ", text.lower()).strip()
+        fp = md5hex(canon)
+        if fp not in kept or kept[fp][0] > i:
+            kept[fp] = (i, lang, n_chars)
+    # Stage 3: per-language md5-rate sampling (en 64/256, else keep)
+    model = {}
+    for i, lang, n_chars in kept.values():
+        bucket = int(md5hex(str(i))[:2], 16)
+        rate = 64 if lang == "en" else 256
+        if bucket >= rate:
+            continue
+        key = lang if lang is not None else "unknown"
+        n, total, mn, mx = model.get(key, (0, 0, None, None))
+        model[key] = (
+            n + 1,
+            total + n_chars,
+            i if mn is None else min(mn, i),
+            i if mx is None else max(mx, i),
+        )
+
+    got = {
+        r["lang"]: (r["n_docs"], r["total_chars"], r["min_doc_id"], r["max_doc_id"])
+        for r in REGISTRY["curation_pipeline_e2e"].fn(spark, str(d)).collect()
+    }
+    assert got == model

@@ -94,6 +94,12 @@ EVENT_STRESS_QUERIES = [
     "user_longest_increasing_run",
     "user_longest_increasing_run_window",
     "sessions_per_user",
+    # graph lanes: the hot user is a hub node (~30% of all hand-off
+    # edges touch it) — the exact degree profile the degree-ordered
+    # triangle orientation and the per-round PageRank groupBy must
+    # survive without a hot reducer changing any value
+    "pagerank_event_handoff",
+    "triangle_count_handoff_graph",
 ]
 
 

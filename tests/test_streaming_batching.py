@@ -41,6 +41,9 @@ MULTIBATCH_QUERIES = (
     "stream_dedup_user_type",
     "stream_session_window_counts",
     "stream_stream_purchase_signup_join",
+    # deterministic hash sampling: membership must be IDENTICAL under
+    # re-batching (the property RNG-based df.sample() lacks)
+    "stream_stratified_sample",
 )
 
 
