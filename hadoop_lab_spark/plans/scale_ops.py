@@ -13,12 +13,22 @@ existing registry did not yet cover:
 - ``sorted_neighborhood_pairs`` — the third classic entity-resolution
   blocking paradigm (after hash-blocking and composite blocking):
   candidates = neighbors in one global sort order.
-- ``stratified_sample_events`` — per-stratum deterministic rate
-  sampling on the portable md5-bucket hash.
-- ``hll_mergeable_distinct`` — sketch MERGEABILITY as the contract:
-  union of per-day HLL sketches must equal the one-pass sketch.
+- ``stratified_sample_events`` / ``quota_sample_per_type`` — the two
+  deterministic sampling tiers on the portable md5 hash: per-stratum
+  RATE (scan-local filter) and per-stratum QUOTA (md5-ordered top-N
+  through WindowGroupLimit).
+- ``hll_mergeable_distinct`` / ``cms_mergeable_grid`` — sketch
+  MERGEABILITY as the contract, as a contrast pair: the CMS grid is
+  linear, so per-source grids summed equal the one-pass grid cell for
+  cell; HLL's order-statistics union only preserves the accuracy
+  envelope (dense-mode bit-equality measurably fails).
+- ``triangle_count_handoff_graph`` — degree-ordered wedge orientation,
+  the O(m^1.5)-bounded triangle count.
 - ``skyline_parts_pareto`` — two-phase distributed skyline (local
   skyline per partition, then skyline of the union of local skylines).
+- ``curation_pipeline_e2e`` — the four-stage curation composition
+  (quality gate → exact dedup → language rebalance → corpus card),
+  proving the lanes compose without driver-side glue.
 
 Cross-engine float policy (plans/registry.py): Jaccard and dominance
 lanes output only integer ratios / raw parquet doubles (bit-identical,

@@ -410,3 +410,44 @@ def test_curation_pipeline_matches_python_model(spark, tmp_path_factory, raw):
         for r in REGISTRY["curation_pipeline_e2e"].fn(spark, str(d)).collect()
     }
     assert got == model
+
+
+# ---------------------------------------------------------------------------
+# CMS grid merge is exactly lossless for ANY partitioning of the input
+# ---------------------------------------------------------------------------
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(_WORDS), st.integers(0, 3), st.integers(1, 9)
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@_SETTINGS
+def test_cms_grid_merge_equals_direct_for_any_split(spark, rows):
+    """(tok, part, count) rows split into arbitrary per-part sketches:
+    entrywise-summing the per-part grids must equal the grid of the
+    pooled frequencies — linearity, on hypothesis-partitioned input."""
+    from hadoop_lab_spark.functions import sketch as K
+
+    df = spark.createDataFrame(rows, "tok string, part int, c long")
+    fan = [
+        F.struct(F.lit(d).alias("row"), K._bucket(F.col("tok"), d).alias("bucket"))
+        for d in range(K.CMS_DEPTH)
+    ]
+    rb = F.explode(F.array(*fan)).alias("rb")
+    flat = df.select("part", "c", rb).select(
+        "part", "c", F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket")
+    )
+    merged = (
+        flat.groupBy("part", "row", "bucket")
+        .agg(F.sum("c").alias("cell"))
+        .groupBy("row", "bucket")
+        .agg(F.sum("cell").alias("m"))
+    )
+    direct = flat.groupBy("row", "bucket").agg(F.sum("c").alias("d"))
+    joined = direct.join(merged, ["row", "bucket"], "full_outer").collect()
+    assert joined, "grid must be non-empty"
+    for r in joined:
+        assert r["d"] is not None and r["m"] is not None and r["d"] == r["m"], r
