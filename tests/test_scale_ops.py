@@ -451,3 +451,54 @@ def test_cms_grid_merge_equals_direct_for_any_split(spark, rows):
     assert joined, "grid must be non-empty"
     for r in joined:
         assert r["d"] is not None and r["m"] is not None and r["d"] == r["m"], r
+
+
+@pytest.mark.parametrize(
+    "sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_sorted_neighborhood_equals_simple_global_window_on_real_data(
+    spark, sf_dir
+):
+    """The registered oracle mirrors the bucketed formulation (so the
+    differential is exact by construction); THIS test closes the loop
+    against the independent simple definition — one global sliding
+    window, no buckets — on the real customer tables, proving the
+    boundary stitching reconstructs the textbook semantics there."""
+    import duckdb
+
+    from hadoop_lab_spark.plans.registry import REGISTRY, load_all_query_modules
+
+    load_all_query_modules()
+    got = {
+        (r["k_a"], r["k_b"], r["lev"])
+        for r in REGISTRY["sorted_neighborhood_pairs"].fn(spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW customer AS SELECT * FROM read_parquet("
+            f"'{sf_dir}/customer.parquet')"
+        )
+        want = set(
+            con.execute(
+                """
+                WITH nbr AS (
+                    SELECT c_custkey AS k_a, c_name AS n_a,
+                           lead(c_custkey, 1) OVER w AS k1, lead(c_name, 1) OVER w AS n1,
+                           lead(c_custkey, 2) OVER w AS k2, lead(c_name, 2) OVER w AS n2
+                    FROM customer WHERE c_name IS NOT NULL
+                    WINDOW w AS (ORDER BY c_name, c_custkey)
+                ),
+                pairs AS (
+                    SELECT k_a, k1 AS k_b, n_a, n1 AS n_b FROM nbr WHERE k1 IS NOT NULL
+                    UNION ALL
+                    SELECT k_a, k2, n_a, n2 FROM nbr WHERE k2 IS NOT NULL
+                )
+                SELECT k_a, k_b, CAST(levenshtein(n_a, n_b) AS INTEGER) AS lev
+                FROM pairs WHERE levenshtein(n_a, n_b) <= 2
+                """
+            ).fetchall()
+        )
+    finally:
+        con.close()
+    assert got == want
