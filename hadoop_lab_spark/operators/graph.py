@@ -112,10 +112,20 @@ def _attach_singletons(nodes: DataFrame, labels: DataFrame, id_col: str) -> Data
 
 
 def pagerank(
-    edges: DataFrame, iterations: int = 5, damping: float = 0.85
+    edges: DataFrame,
+    iterations: int = 5,
+    damping: float = 0.85,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """(id, rank) after a FIXED number of synchronous PageRank rounds
     over a directed, deduplicated edge list (columns ``src``, ``dst``).
+
+    With ``weight_col`` set, each round distributes rank(u)
+    proportionally to edge weights (out-strength-normalized weighted
+    PageRank); otherwise every out-edge carries rank(u)/outdeg(u). The
+    plan is identical either way — the weight rides the one
+    pre-partitioned edge table, and ``deg`` becomes the out-strength
+    sum instead of a count.
 
     Uses the non-normalized formulation popularized by Spark's own
     GraphX (``graphx/lib/PageRank.scala``): every node starts at 1.0
@@ -148,11 +158,22 @@ def pagerank(
     """
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("deg"))
+    w = (
+        F.col(weight_col).cast("double")
+        if weight_col is not None
+        else F.lit(1.0)
+    )
+    edges = edges.select("src", "dst", w.alias("_w"))
+    deg = edges.groupBy("src").agg(F.sum("_w").alias("deg"))
     # Degrees ride on the edge rows; partition on src = the per-round key.
+    # Keep the per-round arithmetic as rank * w / deg (NOT a
+    # precomputed w/deg share): multiplying by the 1.0 unweighted
+    # default is the float identity, so the unweighted result stays
+    # bit-identical to the oracle's pr/deg form; a precomputed ratio
+    # would reassociate the division and drift a ulp per round.
     esd = (
         edges.join(deg, "src")
-        .select("src", "dst", "deg")
+        .select("src", "dst", "_w", "deg")
         .repartition(F.col("src"))
         .localCheckpoint(eager=True)
     )
@@ -166,7 +187,7 @@ def pagerank(
     for _ in range(iterations):
         contribs = (
             esd.join(ranks, esd["src"] == ranks["id"])
-            .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
+            .select("dst", (F.col("rank") * F.col("_w") / F.col("deg")).alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )

@@ -64,7 +64,9 @@ _PR_ITERATIONS = 5
 _PR_DAMPING = 0.85
 
 
-def _pagerank_oracle(iterations: int, damping: float = _PR_DAMPING) -> str:
+def _pagerank_oracle(
+    iterations: int, damping: float = _PR_DAMPING, weighted: bool = False
+) -> str:
     """Unroll the fixed-round GraphX-style recurrence as chained CTEs.
 
     Generated programmatically so the oracle can never drift from the
@@ -87,10 +89,15 @@ def _pagerank_oracle(iterations: int, damping: float = _PR_DAMPING) -> str:
                    user_id AS dst
             FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
         )""",
-        "edges AS (SELECT DISTINCT src, dst FROM lagged"
-        " WHERE src IS NOT NULL AND src <> dst)",
-        "deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg"
-        " FROM edges GROUP BY src)",
+        (
+            "edges AS (SELECT src, dst, CAST(count(*) AS DOUBLE) AS w"
+            " FROM lagged WHERE src IS NOT NULL AND src <> dst"
+            " GROUP BY src, dst)"
+            if weighted
+            else "edges AS (SELECT DISTINCT src, dst, CAST(1.0 AS DOUBLE) AS w"
+            " FROM lagged WHERE src IS NOT NULL AND src <> dst)"
+        ),
+        "deg AS (SELECT src, sum(w) AS deg FROM edges GROUP BY src)",
         "nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges)",
         "r0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS pr FROM nodes)",
     ]
@@ -99,7 +106,7 @@ def _pagerank_oracle(iterations: int, damping: float = _PR_DAMPING) -> str:
             f"""r{i} AS (
             SELECT n.id, {base} + {damp} * COALESCE(s.s, CAST(0.0 AS DOUBLE)) AS pr
             FROM nodes n LEFT JOIN (
-                SELECT e.dst, sum(r.pr / d.deg) AS s
+                SELECT e.dst, sum(r.pr * e.w / d.deg) AS s
                 FROM edges e
                 JOIN r{i - 1} r ON e.src = r.id
                 JOIN deg d ON e.src = d.src
@@ -153,6 +160,49 @@ def q_pagerank_event_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     ranks = pagerank(edges, iterations=_PR_ITERATIONS, damping=_PR_DAMPING)
+    return ranks.select(
+        F.col("id").alias("user_id"), X.trunc(F.col("rank"), 6).alias("rank6")
+    )
+
+
+@register(
+    "pagerank_weighted_handoff",
+    oracle=_pagerank_oracle(_PR_ITERATIONS, weighted=True),
+    doc="weighted PageRank (5 fixed rounds, damping 0.85) over the SAME "
+    "hand-off graph with edge weight = transition multiplicity (how many "
+    "times u's event immediately preceded v's): each round distributes "
+    "rank proportionally to out-strength-normalized weights. Same "
+    "oracle-unrolled recurrence, same NULL-ts and float contracts as the "
+    "unweighted lane",
+    tags=("extension", "graph", "iterative"),
+)
+def q_pagerank_weighted_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The weighted twin: identical iteration plan (the weight rides
+    the one pre-partitioned edge table; deg becomes the out-strength
+    sum), so the 100 TB argument is unchanged — this lane exists to pin
+    that the operator generalizes without a new execution shape, and
+    that repeat hand-offs (habitual user pairs) rank higher than
+    one-off ones. Float contract note: the per-round arithmetic stays
+    rank * w / deg on BOTH engines (a precomputed w/deg share would
+    reassociate the division and drift a ulp per round — see
+    operators/graph.py).
+    """
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    w = Window.partitionBy("event_type", F.to_date("ts")).orderBy("ts", "event_id")
+    edges = (
+        e.select(
+            F.lag("user_id").over(w).alias("src"),
+            F.col("user_id").alias("dst"),
+        )
+        .filter(F.col("src").isNotNull() & (F.col("src") != F.col("dst")))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    ranks = pagerank(
+        edges, iterations=_PR_ITERATIONS, damping=_PR_DAMPING, weight_col="w"
+    )
     return ranks.select(
         F.col("id").alias("user_id"), X.trunc(F.col("rank"), 6).alias("rank6")
     )

@@ -47,6 +47,7 @@ CANDIDATES = [
     # (ssjoin), bucketed stitch windows (sorted-neighborhood), and the
     # two-phase skyline sweep.
     "pagerank_event_handoff",
+    "pagerank_weighted_handoff",
     "ssjoin_prefix_jaccard",
     "sorted_neighborhood_pairs",
     "skyline_parts_pareto",

@@ -623,3 +623,57 @@ def test_triangle_count_all_hash_joins(spark):
     for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
         cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
         assert cols <= {"event_id", "ts", "user_id", "event_type"}, cols
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """Capability pin for Spark's InjectRuntimeFilter: a selective dim
+    filter (1-URGENT orders) must materialize as a bloom_filter_agg on
+    the creation side and a might_contain predicate ON THE FACT SCAN's
+    filter — row-level runtime pruning of lineitem rows whose orderkey
+    cannot join, BEFORE the shuffle. This is the third pruning tier the
+    engine relies on at 100 TB (after partition pruning and parquet
+    predicate pushdown): it exists for selective joins where the filter
+    column isn't in the fact table at all. Thresholds are lowered only
+    inside this test — at real scale the defaults (10 MB creation side)
+    gate it to genuinely selective builds."""
+    import pyspark.sql.functions as F
+
+    conf = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {}
+    for k, v in conf.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        o = (
+            spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+            .filter(F.col("o_orderpriority") == "1-URGENT")
+        )
+        li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+        j = (
+            li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan[:1200]
+        assert "bloom_filter_agg" in plan
+        # the probe must sit in the lineitem side's Filter, keyed on the
+        # fact join column
+        assert any(
+            "might_contain" in line and "l_orderkey" in line
+            for line in plan.splitlines()
+        ), plan[:1500]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -18,7 +18,7 @@ load_all_query_modules()
 
 #: Update this constant in the SAME commit that registers a new query.
 #: An exact count (not >=) also catches accidental de-registration.
-EXPECTED_QUERIES = 159
+EXPECTED_QUERIES = 160
 
 
 def test_registry_exact_size():

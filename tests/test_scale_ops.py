@@ -502,3 +502,41 @@ def test_sorted_neighborhood_equals_simple_global_window_on_real_data(
     finally:
         con.close()
     assert got == want
+
+
+@given(
+    st.dictionaries(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)).filter(
+            lambda e: e[0] != e[1]
+        ),
+        st.integers(1, 5),
+        min_size=1,
+        max_size=25,
+    ),
+    st.integers(1, 3),
+)
+@_SETTINGS
+def test_weighted_pagerank_matches_python(spark, wedges, iterations):
+    """Out-strength-normalized weighted PageRank vs a Python model;
+    weight-1 edges must reduce to the unweighted recurrence."""
+    edf = spark.createDataFrame(
+        [(a, b, float(w)) for (a, b), w in sorted(wedges.items())],
+        "src bigint, dst bigint, w double",
+    )
+    got = {
+        r["id"]: r["rank"]
+        for r in pagerank(edf, iterations=iterations, weight_col="w").collect()
+    }
+    nodes = sorted({v for e in wedges for v in e})
+    strength: dict[int, float] = {}
+    for (s_, _), w in wedges.items():
+        strength[s_] = strength.get(s_, 0.0) + w
+    rank = {v: 1.0 for v in nodes}
+    for _ in range(iterations):
+        contrib: dict[int, float] = {}
+        for (s_, t_), w in wedges.items():
+            contrib[t_] = contrib.get(t_, 0.0) + rank[s_] * w / strength[s_]
+        rank = {v: 0.15 + 0.85 * contrib.get(v, 0.0) for v in nodes}
+    assert set(got) == set(rank)
+    for v in rank:
+        assert got[v] == pytest.approx(rank[v], rel=1e-9), v
