@@ -24,9 +24,28 @@ no write cost (and no driver-side materialization like collect()). A
 warmup pass on the smallest table absorbs JVM/codegen startup so
 per-query numbers reflect the plans, not the JIT.
 
+Cross-round comparison (VERDICT r5 #1 — the 3-canary median misfired):
+the PRIMARY cross-round metric is the common-lane ratio — sum of this
+run's medians over the lanes shared with the pinned round-of-record
+reference (bench_reference.json, committed once per round) divided by
+the reference's sum over the same lanes. Canaries only bridge HOSTS:
+8 lanes spanning the plan families (scan-agg, scan-local text, salted
+window agg, multi-join, LSH band join, banded self-join + verify,
+iterative graph, percentile window), normalized by the TRIMMED MEAN of
+their current/reference ratios (drop the single lowest and highest —
+r5 showed one canary can move 37% for host-local reasons; the median
+of 3 gave that outlier a 1-in-3 chance of steering the headline).
+Both ratios are emitted; when they disagree beyond the documented host
+band, trust the common-lane ratio.
+
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS   (local[N], default all cores),
-     SPARK_GRAFT_BENCH_REPEATS (default 3; streaming lane always 1).
+     SPARK_GRAFT_BENCH_REPEATS (default 3; streaming lane always 1),
+     SPARK_GRAFT_BENCH_GC (default 1: clearCache + JVM System.gc()
+     between lanes — the r5 dedup_minhash_lsh 2.44→3.34 s host drift
+     was tight-banded WITHIN its run, i.e. session-order/heap-pressure
+     dependent, so each lane starts from a drained heap; set 0 to
+     measure without the barrier).
 """
 
 from __future__ import annotations
@@ -38,28 +57,67 @@ import statistics
 import sys
 import time
 
-
-#: Canary normalization (VERDICT r4 #5). The recorded 73–93 s
-#: host-drift band exceeds the signal a single-lane regression adds, so
-#: cross-round comparison needs a host-independent scale. These three
-#: lanes span the workload classes (pruned scan+agg, LSH band join,
-#: banded self-join+verify), their PLANS are pinned by
-#: tests/test_plan_shapes.py, and their reference medians below are the
-#: r4 round-of-record figures at sf0.1 (bench_detail.json @ 7ef5247).
-#: Each run reports canary_ratio = median(current/reference); divide
-#: any lane's wall time by it to compare rounds on a common scale.
-#: Only meaningful at sf0.1 (the reference SF) — at other SFs the
-#: ratio is emitted as null.
-CANARY_REFERENCE_SF01 = {
-    "wordcount": 0.236,
-    "dedup_minhash_lsh": 2.438,
-    "dedup_simhash_pairs": 2.636,
-}
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+_REFERENCE_PATH = os.path.join(_REPO_DIR, "bench_reference.json")
 
 
-def _time_query(fn, spark, sf_dir: str, repeats: int) -> list[float]:
+def _load_reference() -> dict | None:
+    """Pinned round-of-record medians (bench_reference.json): the canary
+    list + per-lane medians this run is compared against. Re-pinned once
+    per round from the driver's recorded detail."""
+    try:
+        with open(_REFERENCE_PATH) as f:
+            return json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return None
+
+
+def _trimmed_mean_ratio(
+    timings: dict[str, float], reference: dict
+) -> float | None:
+    """Host-bridge factor: trimmed mean (drop min and max) of the canary
+    lanes' current/reference ratios. Needs >= 3 usable canaries so the
+    trim leaves at least one value."""
+    ref_q = reference.get("queries", {})
+    ratios = sorted(
+        timings[n] / ref_q[n]
+        for n in reference.get("canaries", [])
+        if n in timings and ref_q.get(n)
+    )
+    if len(ratios) < 3:
+        return None
+    trimmed = ratios[1:-1]
+    return round(sum(trimmed) / len(trimmed), 3)
+
+
+def _common_lane_ratio(
+    timings: dict[str, float], reference: dict
+) -> tuple[float | None, int]:
+    """PRIMARY cross-round metric: Σ current / Σ reference over the lanes
+    present in both runs. Immune to lane-set churn (new lanes don't
+    inflate it, removed lanes don't deflate it)."""
+    ref_q = reference.get("queries", {})
+    common = [n for n in timings if ref_q.get(n)]
+    if not common:
+        return None, 0
+    cur = sum(timings[n] for n in common)
+    ref = sum(ref_q[n] for n in common)
+    return round(cur / ref, 3), len(common)
+
+
+def _gc_barrier(spark) -> None:
+    """Drain cross-lane state so lane N's heap/cache pressure cannot
+    leak into lane N+1's timing (the r5 host-drift hypothesis): drop
+    cached relations, then ask the JVM for a full GC."""
+    spark.catalog.clearCache()
+    spark.sparkContext._jvm.System.gc()
+
+
+def _time_query(fn, spark, sf_dir: str, repeats: int, gc: bool) -> list[float]:
     times = []
     for _ in range(repeats):
+        if gc:
+            _gc_barrier(spark)
         start = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         times.append(time.perf_counter() - start)
@@ -69,6 +127,7 @@ def _time_query(fn, spark, sf_dir: str, repeats: int) -> list[float]:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
+    gc = os.environ.get("SPARK_GRAFT_BENCH_GC", "1") != "0"
     match = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(match.group(1).rstrip(".")) if match else -1.0
 
@@ -87,7 +146,7 @@ def main() -> None:
     for name, spec in sorted(REGISTRY.items()):
         if not spec.bench:
             continue
-        times = _time_query(spec.fn, spark, sf_dir, repeats)
+        times = _time_query(spec.fn, spark, sf_dir, repeats, gc)
         timings[name] = round(statistics.median(times), 3)
         detail[name] = {
             "median": timings[name],
@@ -97,6 +156,17 @@ def main() -> None:
         }
         print(f"DETAIL {json.dumps({name: detail[name]})}", flush=True)
 
+    # Demo lanes (bench=False, tagged "demo"): priced knob demos kept out
+    # of the headline set (VERDICT r5 #5) but still timed once here so
+    # the PERFORMANCE.md pricing tables track live numbers.
+    demos: dict[str, float] = {}
+    for name, spec in sorted(REGISTRY.items()):
+        if spec.bench or "demo" not in spec.tags:
+            continue
+        times = _time_query(spec.fn, spark, sf_dir, 1, gc)
+        demos[name] = round(times[0], 3)
+        print(f"DETAIL {json.dumps({name: {'median': demos[name], 'demo': True}})}", flush=True)
+
     # Streaming lane: startup-dominated (state store + availableNow
     # machinery) and stateful-store-heavy, so one run each, recorded in
     # the detail file but excluded from the headline figure.
@@ -104,35 +174,39 @@ def main() -> None:
     for name, spec in sorted(REGISTRY.items()):
         if spec.bench or "streaming" not in spec.tags:
             continue
-        times = _time_query(spec.fn, spark, sf_dir, 1)
+        times = _time_query(spec.fn, spark, sf_dir, 1, gc)
         streaming[name] = round(times[0], 3)
         print(f"DETAIL {json.dumps({name: {'median': streaming[name], 'streaming': True}})}", flush=True)
 
     total = round(sum(timings.values()), 3)
 
-    # Host-drift normalization: median of the canary lanes' ratio to
-    # their r4 reference medians (sf0.1 only — see CANARY_REFERENCE_SF01).
+    # Normalization vs the pinned round-of-record (sf0.1 only — that is
+    # the reference SF; at other SFs both ratios are emitted as null).
+    reference = _load_reference() if sf == 0.1 else None
     canary_ratio = None
-    if sf == 0.1 and all(n in timings for n in CANARY_REFERENCE_SF01):
-        ratios = sorted(
-            timings[n] / ref for n, ref in CANARY_REFERENCE_SF01.items()
-        )
-        canary_ratio = round(ratios[len(ratios) // 2], 3)
+    common_lane_ratio, n_common = None, 0
+    if reference:
+        canary_ratio = _trimmed_mean_ratio(timings, reference)
+        common_lane_ratio, n_common = _common_lane_ratio(timings, reference)
     normalized_total = (
         round(total / canary_ratio, 3) if canary_ratio else None
     )
 
-    out_dir = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(out_dir, "bench_detail.json"), "w") as f:
+    with open(os.path.join(_REPO_DIR, "bench_detail.json"), "w") as f:
         json.dump(
             {
                 "sf": sf,
                 "repeats": repeats,
+                "gc_barrier": gc,
                 "total_median_sec": total,
                 "canary_ratio": canary_ratio,
-                "canary_reference": CANARY_REFERENCE_SF01,
+                "canaries": (reference or {}).get("canaries"),
+                "reference_label": (reference or {}).get("label"),
+                "common_lane_ratio": common_lane_ratio,
+                "n_common_lanes": n_common,
                 "normalized_total_sec": normalized_total,
                 "queries": detail,
+                "demos": demos,
                 "streaming": streaming,
             },
             f,
@@ -152,6 +226,8 @@ def main() -> None:
                 "repeats": repeats,
                 "n_queries": len(timings),
                 "canary_ratio": canary_ratio,
+                "common_lane_ratio": common_lane_ratio,
+                "n_common_lanes": n_common,
                 "normalized_total": normalized_total,
                 "detail_file": "bench_detail.json",
             }

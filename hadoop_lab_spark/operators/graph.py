@@ -185,21 +185,36 @@ def pagerank(
     )
     ranks = nodes.select("id", F.lit(1.0).alias("rank"))
     for _ in range(iterations):
-        contribs = (
-            esd.join(ranks, esd["src"] == ranks["id"])
-            .select("dst", (F.col("rank") * F.col("_w") / F.col("deg")).alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("s"))
-        )
-        ranks = (
-            nodes.join(contribs, nodes["id"] == contribs["dst"], "left")
-            .select(
-                "id",
-                (
-                    F.lit(1.0 - damping)
-                    + F.lit(damping) * F.coalesce("s", F.lit(0.0))
-                ).alias("rank"),
-            )
-            .localCheckpoint(eager=True)
+        ranks = _pagerank_round(esd, nodes, ranks, damping).localCheckpoint(
+            eager=True
         )
     return ranks
+
+
+def _pagerank_round(
+    esd: DataFrame, nodes: DataFrame, ranks: DataFrame, damping: float
+) -> DataFrame:
+    """One synchronous PageRank round (un-checkpointed, so its plan is
+    inspectable — the loop checkpoints the result).
+
+    Skew note (the groupBy(dst) is the round's hot point on power-law
+    graphs — a hub's in-degree can be a constant fraction of |E|): the
+    aggregate is a plain sum, so Spark combines it MAP-SIDE — each
+    upstream task emits at most ONE partial row per dst it saw, and the
+    hub's reduce task receives at most #tasks rows, not in-degree(hub)
+    rows. No salting needed: partial aggregation is the skew bound, and
+    tests/test_skew_stress.py pins the partial_sum below the dst
+    exchange so a regression (e.g. rewriting the sum as collect+udf)
+    cannot silently reintroduce the O(in-degree) reducer."""
+    contribs = (
+        esd.join(ranks, esd["src"] == ranks["id"])
+        .select("dst", (F.col("rank") * F.col("_w") / F.col("deg")).alias("c"))
+        .groupBy("dst")
+        .agg(F.sum("c").alias("s"))
+    )
+    return nodes.join(contribs, nodes["id"] == contribs["dst"], "left").select(
+        "id",
+        (
+            F.lit(1.0 - damping) + F.lit(damping) * F.coalesce("s", F.lit(0.0))
+        ).alias("rank"),
+    )

@@ -708,7 +708,10 @@ def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pair mass grows n²/2^planes when the knob is left alone; r4 sweep: "
     "41.7× wall at 10× data). Production shapes: _adaptive (corpus-derived "
     "planes) or _wide (manual log-scaled setting)",
-    tags=("pipeline", "dedup", "similarity"),
+    tags=("pipeline", "dedup", "similarity", "demo"),
+    bench=False,  # priced knob demo (VERDICT r5 #5): stays registered +
+    # oracle-checked so the PERFORMANCE.md pricing table has a live lane,
+    # but the headline bench measures production shapes only
 )
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-plane demo lane, kept (like the applyInPandas demo) to
@@ -1566,7 +1569,10 @@ _LONGEST_RUN_ORACLE = """
     "value run in event-time order — the per-key imperative escape hatch "
     "(sequential scan semantics that windows express only via "
     "gaps-and-islands contortions)",
-    tags=("pipeline", "pandas", "stateful"),
+    tags=("pipeline", "pandas", "stateful", "demo"),
+    bench=False,  # priced escape-hatch demo (VERDICT r5 #5): the codegen
+    # window twin is the production shape; this lane stays oracle-checked
+    # so the Python-vs-codegen pricing in PERFORMANCE.md has a live lane
 )
 def q_user_longest_increasing_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInPandas (grouped map): one shuffle on user_id, then each

@@ -1161,7 +1161,10 @@ def q_order_priority_tokens_outer(spark: SparkSession, sf_dir: str) -> DataFrame
     "the production shape is customer_name_fuzzy_blocks_fine (composite "
     "deletion-neighborhood blocking, sub-blocks bounded by the tail "
     "alphabet)",
-    tags=("extension", "join", "string", "dedup"),
+    tags=("extension", "join", "string", "dedup", "demo"),
+    bench=False,  # priced single-key demo (VERDICT r5 #5): _fine is the
+    # production shape; kept registered + oracle-checked for the
+    # PERFORMANCE.md blocking-paradigm pricing table
 )
 def q_customer_name_fuzzy_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The canonical entity-resolution discipline at scale: NEVER

@@ -472,14 +472,29 @@ def q_sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sorted_neighborhood_candidates(
-    df: DataFrame, key_col: str, id_col: str, w: int = 2, bucket_chars: int = 16
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    w: int = 2,
+    bucket_chars: int = 16,
+    strict: bool = True,
 ) -> DataFrame:
     """Candidate pairs (k_a, k_b, n_a, n_b) of rows within ``w``
     positions of each other in (key, id) sort order, computed as range
     buckets (``bucket_chars``-char key prefix) with boundary stitching.
     Equals the single global sliding window whenever every bucket holds
     >= w rows (property-tested in tests/test_scale_ops.py); currently
-    supports w <= 2 (one lead() column per offset)."""
+    supports w <= 2 (one lead() column per offset).
+
+    ``strict`` (default) enforces that equivalence precondition AT RUN
+    TIME, inside the plan: the stitch only spans ADJACENT buckets, so a
+    bucket with fewer than ``w`` rows would silently drop global-window
+    pairs that hop across it. Rather than a driver-side pre-count job,
+    a per-bucket count() window (same hash partitioning the lead()
+    window already pays for — no extra exchange) feeds a filter whose
+    predicate calls raise_error() on any under-filled bucket, failing
+    the job loudly instead of returning an incomplete candidate set.
+    Callers that accept bucket-local candidates pass strict=False."""
     if not 1 <= w <= 2:
         raise ValueError(f"w must be 1 or 2, got {w}")
     keyed = df.select(
@@ -487,6 +502,27 @@ def sorted_neighborhood_candidates(
         F.col(key_col).alias("_key"),
         F.substring(F.col(key_col), 1, bucket_chars).alias("bkt"),
     )
+    if strict:
+        bucket_n = F.count(F.lit(1)).over(Window.partitionBy("bkt"))
+        guard = F.when(
+            bucket_n < w,
+            F.raise_error(
+                F.concat(
+                    F.lit("sorted_neighborhood_candidates: bucket "),
+                    F.col("bkt"),
+                    F.lit(
+                        f" holds fewer than w={w} rows; the boundary "
+                        "stitch only spans adjacent buckets, so the "
+                        "result would silently miss cross-bucket pairs. "
+                        "Use fewer bucket_chars (bigger buckets) or "
+                        "strict=False to accept bucket-local candidates."
+                    ),
+                )
+            ).cast("boolean"),
+        ).otherwise(F.lit(True))
+        # Window expressions can't sit in a WHERE clause directly:
+        # project the guard into a column, filter on it, drop it.
+        keyed = keyed.withColumn("_ok", guard).filter("_ok").drop("_ok")
     wf = Window.partitionBy("bkt").orderBy("_key", "_id")
     wr = Window.partitionBy("bkt").orderBy(
         F.col("_key").desc(), F.col("_id").desc()
@@ -881,7 +917,7 @@ _QUOTA_PER_TYPE = 200
                        PARTITION BY event_type
                        ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
                    ) AS rn
-            FROM events
+            FROM events WHERE event_id IS NOT NULL
         )
         SELECT event_type,
                CAST(count(*) AS BIGINT) AS n_sampled,
@@ -906,8 +942,16 @@ def q_quota_sample_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     stratum, not the stratum. The md5 sort key is what makes the quota
     a deterministic SET rather than 'whatever N rows arrived first'
     (df.limit's answer, which changes with partitioning).
+
+    The isNotNull guard on event_id is a CONTRACT, not a convenience:
+    a NULL key would md5 to NULL, and Spark orders NULLs FIRST on ASC
+    while DuckDB orders them LAST — quota membership would silently
+    flip between the lane and its oracle. NULL keys are excluded
+    explicitly on both sides (the sibling rate-based stratified lane is
+    immune by construction: a NULL hash fails the keep-predicate on
+    both engines).
     """
-    e = _t(spark, sf_dir, "events")
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id").isNotNull())
     key = F.md5(F.col("event_id").cast("string").cast("binary"))
     rn = F.row_number().over(
         Window.partitionBy("event_type").orderBy(key, "event_id")

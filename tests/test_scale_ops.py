@@ -188,6 +188,85 @@ def test_sorted_neighborhood_rejects_large_w(spark):
         sorted_neighborhood_candidates(df, key_col="key", id_col="id", w=3)
 
 
+#: Middle bucket 'b' holds ONE row < w=2: the global window pair
+#: (2,"ab")-(4,"ca") hops OVER it, which the adjacent-bucket stitch can
+#: never produce — exactly the silent-incompleteness case the strict
+#: guard exists for (ADVICE r5).
+_SPARSE_BUCKET_ROWS = [(1, "aa"), (2, "ab"), (3, "ba"), (4, "ca"), (5, "cb")]
+
+
+def test_sorted_neighborhood_strict_guard_raises_on_sparse_bucket(spark):
+    """strict (the default) must fail the JOB, not return an incomplete
+    candidate set, when any bucket holds fewer than w rows."""
+    df = spark.createDataFrame(_SPARSE_BUCKET_ROWS, "id bigint, key string")
+    cands = sorted_neighborhood_candidates(
+        df, key_col="key", id_col="id", w=2, bucket_chars=1
+    )
+    with pytest.raises(Exception, match="fewer than w=2"):
+        cands.collect()
+
+
+def test_sorted_neighborhood_non_strict_is_bucket_local(spark):
+    """strict=False opts into bucket-local semantics: all within-bucket
+    and adjacent-boundary pairs, but NOT the (2,4) pair that hops over
+    the sparse 'b' bucket — the documented trade, now explicit."""
+    df = spark.createDataFrame(_SPARSE_BUCKET_ROWS, "id bigint, key string")
+    got = {
+        (r["k_a"], r["k_b"])
+        for r in sorted_neighborhood_candidates(
+            df, key_col="key", id_col="id", w=2, bucket_chars=1, strict=False
+        ).collect()
+    }
+    want_global = {(1, 2), (1, 3), (2, 3), (2, 4), (3, 4), (3, 5), (4, 5)}
+    assert got == want_global - {(2, 4)}
+
+
+def test_quota_sample_null_event_id_contract(spark, tmp_path):
+    """NULL quota keys would md5 to NULL, and Spark orders NULLs FIRST
+    on ASC while DuckDB orders them LAST — without the explicit
+    isNotNull contract (ADVICE r5) quota membership silently flips
+    between the lane and its oracle. Re-run the full differential on a
+    mirror sf dir whose events table has NULL event_ids injected."""
+    import os
+
+    import duckdb as _duckdb
+
+    from hadoop_lab_spark.plans.registry import REGISTRY, load_all_query_modules
+    from hadoop_lab_spark.sources.tables import TABLES, table_path
+
+    load_all_query_modules()
+    from hadoop_lab_spark.testing import assert_matches_oracle, duckdb_connection
+
+    from .conftest import SF_DIR
+
+    dst = tmp_path / "sfnull"
+    dst.mkdir()
+    for name in TABLES:
+        if name != "events":
+            os.symlink(table_path(SF_DIR, name), dst / f"{name}.parquet")
+    src_events = table_path(SF_DIR, "events")
+    _duckdb.execute(
+        f"""COPY (
+            SELECT CASE WHEN event_id % 11 = 0 THEN NULL ELSE event_id END
+                       AS event_id,
+                   ts, user_id, event_type, value, props
+            FROM read_parquet('{src_events}')
+        ) TO '{dst}/events.parquet' (FORMAT PARQUET)"""
+    )
+    n_null = _duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{dst}/events.parquet') WHERE event_id IS NULL"
+    ).fetchone()[0]
+    assert n_null > 0, "fixture must actually contain NULL keys"
+    con = duckdb_connection(str(dst))
+    try:
+        spec = REGISTRY["quota_sample_per_type"]
+        assert_matches_oracle(
+            spec.fn(spark, str(dst)), con, spec.oracle, name="quota_sample_null"
+        )
+    finally:
+        con.close()
+
+
 # ---------------------------------------------------------------------------
 # Two-phase skyline vs brute-force dominance
 # ---------------------------------------------------------------------------

@@ -461,3 +461,134 @@ def test_ssjoin_prefix_excludes_universal_shingle_and_stays_linear(
         len(ds) * (len(ds) - 1) // 2 for ds in by_g.values() if len(ds) > 1
     )
     assert n_candidates <= 3 * N_SS_DOCS, n_candidates
+
+
+# ---------------------------------------------------------------------------
+# Hub node in the HAND-OFF GRAPH itself (VERDICT r5 #6): the hot-user
+# events fixture above yields a near-chain graph, so the graph lanes need
+# their own pathology — a node touching ~50% of all edges (> the 30% bar)
+# ---------------------------------------------------------------------------
+HUB_LEAVES = 60  # hub degree H; graph = star(0; 1..H) + path 1-2-...-H
+
+
+@pytest.fixture(scope="module")
+def hub_graph_events_dir(tmp_path_factory):
+    """Events whose hand-off graph is a hub star: the user sequence
+    0,1,2, 0,2,3, 0,3,4, ... inside ONE (event_type, day) window
+    produces undirected edges {0,k} for k=1..H plus the leaf path
+    {k,k+1} — deg(hub)=H while every leaf deg<=3, the hub touches
+    H/(2H-1) ~= 50% of all edges, and the graph holds exactly H-1
+    triangles (0,k,k+1)."""
+    d = tmp_path_factory.mktemp("hubgraph")
+    seq: list[int] = []
+    for k in range(1, HUB_LEAVES):
+        seq += [0, k, k + 1]
+    ids = list(range(len(seq)))
+    table = pa.table(
+        {
+            "event_id": pa.array(ids, pa.int64()),
+            "ts": pa.array([_TS0 + i * 7_000_000 for i in ids], pa.timestamp("us")),
+            "user_id": pa.array(seq, pa.int64()),
+            "event_type": pa.array(["view"] * len(seq), pa.string()),
+            "value": pa.array([float(i % 100) for i in ids], pa.float64()),
+            "props": pa.array(["{}"] * len(seq), pa.string()),
+        }
+    )
+    pq.write_table(table, os.path.join(str(d), "events.parquet"))
+    return str(d)
+
+
+HUB_GRAPH_QUERIES = [
+    "pagerank_event_handoff",
+    "pagerank_weighted_handoff",
+    "triangle_count_handoff_graph",
+]
+
+
+@pytest.mark.parametrize("name", HUB_GRAPH_QUERIES)
+def test_hub_graph_correctness(spark, hub_graph_events_dir, name):
+    """Both PageRank lanes and the triangle count must match their
+    oracles exactly on a graph where one node owns half the edges —
+    skew may move compute, never values."""
+    con = _events_con(hub_graph_events_dir)
+    try:
+        spec = REGISTRY[name]
+        assert_matches_oracle(
+            spec.fn(spark, hub_graph_events_dir), con, spec.oracle, name=f"hub:{name}"
+        )
+    finally:
+        con.close()
+
+
+def test_triangle_orientation_zeroes_hub_wedge_mass(spark, hub_graph_events_dir):
+    """The degree-ordered orientation's bound, PROVEN on the hub graph
+    rather than argued: the hub has the strictly maximal (degree, id)
+    key, so every incident edge points AT it and it generates ZERO
+    wedges — total oriented wedge mass stays linear in m while a naive
+    wedge join would build deg(hub)² /2 pairs at the hub alone. The
+    count itself must still be exact (= H-1 planted triangles)."""
+    from collections import Counter
+
+    spec = REGISTRY["triangle_count_handoff_graph"]
+    [[n_triangles]] = spec.fn(spark, hub_graph_events_dir).collect()
+    # hand-offs yield {0,k} for k=1..H-1 (no {0,H}: the walk never
+    # returns to the hub after the last leaf) plus the leaf path, so
+    # triangles (0,k,k+1) exist for k=1..H-2
+    assert n_triangles == HUB_LEAVES - 2
+
+    # Independent Python model of the orientation rule the plan uses
+    # (lower (deg, id) endpoint -> higher; wedges at the low endpoint):
+    und = {(0, k) for k in range(1, HUB_LEAVES)} | {
+        (k, k + 1) for k in range(1, HUB_LEAVES)
+    }
+    deg: Counter = Counter()
+    for a, b in und:
+        deg[a] += 1
+        deg[b] += 1
+    assert deg[0] == HUB_LEAVES - 1 and deg[0] >= 0.3 * len(und)  # a real hub
+    out: Counter = Counter()
+    for a, b in und:
+        lo = a if (deg[a], a) < (deg[b], b) else b
+        out[lo] += 1
+    assert out[0] == 0, "hub must generate no wedges"
+    wedge_mass = sum(d * (d - 1) // 2 for d in out.values())
+    naive_hub_mass = deg[0] * (deg[0] - 1) // 2
+    m = len(und)
+    assert wedge_mass <= 2 * m, wedge_mass  # linear here; O(m^1.5) in general
+    assert naive_hub_mass >= 25 * wedge_mass, (
+        "orientation should collapse the hub's quadratic wedge mass"
+    )
+
+
+def test_pagerank_round_aggregate_combines_map_side(spark):
+    """PageRank's per-round groupBy(dst) is the skew point on power-law
+    graphs (a hub's in-degree ~ |E|). The skew answer is partial
+    aggregation: each map task emits ONE partial sum per dst, so the
+    hub's reduce task receives at most #tasks rows. Pin the partial_sum
+    BELOW the dst exchange so a refactor can't silently reintroduce the
+    O(in-degree) reducer."""
+    from pyspark.sql import functions as SF
+
+    from hadoop_lab_spark.operators.graph import _pagerank_round
+
+    edges = spark.createDataFrame(
+        [(i, 0, 1.0) for i in range(1, 9)], "src bigint, dst bigint, _w double"
+    )
+    deg = edges.groupBy("src").agg(SF.sum("_w").alias("deg"))
+    esd = edges.join(deg, "src").select("src", "dst", "_w", "deg")
+    nodes = (
+        edges.select(SF.col("src").alias("id"))
+        .union(edges.select(SF.col("dst").alias("id")))
+        .distinct()
+    )
+    ranks = nodes.select("id", SF.lit(1.0).alias("rank"))
+    df = _pagerank_round(esd, nodes, ranks, 0.85)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    import re as _re
+
+    assert "partial_sum" in plan, plan[:1200]
+    # formatted explain lists exchange keys in the node-details section
+    # ("Arguments: hashpartitioning(dst#N, ...)"), not inline in the tree
+    assert _re.search(r"hashpartitioning\(dst", plan), plan[-2000:]

@@ -39,14 +39,19 @@ def main() -> None:
     only = None
     exclude: set[str] = set()
     for a in args:
-        if a.startswith("--only"):
+        if a.startswith("--only="):
             only = set(a.split("=", 1)[1].split(","))
-        if a.startswith("--exclude"):
+        elif a.startswith("--exclude="):
             # for lanes whose ORACLE is intractable at the target SF
             # (e.g. ssjoin_prefix_jaccard's exhaustive quadratic join on
             # the degenerate local sf1.0 fixture) — document the reason
             # wherever the sweep output is recorded
             exclude = set(a.split("=", 1)[1].split(","))
+        elif a.startswith("--") and a not in ("--bench-only", "--diff-only"):
+            sys.exit(
+                f"unknown flag {a!r}; usage: sweep_scale.py [sf_dir] "
+                "[--bench-only|--diff-only] [--only=a,b] [--exclude=a,b]"
+            )
 
     from hadoop_lab_spark.plans.registry import REGISTRY, load_all_query_modules
     from hadoop_lab_spark.session import get_spark
