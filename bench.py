@@ -41,11 +41,14 @@ band, trust the common-lane ratio.
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS   (local[N], default all cores),
      SPARK_GRAFT_BENCH_REPEATS (default 3; streaming lane always 1),
-     SPARK_GRAFT_BENCH_GC (default 1: clearCache + JVM System.gc()
-     between lanes — the r5 dedup_minhash_lsh 2.44→3.34 s host drift
-     was tight-banded WITHIN its run, i.e. session-order/heap-pressure
-     dependent, so each lane starts from a drained heap; set 0 to
-     measure without the barrier).
+     SPARK_GRAFT_BENCH_GC (default 0: no clearCache/System.gc()
+     barrier between lanes. The barrier was the r5 hypothesis for the
+     dedup_minhash_lsh 2.44→3.34 s cross-host delta; a full A/B at
+     sf0.1 [PERFORMANCE.md "GC-barrier A/B"] showed it makes the
+     bench SLOWER — median on/off lane ratio 1.19, e.g. dedup_simhash
+     1.69→2.55 s — while trimming the lsh lane only 3.31→3.10 s, and
+     that the lsh delta was the r5 builder HOST being fast, not
+     session-order heap pressure. Set 1 to reproduce the experiment).
 """
 
 from __future__ import annotations
@@ -127,7 +130,7 @@ def _time_query(fn, spark, sf_dir: str, repeats: int, gc: bool) -> list[float]:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
-    gc = os.environ.get("SPARK_GRAFT_BENCH_GC", "1") != "0"
+    gc = os.environ.get("SPARK_GRAFT_BENCH_GC", "0") == "1"
     match = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(match.group(1).rstrip(".")) if match else -1.0
 
