@@ -1,0 +1,118 @@
+"""Unit tests for bench.py's cross-round normalization math (VERDICT
+r5 #1: the 3-canary median produced a headline the common-lane
+decomposition contradicted — these pin the reworked scheme so its
+semantics can't silently drift)."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench  # noqa: E402
+
+
+def _ref(canaries, queries):
+    return {"canaries": canaries, "queries": queries}
+
+
+def test_trimmed_mean_drops_single_outlier():
+    """One canary moving 37% for host-local reasons (the r5 failure
+    mode) must not steer the ratio: with 8 canaries at 1.0 and one
+    outlier at 1.37, the trim drops it entirely."""
+    queries = {f"c{i}": 1.0 for i in range(8)}
+    timings = {f"c{i}": 1.0 for i in range(8)}
+    timings["c7"] = 1.37  # the host-local outlier
+    r = bench._trimmed_mean_ratio(timings, _ref(list(queries), queries))
+    assert r == 1.0
+
+
+def test_trimmed_mean_tracks_uniform_host_shift():
+    queries = {f"c{i}": 1.0 for i in range(8)}
+    timings = {f"c{i}": 1.2 for i in range(8)}
+    r = bench._trimmed_mean_ratio(timings, _ref(list(queries), queries))
+    assert r == pytest.approx(1.2)
+
+
+def test_trimmed_mean_needs_three_canaries():
+    """Below 3 usable canaries the trim would leave nothing (or a
+    single unprotected value) — emit null instead of a fake ratio."""
+    queries = {"a": 1.0, "b": 1.0}
+    assert bench._trimmed_mean_ratio({"a": 1.0, "b": 1.0}, _ref(["a", "b"], queries)) is None
+    # missing lanes / zero references don't count as usable
+    queries3 = {"a": 1.0, "b": 1.0, "c": 0.0}
+    assert (
+        bench._trimmed_mean_ratio({"a": 1.0, "b": 1.0, "c": 1.0}, _ref(["a", "b", "c"], queries3))
+        is None
+    )
+
+
+def test_common_lane_ratio_ignores_lane_set_churn():
+    """New lanes must not inflate the ratio and removed lanes must not
+    deflate it — only the shared set is compared, as sums (so a big
+    lane's regression can't hide behind many fast ones averaging)."""
+    ref_q = {"a": 2.0, "b": 1.0, "removed": 5.0}
+    timings = {"a": 2.0, "b": 2.0, "brand_new": 99.0}
+    ratio, n = bench._common_lane_ratio(timings, _ref([], ref_q))
+    assert n == 2
+    assert ratio == pytest.approx((2.0 + 2.0) / (2.0 + 1.0), abs=1e-3)
+
+
+def test_common_lane_ratio_empty_intersection_is_null():
+    ratio, n = bench._common_lane_ratio({"x": 1.0}, _ref([], {"y": 1.0}))
+    assert ratio is None and n == 0
+
+
+def test_committed_reference_satisfies_bench_contract():
+    """The committed bench_reference.json must be usable by bench.py:
+    sf0.1, >= 6 canaries all present with nonzero medians, and every
+    canary pinned by a plan-shape or oracle test elsewhere (here: just
+    that they are registered lanes)."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ref = json.load(open(os.path.join(repo, "bench_reference.json")))
+    assert ref["sf"] == 0.1
+    assert len(ref["canaries"]) >= 6
+    for c in ref["canaries"]:
+        assert ref["queries"].get(c), f"canary {c} missing/zero in reference"
+
+    from hadoop_lab_spark.plans.registry import REGISTRY, load_all_query_modules
+
+    load_all_query_modules()
+    for c in ref["canaries"]:
+        assert c in REGISTRY, f"canary {c} is not a registered lane"
+        assert REGISTRY[c].bench, f"canary {c} must be in the headline set"
+    # the reference lane set must be the driver-recorded round, i.e. a
+    # superset is fine (lanes may be demoted later) but canaries never
+    ref_lanes = set(ref["queries"])
+    assert ref_lanes & set(REGISTRY), "reference shares no lanes with registry"
+
+
+def test_pin_tool_round_trips(tmp_path):
+    """tools/pin_bench_reference.py regenerates a reference equivalent
+    to what bench.py consumes."""
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    detail = json.load(open(os.path.join(repo, "bench_detail.json")))
+    assert detail["sf"] == 0.1  # committed record must be the sf0.1 run
+    out_path = str(tmp_path / "ref.json")
+    out = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(repo, "tools", "pin_bench_reference.py"),
+            "test-label",
+            os.path.join(repo, "bench_detail.json"),
+            out_path,
+        ],
+        capture_output=True,
+        text=True,
+        check=False,
+    )
+    assert out.returncode == 0, out.stderr
+    ref = json.load(open(out_path))
+    assert ref["label"] == "test-label"
+    assert set(ref["canaries"]) <= set(ref["queries"])
