@@ -460,9 +460,18 @@ def q_sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     property hash blocking lacks.
     """
     c = _t(spark, sf_dir, "customer").filter(F.col("c_name").isNotNull())
+    # strict=False HERE only: this lane's oracle replays the bucketed
+    # formulation bit-for-bit (same buckets, same stitch), so sparse
+    # buckets cannot cause silent lane-vs-oracle divergence — the
+    # differential holds on ANY corpus (adversarial suite included),
+    # and on the shipped corpora the >= w precondition additionally
+    # makes the result equal the textbook global window (pinned by
+    # tests/test_scale_ops.py on real data). Library callers who
+    # assume global-window semantics keep the strict default, which
+    # fails the job loudly instead (ADVICE r5).
     pairs = sorted_neighborhood_candidates(
         c, key_col="c_name", id_col="c_custkey",
-        w=_SN_WINDOW, bucket_chars=_SN_BUCKET_CHARS,
+        w=_SN_WINDOW, bucket_chars=_SN_BUCKET_CHARS, strict=False,
     )
     lev = F.levenshtein("n_a", "n_b")
     return (
