@@ -575,6 +575,77 @@ def sorted_neighborhood_candidates(
     return within.unionAll(boundary)
 
 
+def sorted_neighborhood_candidates_global(
+    df: DataFrame, key_col: str, id_col: str, w: int = 2, bucket_chars: int = 16
+) -> DataFrame:
+    """UNCONDITIONAL global sliding-window candidates — the chained
+    answer to the adjacent-stitch precondition (ADVICE r5): equals the
+    single global w-window on EVERY input, sparse buckets included, so
+    no runtime guard is needed. Supports any w >= 1.
+
+    Two-level global ranking instead of lead()+stitch:
+
+    1. per-bucket local rank (the same hash-partitioned window the
+       stitch version pays for);
+    2. exclusive prefix-sum of bucket SIZES over the bucket dimension —
+       the only single-partition window, bounded by the key-prefix
+       domain (distinct ``bucket_chars``-prefixes), never by the table;
+    3. global position = bucket offset + local rank, attached with a
+       broadcast join (the offset table is bucket-dim-sized);
+    4. candidates = w hash equi-joins on (pos + d == pos), d=1..w —
+       uniformly distributed integer keys, no skew possible.
+
+    Cost vs the stitch version: one extra bucket-sized groupBy and a
+    broadcast join, plus w position joins of the ranked table against
+    itself in place of the lead() columns. Prefer the stitch version
+    when the >= w-rows-per-bucket precondition is known to hold (it
+    reads the ranked table once); prefer this one for arbitrary key
+    distributions or w > 2."""
+    if w < 1:
+        raise ValueError(f"w must be >= 1, got {w}")
+    keyed = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(key_col).alias("_key"),
+        F.substring(F.col(key_col), 1, bucket_chars).alias("bkt"),
+    )
+    local = keyed.select(
+        "_id",
+        "_key",
+        "bkt",
+        F.row_number()
+        .over(Window.partitionBy("bkt").orderBy("_key", "_id"))
+        .alias("lr"),
+    )
+    sizes = keyed.groupBy("bkt").agg(F.count(F.lit(1)).alias("n"))
+    offsets = sizes.select(
+        "bkt",
+        F.coalesce(
+            F.sum("n").over(
+                Window.orderBy("bkt").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).alias("off"),
+    )
+    pos = local.join(F.broadcast(offsets), "bkt").select(
+        "_id", "_key", (F.col("off") + F.col("lr")).alias("pos")
+    )
+    a = pos.select(
+        F.col("_id").alias("k_a"), F.col("_key").alias("n_a"), F.col("pos")
+    )
+    out = None
+    for d in range(1, w + 1):
+        b = pos.select(
+            F.col("_id").alias("k_b"),
+            F.col("_key").alias("n_b"),
+            (F.col("pos") - d).alias("pos"),
+        )
+        part = a.join(b, "pos").select("k_a", "k_b", "n_a", "n_b")
+        out = part if out is None else out.unionAll(part)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Deterministic stratified sampling
 # ---------------------------------------------------------------------------

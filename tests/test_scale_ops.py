@@ -22,6 +22,7 @@ from hadoop_lab_spark.plans.scale_ops import (
     prefix_jaccard_join,
     skyline_2d,
     sorted_neighborhood_candidates,
+    sorted_neighborhood_candidates_global,
 )
 
 _SETTINGS = settings(
@@ -219,6 +220,41 @@ def test_sorted_neighborhood_non_strict_is_bucket_local(spark):
     }
     want_global = {(1, 2), (1, 3), (2, 3), (2, 4), (3, 4), (3, 5), (4, 5)}
     assert got == want_global - {(2, 4)}
+
+
+@given(
+    st.lists(
+        st.text(alphabet="ab", min_size=0, max_size=6),
+        min_size=2,
+        max_size=25,
+    ),
+    st.integers(1, 3),
+)
+@_SETTINGS
+def test_sorted_neighborhood_global_equals_window_unconditionally(
+    spark, keys, w
+):
+    """The two-level-ranking variant has NO precondition: it must equal
+    the global w-window on EVERY input — sparse buckets, empty-string
+    keys, w beyond the stitch version's lead() limit. This is the
+    'chain the stitch' answer from ADVICE r5, verified where the stitch
+    version's equivalence theorem does not even apply."""
+    rows = [(i, k) for i, k in enumerate(keys)]
+    df = spark.createDataFrame(rows, "id bigint, key string")
+    got = {
+        (r["k_a"], r["k_b"])
+        for r in sorted_neighborhood_candidates_global(
+            df, key_col="key", id_col="id", w=w, bucket_chars=1
+        ).collect()
+    }
+    order = [i for i, _ in sorted(rows, key=lambda r: (r[1], r[0]))]
+    want = {
+        (order[i], order[i + d])
+        for i in range(len(order))
+        for d in range(1, w + 1)
+        if i + d < len(order)
+    }
+    assert got == want
 
 
 def test_quota_sample_null_event_id_contract(spark, tmp_path):
