@@ -257,6 +257,31 @@ def test_sorted_neighborhood_global_equals_window_unconditionally(
     assert got == want
 
 
+def test_sorted_neighborhood_global_plan_broadcasts_offsets(spark):
+    """The scale contract of the two-level ranking: the bucket-offset
+    table (bucket-dim-sized) must reach the ranked rows via a BROADCAST
+    join — a shuffled join there would re-exchange the whole table on
+    bkt a second time — and the position joins must stay equi-joins
+    (no nested loop)."""
+    df = spark.range(100).selectExpr(
+        "id", "concat('k', cast(id % 7 as string), '-', cast(id as string)) AS key"
+    )
+    plan = (
+        sorted_neighborhood_candidates_global(
+            df, key_col="key", id_col="id", w=2, bucket_chars=2
+        )
+        ._jdf.queryExecution()
+        .explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    )
+    assert "BroadcastHashJoin" in plan, plan[:1000]
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_quota_sample_null_event_id_contract(spark, tmp_path):
     """NULL quota keys would md5 to NULL, and Spark orders NULLs FIRST
     on ASC while DuckDB orders them LAST — without the explicit
