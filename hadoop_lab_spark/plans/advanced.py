@@ -362,7 +362,15 @@ def q_partitioned_scan_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf_tag = _scratch_tag(spark, sf_dir)
     out = os.path.join(tempfile.gettempdir(), f"hls_partition_demo_{sf_tag}")
     orders.write.partitionBy("o_orderpriority").mode("overwrite").parquet(out)
-    pruned = spark.read.parquet(out).filter(F.col("o_orderpriority") == "1-URGENT")
+    # Explicit schema on read-back: skips the inference listing pass AND
+    # keeps the lane total on an empty input batch (a dynamic-partition
+    # write of 0 rows produces no part files, so inference has nothing
+    # to read and raises UNABLE_TO_INFER_SCHEMA).
+    pruned = (
+        spark.read.schema(orders.schema)
+        .parquet(out)
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+    )
     return pruned.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("cnt"),
         F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
