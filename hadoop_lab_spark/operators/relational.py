@@ -99,9 +99,15 @@ def collect_per_group(
     documented in SURVEY §7.3.5.
     """
     value_col = F.col(value) if isinstance(value, str) else value
-    return df.groupBy(*_cols(keys)).agg(
-        F.array_join(F.array_sort(F.collect_list(value_col)), sep).alias(out)
+    # A group whose values are ALL NULL collects an empty list; emit NULL
+    # for it, not '' — matching SQL string_agg (collect_list skips NULLs
+    # on both engines, but array_join would manufacture '' where
+    # string_agg returns NULL; hostile-events differential finding).
+    lst = F.array_sort(F.collect_list(value_col))
+    joined = F.when(F.size(lst) == 0, F.lit(None).cast("string")).otherwise(
+        F.array_join(lst, sep)
     )
+    return df.groupBy(*_cols(keys)).agg(joined.alias(out))
 
 
 def topk_per_group(

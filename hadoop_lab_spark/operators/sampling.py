@@ -99,11 +99,11 @@ def collect_per_group_salted(
         .groupBy(*keys, "_salt")
         .agg(F.collect_list("_v").alias("_part"))
     )
-    return (
-        partial.groupBy(*keys)
-        .agg(
-            F.array_join(
-                F.array_sort(F.flatten(F.collect_list("_part"))), sep
-            ).alias(out)
-        )
+    # Same all-NULL-group contract as collect_per_group: an empty merged
+    # list means every value in the key was NULL → NULL, not '' (matches
+    # SQL string_agg; the two collects must stay bit-identical).
+    merged = F.array_sort(F.flatten(F.collect_list("_part")))
+    joined = F.when(F.size(merged) == 0, F.lit(None).cast("string")).otherwise(
+        F.array_join(merged, sep)
     )
+    return partial.groupBy(*keys).agg(joined.alias(out))

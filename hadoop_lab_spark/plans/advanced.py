@@ -213,10 +213,23 @@ def q_scalar_function_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "json_extract_sum",
     oracle="""
+        -- Hostile-props contract (tests/test_fuzz_differential.py): a k
+        -- that is malformed JSON or not integer-formatted is NULL on
+        -- BOTH engines. The nested CASE is required: DuckDB's ->> errors
+        -- on invalid JSON, and its TRY_CAST('1.5' AS INT) ROUNDS to 2
+        -- where Spark's try_cast yields NULL — the regex pins the
+        -- integer-literal-only contract.
         SELECT event_type,
-               CAST(sum(CAST(props->>'$.k' AS INT)) AS BIGINT) AS sum_k,
-               CAST(max(CAST(props->>'$.k' AS INT)) AS INTEGER) AS max_k
-        FROM events
+               CAST(sum(k) AS BIGINT) AS sum_k,
+               CAST(max(k) AS INTEGER) AS max_k
+        FROM (
+            SELECT event_type,
+                   TRY_CAST(CASE WHEN json_valid(props) THEN
+                       (CASE WHEN props->>'$.k' ~ '^-?[0-9]+$'
+                             THEN props->>'$.k' END)
+                   END AS INT) AS k
+            FROM events
+        )
         GROUP BY event_type
     """,
     doc="JSON path extraction from a string column (get_json_object) feeding "
@@ -225,7 +238,9 @@ def q_scalar_function_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_json_extract_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _t(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("int")
+    # try_cast, not cast: a non-integer k ('1.5', 'true', a nested
+    # object) must become NULL, not crash the job under ANSI mode.
+    k = F.get_json_object("props", "$.k").try_cast("int")
     return events.groupBy("event_type").agg(
         F.sum(k).cast("long").alias("sum_k"), F.max(k).alias("max_k")
     )
@@ -272,7 +287,17 @@ def q_approx_distinct_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_function_sampler2",
     oracle="""
         SELECT event_id,
-               CAST(from_json(props, '{"k": "INT"}').k AS INT) AS json_k,
+               -- Mirrors Spark's PERMISSIVE from_json(k INT): malformed
+               -- JSON, a quoted "12", a float 1.5, or an INT-overflowing
+               -- literal all yield NULL. json_extract keeps the RAW json
+               -- repr (quotes included) so the regex can reject exactly
+               -- what Jackson rejects for an INT field; the nested CASE
+               -- keeps DuckDB's json parser off invalid input.
+               TRY_CAST(CASE WHEN json_valid(props) THEN
+                   (CASE WHEN CAST(json_extract(props, '$.k') AS VARCHAR)
+                              ~ '^-?[0-9]+$'
+                         THEN CAST(json_extract(props, '$.k') AS VARCHAR) END)
+               END AS INT) AS json_k,
                map(['et'], [event_type])['et'][1] AS map_et,
                array_to_string(list_sort(['z', event_type, 'a']), ',') AS arr_sorted,
                CAST(levenshtein(event_type, 'purchase') AS INTEGER) AS lev,
@@ -426,7 +451,14 @@ def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim_rep = dim.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
     )
-    fact = e.withColumn("_salt", hash_bucket(F.col("event_id"), buckets))
+    # md5(NULL) is NULL, and a NULL salt would silently DROP NULL-keyed
+    # fact rows from the inner join (the unsalted join keeps them — a
+    # wrong answer, caught by the hostile-events differential). NULL keys
+    # land deterministically in bucket 0; if NULL itself were the hot key
+    # the salt source should be a coalesce over a second column instead.
+    fact = e.withColumn(
+        "_salt", F.coalesce(hash_bucket(F.col("event_id"), buckets), F.lit(0))
+    )
     joined = fact.join(dim_rep, ["event_type", "_salt"])
     return joined.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("cnt"),
@@ -553,7 +585,15 @@ def q_range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     (see oracle comment — the bucket rewrite and the theta form disagree
     on NaN membership)."""
     width, nbands = 50.0, 10
-    e = _t(spark, sf_dir, "events").filter(~F.isnan("value"))
+    # The range filter is semantics-preserving (out-of-range values match
+    # no band in the theta form) AND the overflow guard: without it a
+    # value like 1e12 makes floor()/cast blow past INT under ANSI mode.
+    # It also prunes the fact scan before the join instead of after.
+    e = _t(spark, sf_dir, "events").filter(
+        ~F.isnan("value")
+        & (F.col("value") >= 0.0)
+        & (F.col("value") < width * nbands)
+    )
     bands = spark.range(nbands).select(
         F.col("id").cast("int").alias("band_id"),
         (F.col("id") * width).alias("lo"),

@@ -328,7 +328,13 @@ def q_collect_types_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             -- NaN likewise (ADVICE-r3 class): DuckDB orders NaN above
             -- every real value (it would win) while Spark's negated
             -- min_by struct puts it last — NaN is not a rankable measure.
-            FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+            -- A NULL WITNESS cannot win either (hostile-events finding):
+            -- on a value tie Spark's struct-min sorts the NULL witness
+            -- first (it wins) while this window's ASC NULLS LAST ranks
+            -- it last — an argmax with no name is excluded by policy.
+            FROM events
+            WHERE value IS NOT NULL AND NOT isnan(value)
+              AND event_type IS NOT NULL
         )
         WHERE rn = 1
     """,
@@ -343,7 +349,10 @@ def q_argmax_type_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`lab11:94-112`)."""
     events = _t(spark, sf_dir, "events")
     rows = events.select(F.to_date("ts").alias("day"), "value", "event_type").filter(
-        # NULL and NaN measures excluded by policy — see oracle comment
-        F.col("value").isNotNull() & ~F.isnan("value")
+        # NULL/NaN measures and NULL witnesses excluded by policy — see
+        # oracle comment
+        F.col("value").isNotNull()
+        & ~F.isnan("value")
+        & F.col("event_type").isNotNull()
     )
     return argmax_per_group(rows, "day", "value", "event_type")

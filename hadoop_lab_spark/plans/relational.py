@@ -576,12 +576,17 @@ def q_union_all_key_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "event_value_deltas",
     oracle="""
         SELECT event_id,
-               -- NULLS FIRST explicitly: Spark ASC windows default to it,
-               -- DuckDB defaults to NULLS LAST — a NULL-ts event must
-               -- occupy the same lag position on both engines
+               -- NULLS FIRST explicitly on EVERY key: Spark ASC windows
+               -- default to it, DuckDB defaults to NULLS LAST — the r5
+               -- pin covered ts but left event_id on DuckDB's default,
+               -- so a NULL-id row changed lag position between engines
+               -- (hostile-events finding). value is the final tiebreak
+               -- to make the order TOTAL up to full-duplicate payloads,
+               -- for which lag is order-invariant.
                value - lag(value) OVER (
                    PARTITION BY user_id
-                   ORDER BY ts NULLS FIRST, event_id) AS delta
+                   ORDER BY ts NULLS FIRST, event_id NULLS FIRST,
+                            value NULLS FIRST) AS delta
         FROM events
     """,
     doc="lag window: per-user event-over-event value delta in timestamp order "
@@ -590,7 +595,11 @@ def q_union_all_key_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_event_value_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _t(spark, sf_dir, "events")
-    win = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    # value as the last key makes the order total (see oracle comment);
+    # Spark ASC is NULLS FIRST by default on all three.
+    win = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc(), F.col("value").asc()
+    )
     return events.select(
         "event_id", (F.col("value") - F.lag("value").over(win)).alias("delta")
     )
