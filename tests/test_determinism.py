@@ -21,41 +21,16 @@ from tests.conftest import SF_DIR
 
 load_all_query_modules()
 
-# Order-sensitivity hot spots: ties broken by policy, first()-recovered
-# functional dependencies, LIMIT/OFFSET pagination, collected strings,
-# float folds, iterative convergence, and the window family.
-CANDIDATES = [
-    "argmax_type_per_day",
-    "collect_types_per_user",
-    "dedup_ngram_jaccard",
-    "dedup_clusters",
-    "orders_page2_by_price",
-    "top_customers_by_revenue",
-    "top_parts_per_brand",
-    "pack_documents_greedy",
-    "tfidf_top_terms",
-    "heavy_hitters_cms",
-    "sim_topk_bruteforce",
-    "salted_collect_types_per_user",
-    "user_longest_increasing_run",
-    "customer_name_fuzzy_blocks",
-    "user_retention_cohorts",
-    "orders_scd2_history",
-    "priority_multiset_ops",
-    # r5 scale-pattern family: float folds across 5 iterations
-    # (pagerank), candidate-set pruning that must be partition-invariant
-    # (ssjoin), bucketed stitch windows (sorted-neighborhood), and the
-    # two-phase skyline sweep.
-    "pagerank_event_handoff",
-    "pagerank_weighted_handoff",
-    "ssjoin_prefix_jaccard",
-    "sorted_neighborhood_pairs",
-    "skyline_parts_pareto",
-    "triangle_count_handoff_graph",
-    "quota_sample_per_type",
-    "curation_pipeline_e2e",
-    "cms_mergeable_grid",
-]
+# The WHOLE batch registry, auto-discovered (r6: previously a curated
+# 27-lane hot-spot list — ties broken by policy, first()-recovered
+# functional dependencies, LIMIT/OFFSET, collected strings, float folds,
+# iterative convergence, windows). Auto-discovery costs one extra
+# sf0.001 pass of the quiet lanes and buys the gate nobody curates:
+# a float fold near a rounding boundary or an order-leaning lane added
+# NEXT round is covered on the day it lands.
+CANDIDATES = sorted(
+    n for n, s in REGISTRY.items() if "streaming" not in s.tags
+)
 
 
 def _rows(df):
