@@ -1,0 +1,114 @@
+"""Order-invariant numeric aggregation.
+
+Double-precision SUM is not associative: the result moves at the last
+ulp with the order rows reach the accumulator, and that order is a
+degree of freedom the engine owns — shuffle partition count, scan-split
+boundaries, file listing order, AQE coalescing. ``round(sum(double), 2)``
+therefore flips its final digit whenever the accumulated value lands
+near a rounding boundary (caught live by ``tests/test_input_layout.py``:
+``promo_revenue_share`` returned 804395.40 on a 1-file scan and
+804395.41 on a 7-part scan of the SAME rows at sf0.001).
+
+The fix is the one TPC-H itself specifies: money is DECIMAL, and
+decimal addition is exact and associative, so the sum is a function of
+the row MULTISET alone — any partitioning, any layout, any engine.
+``exact_round_sum`` casts the per-row addend to ``DECIMAL(28, 6)``
+(deterministic: double→decimal conversion is a per-row scalar op),
+sums exactly, rounds, and casts back to double for a driver-hashable
+flat schema. The matching oracle idiom is ``sql_exact_round_sum``.
+
+Precision choice: 28 leaves 22 integer digits — hostile fixtures push
+1e12 money values through 3-factor products, far inside range, and the
+sum accumulator widens to DECIMAL(38, 6) on both engines (≈1e31
+headroom; a 100 TB corpus of 1e12-scale addends peaks near 1e22).
+Scale 6 covers the 4–6 fractional digits a product of 2dp money values
+carries. Cost at 100 TB: precision > 18 accumulates in Int128 instead
+of a compact long — measurably slower than a double sum, which is the
+price of a layout-invariant answer; TPC-H's own DECIMAL(15,2) columns
+pay the same.
+
+Tie-safety of the double→decimal cast: a 2dp/4dp money value whose
+fraction is binary-exact terminates at ≤ 4 decimal digits (digits 5–6
+zero — no tie at digit 6); one that is not binary-exact has a ~50-digit
+expansion with no exact tie at digit 6, so Spark's HALF_UP and any
+other reasonable rounding mode agree on the DECIMAL(28,6) image.
+
+Non-finite addends (NaN/±inf) are the caller's contract, not this
+module's: Spark's double→decimal cast silently NULLs them while DuckDB
+CAST raises "out of range for INT128" — so any lane summing a column
+that can hold NaN MUST exclude it explicitly on both sides (the repo's
+standing ADVICE-r3 convention: `F.when(~F.isnan(c), c)` mirrored by
+`CASE WHEN NOT isnan(x) THEN x END`; :func:`nan_excluded` /
+:func:`sql_nan_excluded` package the pair). An unguarded lane cannot
+diverge silently: the differential gates fail LOUDLY with the DuckDB
+cast error (exactly how tests/test_adversarial_corpus.py caught the
+three lanes that leaned on double-sum NaN-poisoning parity). NULL
+interplay is engine-asymmetric but sum-equivalent: Spark isnan(NULL)
+is false (addend NULL via the value itself), DuckDB isnan(NULL) is
+NULL (CASE falls through to NULL) — both sums skip the row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Decimal type every exact sum accumulates in — see module docstring.
+SUM_DECIMAL = "decimal(28,6)"
+
+
+def exact_sum(col: Column | str) -> Column:
+    """Layout/partitioning-invariant SUM: exact decimal accumulation.
+
+    Returns the un-rounded DECIMAL(38,6) sum — compose with rounding or
+    further arithmetic; cast before returning it from a lane (driver
+    schemas are double).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(SUM_DECIMAL))
+
+
+def nan_excluded(col: Column | str) -> Column:
+    """NaN-guarded addend for :func:`exact_round_sum` over a column that
+    can hold NaN (see module docstring: unguarded NaN NULLs on Spark but
+    errors the DuckDB oracle). NULLs pass through as NULL either way —
+    the sum skips them on both engines."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(~F.isnan(c), c)
+
+
+def sql_nan_excluded(expr: str) -> str:
+    """Oracle-side twin of :func:`nan_excluded` (DuckDB ANSI SQL)."""
+    return f"CASE WHEN NOT isnan({expr}) THEN ({expr}) END"
+
+
+def exact_round_sum(col: Column | str, nd: int = 2) -> Column:
+    """``round(sum(col), nd)`` with an exact decimal accumulator,
+    returned as DOUBLE. Drop-in replacement for
+    ``F.round(F.sum(col), nd)`` wherever the addend is money-like."""
+    return F.round(exact_sum(col), nd).cast("double")
+
+
+def exact_round_avg(col: Column | str, nd: int = 4) -> Column:
+    """``round(avg(col), nd)`` made layout-invariant: exact decimal sum,
+    cast to double (unique image), then ONE double division by the
+    non-null count. Decimal division itself is avoided — result-scale
+    rules differ between engines; double÷bigint is IEEE-identical
+    everywhere."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(exact_sum(c).cast("double") / F.count(c), nd)
+
+
+def sql_exact_round_avg(expr: str, nd: int = 4) -> str:
+    """Oracle-side twin of :func:`exact_round_avg` (DuckDB ANSI SQL)."""
+    return f"round(CAST(sum(CAST(({expr}) AS DECIMAL(28,6))) AS DOUBLE) / count({expr}), {nd})"
+
+
+def sql_exact_sum(expr: str) -> str:
+    """Oracle-side twin of :func:`exact_sum` (DuckDB ANSI SQL)."""
+    return f"sum(CAST(({expr}) AS DECIMAL(28,6)))"
+
+
+def sql_exact_round_sum(expr: str, nd: int = 2) -> str:
+    """Oracle-side twin of :func:`exact_round_sum` (DuckDB ANSI SQL)."""
+    return f"CAST(round({sql_exact_sum(expr)}, {nd}) AS DOUBLE)"

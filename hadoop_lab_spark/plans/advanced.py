@@ -22,6 +22,7 @@ from hadoop_lab_spark.operators import (
     deterministic_sample,
 )
 from hadoop_lab_spark.operators.sampling import hash_bucket
+from hadoop_lab_spark.functions.numeric import exact_round_sum
 from hadoop_lab_spark.plans.registry import register
 from hadoop_lab_spark.session import tune_session
 from hadoop_lab_spark.sources import load_table
@@ -91,7 +92,7 @@ _HEXPAIR = (
     oracle=f"""
         SELECT o_orderpriority,
                CAST(count(*) AS BIGINT) AS cnt,
-               round(sum(o_totalprice), 2) AS sum_price
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_price
         FROM orders
         WHERE {_HEXPAIR.format(k="o_orderkey")} % 256 < 64
         GROUP BY o_orderpriority
@@ -105,7 +106,7 @@ def q_sampled_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame
     sampled = deterministic_sample(orders, "o_orderkey", keep_buckets=64)
     return sampled.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("cnt"),
-        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        exact_round_sum("o_totalprice").alias("sum_price"),
     )
 
 
@@ -365,7 +366,7 @@ def q_scalar_function_sampler2(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT o_orderstatus,
                CAST(count(*) AS BIGINT) AS cnt,
-               round(sum(o_totalprice), 2) AS sum_price
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_price
         FROM orders
         WHERE o_orderpriority = '1-URGENT'
         GROUP BY o_orderstatus
@@ -398,7 +399,7 @@ def q_partitioned_scan_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pruned.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("cnt"),
-        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        exact_round_sum("o_totalprice").alias("sum_price"),
     )
 
 
@@ -521,7 +522,7 @@ def q_approx_percentile_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT s_nationkey,
                CAST(count(*) AS BIGINT) AS cnt,
-               round(sum(s_acctbal), 2) AS bal_sum
+               CAST(round(sum(CAST(s_acctbal AS DECIMAL(28,6))), 2) AS DOUBLE) AS bal_sum
         FROM supplier
         GROUP BY s_nationkey
     """,
@@ -542,7 +543,7 @@ def q_orc_roundtrip_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.orc(out)
     return back.groupBy("s_nationkey").agg(
         F.count(F.lit(1)).alias("cnt"),
-        F.round(F.sum("s_acctbal"), 2).alias("bal_sum"),
+        exact_round_sum("s_acctbal").alias("bal_sum"),
     )
 
 
@@ -559,7 +560,7 @@ def q_orc_roundtrip_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT b.band_id,
                CAST(count(*) AS BIGINT) AS cnt,
-               round(sum(e.value), 2) AS sum_value
+               CAST(round(sum(CAST(e.value AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_value
         FROM events e JOIN bands b
           ON e.value >= b.lo AND e.value < b.hi
         -- NaN excluded on both engines (ADVICE-r3 class): Spark's
@@ -603,7 +604,7 @@ def q_range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = fact.join(F.broadcast(bands), F.col("_bucket") == F.col("band_id"))
     return joined.groupBy("band_id").agg(
         F.count(F.lit(1)).alias("cnt"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        exact_round_sum("value").alias("sum_value"),
     )
 
 
@@ -648,7 +649,7 @@ def q_csv_roundtrip_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
                CAST(count(*) AS BIGINT) AS cnt,
-               round(sum(value), 2) AS sum_value
+               CAST(round(sum(CAST(value AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_value
         FROM events
         WHERE event_type = 'purchase'
         GROUP BY 1
@@ -672,7 +673,7 @@ def q_json_roundtrip_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame
         F.date_trunc("day", "ts").cast("date").alias("day")
     ).agg(
         F.count(F.lit(1)).alias("cnt"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        exact_round_sum("value").alias("sum_value"),
     )
 
 
@@ -684,7 +685,7 @@ def q_json_roundtrip_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame
     oracle="""
         SELECT o_orderpriority,
                CAST(count(*) AS BIGINT) AS cnt,
-               round(sum(l_extendedprice), 2) AS sum_price
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_price
         FROM orders JOIN lineitem ON l_orderkey = o_orderkey
         GROUP BY o_orderpriority
     """,
@@ -717,7 +718,7 @@ def q_bucketed_join_order_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = bo.hint("merge").join(bl, bo["o_orderkey"] == bl["l_orderkey"])
     return joined.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("cnt"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        exact_round_sum("l_extendedprice").alias("sum_price"),
     )
 
 
@@ -730,7 +731,7 @@ def q_bucketed_join_order_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o_orderstatus, o_orderpriority,
                CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
                CAST(count(*) AS BIGINT) AS cnt,
-               round(sum(o_totalprice), 2) AS sum_price
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_price
         FROM orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
     """,
@@ -754,7 +755,7 @@ def q_orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.grouping_id().cast("long").alias("gid"),
             F.count(F.lit(1)).alias("cnt"),
-            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            exact_round_sum("o_totalprice").alias("sum_price"),
         )
         .select("o_orderstatus", "o_orderpriority", "gid", "cnt", "sum_price")
     )
@@ -770,8 +771,8 @@ def q_orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(count(*) AS BIGINT) AS cnt_star,
                CAST(count(CASE WHEN value >= 50 THEN value END) AS BIGINT)
                    AS cnt_highs,
-               round(sum(CASE WHEN value >= 50 THEN value END), 2) AS sum_highs,
-               round(sum(CASE WHEN value < 0 THEN value END), 2) AS sum_never,
+               CAST(round(sum(CAST(CASE WHEN value >= 50 THEN value END AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_highs,
+               CAST(round(sum(CAST(CASE WHEN value < 0 THEN value END AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_never,
                coalesce(max(nullif(event_type, 'error')), 'none') AS type_or_none,
                CAST(count(*) FILTER (nullif(event_type, 'error')
                    IS NOT DISTINCT FROM NULL) AS BIGINT) AS null_safe_hits
@@ -802,8 +803,8 @@ def q_null_semantics_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("cnt_star"),
         F.count(highs).alias("cnt_highs"),
-        F.round(F.sum(highs), 2).alias("sum_highs"),
-        F.round(F.sum(F.when(F.col("value") < 0, F.col("value"))), 2).alias("sum_never"),
+        exact_round_sum(highs).alias("sum_highs"),
+        exact_round_sum(F.when(F.col("value") < 0, F.col("value"))).alias("sum_never"),
         F.coalesce(F.max(nv_type), F.lit("none")).alias("type_or_none"),
         F.count(F.when(nv_type.eqNullSafe(F.lit(None)), 1)).alias("null_safe_hits"),
     )
@@ -827,7 +828,7 @@ def q_null_semantics_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         r AS (
             SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
-                   round(sum(value), 2) AS rev
+                   CAST(round(sum(CAST(value AS DECIMAL(28,6))), 2) AS DOUBLE) AS rev
             FROM events WHERE event_type = 'purchase'
             GROUP BY 1
         )
@@ -855,7 +856,7 @@ def q_daily_revenue_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (
         e.filter(F.col("event_type") == "purchase")
         .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
-        .agg(F.round(F.sum("value"), 2).alias("rev"))
+        .agg(exact_round_sum("value").alias("rev"))
     )
     return spine.join(daily, "day", "left").select(
         "day", F.coalesce("rev", F.lit(0.0)).alias("rev")
@@ -1051,7 +1052,7 @@ def q_array_lambda_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT o_orderstatus,
                CAST(count(*) AS BIGINT) AS cnt,
-               round(sum(o_totalprice), 2) AS sum_price
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_price
         FROM orders
         GROUP BY o_orderstatus
     """,
@@ -1077,7 +1078,7 @@ def q_compaction_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame
     back = spark.read.parquet(compact)
     return back.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("cnt"),
-        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        exact_round_sum("o_totalprice").alias("sum_price"),
     )
 
 
@@ -1241,7 +1242,8 @@ def q_string_distance_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o_orderpriority,
                CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
                    AS n_fulfilled,
-               round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 2)
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(28,6)))
+                          FILTER (WHERE o_orderstatus = 'O'), 2) AS DOUBLE)
                    AS open_revenue,
                bool_or(o_totalprice > 300000.0) AS any_jumbo,
                bool_and(o_totalprice > 0.0) AS all_positive,
@@ -1263,9 +1265,7 @@ def q_conditional_agg_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     return o.groupBy("o_orderpriority").agg(
         F.count_if(F.col("o_orderstatus") == "F").cast("bigint").alias("n_fulfilled"),
-        F.round(
-            F.sum(F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice"))), 2
-        ).alias("open_revenue"),
+        exact_round_sum(F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice"))).alias("open_revenue"),
         F.bool_or(F.col("o_totalprice") > 300000.0).alias("any_jumbo"),
         F.bool_and(F.col("o_totalprice") > 0.0).alias("all_positive"),
         F.count_distinct("o_orderstatus").cast("bigint").alias("n_statuses"),

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from hadoop_lab_spark.functions import text as X
 from hadoop_lab_spark.operators.sampling import hash_bucket
+from hadoop_lab_spark.functions.numeric import exact_round_sum
 from hadoop_lab_spark.plans.registry import register
 from hadoop_lab_spark.session import tune_session
 from hadoop_lab_spark.sources import load_table
@@ -235,7 +236,7 @@ _V2 = """
                     WHEN v1.o_totalprice <> v2.o_totalprice THEN 'changed'
                     ELSE 'unchanged' END AS change_type,
                CAST(count(*) AS BIGINT) AS n_rows,
-               round(sum(coalesce(v2.o_totalprice, 0) - coalesce(v1.o_totalprice, 0)), 2)
+               CAST(round(sum(CAST(coalesce(v2.o_totalprice, 0) - coalesce(v1.o_totalprice, 0) AS DECIMAL(28,6))), 2) AS DOUBLE)
                    AS price_delta
         FROM v1 FULL OUTER JOIN v2 USING (o_orderkey)
         GROUP BY 1
@@ -283,7 +284,7 @@ def q_snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("change_type")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-            F.round(F.sum("_d"), 2).alias("price_delta"),
+            exact_round_sum("_d").alias("price_delta"),
         )
     )
 
@@ -307,7 +308,7 @@ def q_snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
              )
         SELECT o_orderstatus,
                CAST(count(*) AS BIGINT) AS n_rows,
-               round(sum(o_totalprice), 2) AS sum_price
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_price
         FROM merged
         GROUP BY o_orderstatus
     """,
@@ -339,7 +340,7 @@ def q_upsert_orders_scd1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return merged.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        exact_round_sum("o_totalprice").alias("sum_price"),
     )
 
 
@@ -655,7 +656,7 @@ HIST_BINS = 20
                                          / {(HIST_HI - HIST_LO)} * {HIST_BINS}),
                                    0), {HIST_BINS - 1}) AS BIGINT) AS bin,
                CAST(count(*) AS BIGINT) AS n_orders,
-               round(sum(o_totalprice), 2) AS bin_total
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(28,6))), 2) AS DOUBLE) AS bin_total
         FROM orders
         WHERE o_totalprice IS NOT NULL AND NOT isnan(o_totalprice)
         GROUP BY 1
@@ -682,7 +683,7 @@ def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     bin_ = F.least(F.greatest(raw, F.lit(0)), F.lit(HIST_BINS - 1)).cast("bigint")
     return o.groupBy(bin_.alias("bin")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("bin_total"),
+        exact_round_sum("o_totalprice").alias("bin_total"),
     )
 
 

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from hadoop_lab_spark.functions.numeric import exact_round_avg, exact_round_sum
 from hadoop_lab_spark.plans.registry import register
 from hadoop_lab_spark.session import tune_session
 from hadoop_lab_spark.sources import load_table
@@ -38,13 +39,13 @@ def _revenue():
     "pricing_summary",
     oracle="""
         SELECT l_returnflag, l_linestatus,
-               round(sum(l_quantity), 2)                                   AS sum_qty,
-               round(sum(l_extendedprice), 2)                              AS sum_base_price,
-               round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
-               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-               round(avg(l_quantity), 4)                                   AS avg_qty,
-               round(avg(l_extendedprice), 4)                              AS avg_price,
-               round(avg(l_discount), 4)                                   AS avg_disc,
+               CAST(round(sum(CAST(l_quantity AS DECIMAL(28,6))), 2) AS DOUBLE)                                   AS sum_qty,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(28,6))), 2) AS DOUBLE)                              AS sum_base_price,
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))), 2) AS DOUBLE)           AS sum_disc_price,
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_charge,
+               round(CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / count(l_quantity), 4)                                   AS avg_qty,
+               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / count(l_extendedprice), 4)                              AS avg_price,
+               round(CAST(sum(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE) / count(l_discount), 4)                                   AS avg_disc,
                count(*)                                                    AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '2000-12-01'
@@ -60,13 +61,13 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc_price = _revenue()
     charge = disc_price * (1 + F.col("l_tax"))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-        F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-        F.round(F.sum(charge), 2).alias("sum_charge"),
-        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        exact_round_sum("l_quantity").alias("sum_qty"),
+        exact_round_sum("l_extendedprice").alias("sum_base_price"),
+        exact_round_sum(disc_price).alias("sum_disc_price"),
+        exact_round_sum(charge).alias("sum_charge"),
+        exact_round_avg("l_quantity").alias("avg_qty"),
+        exact_round_avg("l_extendedprice").alias("avg_price"),
+        exact_round_avg("l_discount").alias("avg_disc"),
         F.count(F.lit(1)).alias("count_order"),
     )
 
@@ -77,7 +78,7 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "revenue_per_nation",
     oracle="""
-        SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        SELECT n_name, CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))), 2) AS DOUBLE) AS revenue
         FROM lineitem
         JOIN orders   ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey  = c_custkey
@@ -115,7 +116,7 @@ def q_revenue_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust_nation, orders.o_custkey == cust_nation.c_custkey)
         .groupBy("n_name")
-        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+        .agg(exact_round_sum(_revenue()).alias("revenue"))
     )
 
 
@@ -128,7 +129,7 @@ def q_revenue_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT c_custkey, revenue
         FROM (
             SELECT o_custkey AS c_custkey,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+                   CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))), 2) AS DOUBLE) AS revenue
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_custkey
         )
@@ -148,7 +149,7 @@ def q_top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy(F.col("o_custkey").alias("c_custkey"))
-        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+        .agg(exact_round_sum(_revenue()).alias("revenue"))
     )
     return rev.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc()).limit(10)
 
@@ -199,7 +200,7 @@ def q_top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM (
             -- CAST: duckdb's date_trunc('month') yields DATE; Spark yields TIMESTAMP
             SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
-                   round(sum(o_totalprice), 2) AS monthly
+                   CAST(round(sum(CAST(o_totalprice AS DECIMAL(28,6))), 2) AS DOUBLE) AS monthly
             FROM orders
             WHERE o_orderdate IS NOT NULL
             GROUP BY 1
@@ -225,7 +226,7 @@ def q_cumulative_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     stable cross-engine contract at all."""
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
     monthly = orders.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
-        F.round(F.sum("o_totalprice"), 2).alias("monthly")
+        exact_round_sum("o_totalprice").alias("monthly")
     )
     win = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return monthly.select(
@@ -392,7 +393,7 @@ def q_only_fulfilled_customers_except(spark: SparkSession, sf_dir: str) -> DataF
     oracle="""
         SELECT o_orderstatus, o_orderpriority,
                count(*) AS cnt,
-               round(sum(o_totalprice), 2) AS total
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(28,6))), 2) AS DOUBLE) AS total
         FROM orders
         GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     """,
@@ -403,7 +404,7 @@ def q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     return orders.rollup("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("cnt"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        exact_round_sum("o_totalprice").alias("total"),
     )
 
 
@@ -511,9 +512,9 @@ def q_orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pivot_revenue_by_status",
     oracle="""
         SELECT o_orderpriority,
-               round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS F,
-               round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS O,
-               round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS P
+               CAST(round(sum(CAST(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END AS DECIMAL(28,6))), 2) AS DOUBLE) AS F,
+               CAST(round(sum(CAST(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END AS DECIMAL(28,6))), 2) AS DOUBLE) AS O,
+               CAST(round(sum(CAST(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END AS DECIMAL(28,6))), 2) AS DOUBLE) AS P
         FROM orders
         GROUP BY o_orderpriority
     """,
@@ -529,7 +530,7 @@ def q_pivot_revenue_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = (
         orders.groupBy("o_orderpriority")
         .pivot("o_orderstatus", ["F", "O", "P"])
-        .agg(F.round(F.sum("o_totalprice"), 2))
+        .agg(exact_round_sum("o_totalprice"))
     )
     return out
 
@@ -756,7 +757,7 @@ def q_order_rank_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     "building_unshipped_top10",
     oracle="""
         SELECT l_orderkey,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))), 2) AS DOUBLE) AS revenue,
                o_orderdate
         FROM customer, orders, lineitem
         WHERE c_mktsegment = 'BUILDING'
@@ -789,7 +790,7 @@ def q_building_unshipped_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(o, l["l_orderkey"] == o["o_orderkey"])
         .join(c, o["o_custkey"] == c["c_custkey"])
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.round(F.sum(rev), 2).alias("revenue"))
+        .agg(exact_round_sum(rev).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
         .limit(10)
@@ -927,10 +928,11 @@ def q_range_frame_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "promo_revenue_share",
     oracle="""
         SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ship_month,
-               round(sum(CASE WHEN p_type = 'PROMO'
+               CAST(round(sum(CAST(CASE WHEN p_type = 'PROMO'
                               THEN l_extendedprice * (1 - l_discount)
-                              ELSE 0 END), 2) AS promo_revenue,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue,
+                              ELSE 0 END AS DECIMAL(28,6))), 2) AS DOUBLE) AS promo_revenue,
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(28,6))), 2) AS DOUBLE) AS total_revenue,
                CAST(count(*) AS BIGINT) AS n_lines
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE l_shipdate IS NOT NULL
@@ -948,7 +950,11 @@ def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     reader instead of being divided here: both numerators are rounded
     money sums (engine-identical), while their quotient would divide
     ACCUMULATED floats — exactly what the float policy rounds away.
-    NULL ship dates are excluded as in the other time-series queries."""
+    NULL ship dates are excluded as in the other time-series queries.
+    Money sums accumulate in exact decimal (functions/numeric.py): the
+    double sum's last ulp moved with scan-split layout (caught by
+    tests/test_input_layout.py at sf0.001), so the rounded answer was
+    layout-dependent."""
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate").isNotNull())
     part = _t(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -958,10 +964,10 @@ def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(F.date_trunc("month", "l_shipdate").alias("ship_month"))
         .agg(
-            F.round(
-                F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))), 2
+            exact_round_sum(
+                F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
             ).alias("promo_revenue"),
-            F.round(F.sum(rev), 2).alias("total_revenue"),
+            exact_round_sum(rev).alias("total_revenue"),
             F.count(F.lit(1)).cast("bigint").alias("n_lines"),
         )
     )

@@ -47,6 +47,7 @@ from hadoop_lab_spark.functions import text as X
 from hadoop_lab_spark.operators.graph import pagerank
 from hadoop_lab_spark.operators.sampling import hash_bucket
 from hadoop_lab_spark.plans import pipeline as _P
+from hadoop_lab_spark.functions.numeric import exact_round_sum, nan_excluded
 from hadoop_lab_spark.plans.registry import register
 from hadoop_lab_spark.session import tune_session
 from hadoop_lab_spark.sources import load_table
@@ -686,7 +687,8 @@ def _rate_case_sql() -> str:
         )
         SELECT event_type,
                CAST(count(*) AS BIGINT) AS n_sampled,
-               round(sum(value), 2) AS sum_value,
+               CAST(round(sum(CAST(CASE WHEN NOT isnan(value) THEN value END
+                                   AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_value,
                CAST(min(event_id) AS BIGINT) AS min_event_id,
                CAST(max(event_id) AS BIGINT) AS max_event_id
         FROM sampled GROUP BY event_type
@@ -718,9 +720,11 @@ def q_stratified_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(_DEFAULT_RATE),
     )
     sampled = e.filter(hash_bucket("event_id", 256) < rate)
+    # Any row can be sampled, so the sum addend carries the generic NaN
+    # guard (numeric.py non-finite policy) — NaN rows still count.
     return sampled.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_sampled"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        exact_round_sum(nan_excluded("value")).alias("sum_value"),
         F.min("event_id").cast("bigint").alias("min_event_id"),
         F.max("event_id").cast("bigint").alias("max_event_id"),
     )
@@ -1001,7 +1005,8 @@ _QUOTA_PER_TYPE = 200
         )
         SELECT event_type,
                CAST(count(*) AS BIGINT) AS n_sampled,
-               round(sum(value), 2) AS sum_value
+               CAST(round(sum(CAST(CASE WHEN NOT isnan(value) THEN value END
+                                   AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_value
         FROM ranked WHERE rn <= {_QUOTA_PER_TYPE}
         GROUP BY event_type
     """,
@@ -1037,9 +1042,12 @@ def q_quota_sample_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.partitionBy("event_type").orderBy(key, "event_id")
     )
     sampled = e.withColumn("_rn", rn).filter(F.col("_rn") <= _QUOTA_PER_TYPE)
+    # NaN addends excluded explicitly (both engines): a sampled row with
+    # a NaN value still counts toward the quota, it just can't poison
+    # the exact decimal sum — see functions/numeric.py non-finite policy.
     return sampled.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_sampled"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        exact_round_sum(nan_excluded("value")).alias("sum_value"),
     )
 
 

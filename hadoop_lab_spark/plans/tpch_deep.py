@@ -42,6 +42,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from hadoop_lab_spark.functions.numeric import (
+    exact_round_avg,
+    exact_round_sum,
+    exact_sum,
+)
 from hadoop_lab_spark.plans.registry import register
 from hadoop_lab_spark.session import tune_session
 from hadoop_lab_spark.sources import load_table
@@ -63,7 +68,7 @@ def _revenue():
     "q7_volume_shipping",
     oracle="""
         SELECT supp_nation, cust_nation, l_year,
-               round(sum(volume), 2) AS revenue
+               CAST(round(sum(CAST(volume AS DECIMAL(28,6))), 2) AS DOUBLE) AS revenue
         FROM (
             SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                    CAST(year(l_shipdate) AS BIGINT) AS l_year,
@@ -121,7 +126,7 @@ def q_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cust_nation",
             F.year("l_shipdate").cast("bigint").alias("l_year"),
         )
-        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+        .agg(exact_round_sum(_revenue()).alias("revenue"))
     )
 
 
@@ -132,10 +137,11 @@ def q_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q8_market_share",
     oracle="""
         SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
-               round(sum(CASE WHEN n2.n_name = 'NATION_3'
+               round(CAST(sum(CAST(CASE WHEN n2.n_name = 'NATION_3'
                               THEN l_extendedprice * (1 - l_discount)
-                              ELSE 0 END)
-                     / sum(l_extendedprice * (1 - l_discount)), 4) AS mkt_share
+                              ELSE 0 END AS DECIMAL(28,6))) AS DOUBLE)
+                     / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(28,6))) AS DOUBLE), 4) AS mkt_share
         FROM lineitem
         JOIN part     ON p_partkey = l_partkey
         JOIN supplier ON s_suppkey = l_suppkey
@@ -182,9 +188,12 @@ def q_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust_in_region, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
         .agg(
+            # exact decimal sums (layout-invariant), ONE double division
             F.round(
-                F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0.0)))
-                / F.sum(vol),
+                exact_sum(
+                    F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0.0))
+                ).cast("double")
+                / exact_sum(vol).cast("double"),
                 4,
             ).alias("mkt_share")
         )
@@ -199,7 +208,7 @@ def q_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH rev AS (
             SELECT l_suppkey,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+                   CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))), 2) AS DOUBLE) AS total_revenue
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1996-01-01'
               AND l_shipdate <  TIMESTAMP '1996-04-01'
@@ -237,7 +246,7 @@ def q_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
         )
         .groupBy("l_suppkey")
-        .agg(F.round(F.sum(_revenue()), 2).alias("total_revenue"))
+        .agg(exact_round_sum(_revenue()).alias("total_revenue"))
     )
     mx = rev.agg(F.max("total_revenue").alias("total_revenue"))
     best = rev.join(F.broadcast(mx), "total_revenue")
@@ -252,7 +261,7 @@ def q_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH rev AS (
             SELECT l_suppkey,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+                   CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))), 2) AS DOUBLE) AS total_revenue
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1996-01-01'
               AND l_shipdate <  TIMESTAMP '1996-04-01'
@@ -290,7 +299,7 @@ def q_q15_top_supplier_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
         )
         .groupBy("l_suppkey")
-        .agg(F.round(F.sum(_revenue()), 2).alias("total_revenue"))
+        .agg(exact_round_sum(_revenue()).alias("total_revenue"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     mx = rev.agg(F.max("total_revenue").alias("total_revenue"))
@@ -307,7 +316,8 @@ def q_q15_top_supplier_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q17_small_quantity_orders",
     oracle="""
-        SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
+                     / 7.0, 2) AS avg_yearly
         FROM lineitem JOIN part ON p_partkey = l_partkey
         WHERE p_brand = 'Brand#1' AND p_size < 15
           AND l_quantity < (
@@ -340,7 +350,11 @@ def q_q17_small_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(part_f, F.col("l_partkey") == F.col("p_partkey"))
         .join(per_part_avg, F.col("l_partkey") == F.col("t_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_thresh"))
-        .agg(F.round(F.sum("l_extendedprice") / F.lit(7.0), 2).alias("avg_yearly"))
+        .agg(
+            F.round(
+                exact_sum("l_extendedprice").cast("double") / F.lit(7.0), 2
+            ).alias("avg_yearly")
+        )
     )
 
 
@@ -396,7 +410,7 @@ def q_q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q19_disjunctive_bands",
     oracle="""
-        SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        SELECT CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))), 2) AS DOUBLE) AS revenue,
                count(*) AS n_lines
         FROM lineitem JOIN part ON p_partkey = l_partkey
         WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
@@ -437,7 +451,7 @@ def q_q19_disjunctive_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .filter(band)
         .agg(
-            F.round(F.sum(_revenue()), 2).alias("revenue"),
+            exact_round_sum(_revenue()).alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
@@ -522,10 +536,10 @@ def q_q21_lone_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q22_idle_rich_customers",
     oracle="""
         SELECT c_mktsegment, count(*) AS numcust,
-               round(sum(c_acctbal), 2) AS totacctbal
+               CAST(round(sum(CAST(c_acctbal AS DECIMAL(28,6))), 2) AS DOUBLE) AS totacctbal
         FROM customer
         WHERE c_acctbal > (
-              SELECT round(avg(c_acctbal), 4) FROM customer WHERE c_acctbal > 0
+              SELECT round(CAST(sum(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) / count(c_acctbal), 4) FROM customer WHERE c_acctbal > 0
           )
           AND NOT EXISTS (
               SELECT 1 FROM orders
@@ -548,7 +562,7 @@ def q_q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cannot flip a boundary customer."""
     cust = _t(spark, sf_dir, "customer")
     avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
-        F.round(F.avg("c_acctbal"), 4).alias("avg_bal")
+        exact_round_avg("c_acctbal").alias("avg_bal")
     )
     recent = (
         _t(spark, sf_dir, "orders")
@@ -562,7 +576,7 @@ def q_q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            exact_round_sum("c_acctbal").alias("totacctbal"),
         )
     )
 
@@ -928,7 +942,7 @@ def q_q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     oracle="""
         SELECT l_orderkey,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))), 2) AS DOUBLE) AS revenue,
                o_orderdate, o_orderpriority
         FROM customer
         JOIN orders ON c_custkey = o_custkey
@@ -973,7 +987,7 @@ def q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         lines.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(cust, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+        .agg(exact_round_sum(_revenue()).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
         .limit(10)
@@ -1062,7 +1076,7 @@ def q_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_items",
     oracle="""
         SELECT c_custkey, c_name,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))), 2) AS DOUBLE) AS revenue,
                round(c_acctbal, 2) AS c_acctbal, n_name
         FROM customer
         JOIN orders ON o_custkey = c_custkey
@@ -1110,7 +1124,7 @@ def q_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, F.col("c_custkey") == F.col("o_custkey"))
         .join(nation, F.col("n_nationkey") == F.col("c_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+        .agg(exact_round_sum(_revenue()).alias("revenue"))
         .select(
             "c_custkey",
             "c_name",

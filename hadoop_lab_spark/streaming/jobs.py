@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from hadoop_lab_spark.functions.numeric import SUM_DECIMAL, nan_excluded
 from hadoop_lab_spark.operators.wordcount import wordcount as wordcount_op
 from hadoop_lab_spark.sources.tables import _normalize, table_path
 
@@ -123,11 +124,18 @@ def stream_windowed_event_counts(
         .filter(F.col("ts").isNotNull())
         .withWatermark("ts", watermark)
     )
+    # The sum accumulates in exact DECIMAL (functions/numeric.py): state-
+    # store addition order follows micro-batch arrival, so a double sum
+    # here would move at the last ulp with HOW the replay was batched —
+    # the exact streaming analogue of the input-file-layout bug. NaN
+    # addends are excluded explicitly (they still count in cnt); Spark
+    # would NULL them into the decimal cast while the batch oracle's
+    # DuckDB CAST errors, so the guard is the stated contract.
     return events.groupBy(
         F.window("ts", window).alias("w"), "event_type"
     ).agg(
         F.count(F.lit(1)).alias("cnt"),
-        F.sum("value").alias("sum_value"),
+        F.sum(nan_excluded("value").cast(SUM_DECIMAL)).alias("sum_value"),
     ).select(
         F.col("w.start").alias("w_start"), "event_type", "cnt", "sum_value"
     )
@@ -320,7 +328,11 @@ def stream_foreachbatch_event_totals(
             bdf.groupBy("event_type")
             .agg(
                 F.count(F.lit(1)).cast("bigint").alias("cnt"),
-                F.sum("value").alias("sum_value"),
+                # exact decimal partials: partial-sum-of-partial-sums must
+                # equal the one-pass answer REGARDLESS of how the replay
+                # was batched, which double addition cannot promise at the
+                # last ulp. NaN excluded per the numeric.py contract.
+                F.sum(nan_excluded("value").cast(SUM_DECIMAL)).alias("sum_value"),
             )
             .withColumn("batch_id", F.lit(batch_id))
             .write.mode("overwrite")
