@@ -46,6 +46,15 @@ three lanes that leaned on double-sum NaN-poisoning parity). NULL
 interplay is engine-asymmetric but sum-equivalent: Spark isnan(NULL)
 is false (addend NULL via the value itself), DuckDB isnan(NULL) is
 NULL (CASE falls through to NULL) — both sums skip the row.
+
+The guard must be isnan-based, never a threshold comparison: NaN
+COMPARISONS diverge too (measured on the shipped engines: Spark puts
+NaN above every value, so ``NaN >= 50`` is true; DuckDB 1.0's
+vectorized parquet path yields ``NaN >= 50`` false and ``NaN < 50``
+TRUE — and disagrees with its own constant-folded literals). A lane
+that thresholds a NaN-capable column must exclude NaN rows first
+(``value IS NULL OR NOT isnan(value)``, the existing convention in
+null_semantics_sampler / range_join_value_bands).
 """
 
 from __future__ import annotations

@@ -1,0 +1,129 @@
+"""Property tests for functions/numeric.py: the exact decimal money sum
+must be (a) equal to an independent pure-Python exact model and (b) a
+function of the row MULTISET alone — invariant to any permutation and
+any partitioning of the input. This is the unit-level twin of the
+end-to-end layout gate (tests/test_input_layout.py): that gate proves
+whole lanes don't care how the scan is split; this one proves the
+accumulator primitive itself, under hypothesis-driven adversarial
+values (cent-exact money, 6dp products, jumbo 1e12 magnitudes, values
+engineered near .xx5 rounding boundaries where the double sum's last
+ulp decides the rounded digit).
+"""
+
+from __future__ import annotations
+
+import decimal
+
+import pytest
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from hadoop_lab_spark.functions.numeric import (
+    exact_round_avg,
+    exact_round_sum,
+    nan_excluded,
+)
+
+_SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+# Money-like addends: integer cents (2dp) and 6dp micro-values, spanning
+# tiny to hostile-jumbo magnitudes. Drawing CENTS as integers keeps the
+# double binary-exact enough that the Python model below (exact Decimal
+# arithmetic over the double's true value) is the indisputable answer.
+_cents = st.integers(min_value=-(10**14), max_value=10**14)
+_micros = st.integers(min_value=-(10**12), max_value=10**12)
+
+
+def _model_round_sum(values: list[float], nd: int = 2) -> float | None:
+    """Independent exact model: sum the doubles' TRUE values (Decimal(x)
+    is exact for any float), quantize at 6dp HALF_UP per addend (the
+    DECIMAL(28,6) cast image), sum exactly, round HALF_UP at nd."""
+    if not values:
+        return None
+    q6 = decimal.Decimal(1).scaleb(-6)
+    total = sum(
+        decimal.Decimal(v).quantize(q6, rounding=decimal.ROUND_HALF_UP)
+        for v in values
+    )
+    qn = decimal.Decimal(1).scaleb(-nd)
+    return float(total.quantize(qn, rounding=decimal.ROUND_HALF_UP))
+
+
+def _spark_sums(spark, values: list[float], n_parts: int) -> tuple[float, float]:
+    """(exact_round_sum, exact_round_avg) over `values` split across
+    n_parts partitions in reversed order."""
+    rows = [(v,) for v in values]
+    df = spark.createDataFrame(rows, "v double").repartition(n_parts)
+    out = df.agg(
+        exact_round_sum("v").alias("s"),
+        exact_round_avg("v").alias("a"),
+    ).collect()[0]
+    return out["s"], out["a"]
+
+
+@given(st.lists(_cents, min_size=1, max_size=60))
+@_SETTINGS
+def test_exact_round_sum_matches_model_and_layout(spark, cents):
+    values = [c / 100.0 for c in cents]
+    expected = _model_round_sum(values)
+    s1, _ = _spark_sums(spark, values, 1)
+    s2, _ = _spark_sums(spark, list(reversed(values)), 7)
+    assert s1 == expected, (values, s1, expected)
+    assert s2 == expected, "permuted/repartitioned input moved the exact sum"
+
+
+@given(st.lists(_micros, min_size=1, max_size=60))
+@_SETTINGS
+def test_exact_round_sum_6dp_products(spark, micros):
+    # 6dp values (the worst fractional digits a money product carries)
+    values = [m / 1_000_000.0 for m in micros]
+    expected = _model_round_sum(values)
+    s1, _ = _spark_sums(spark, values, 3)
+    assert s1 == expected, (values, s1, expected)
+
+
+def test_boundary_case_from_the_layout_gate(spark):
+    """The class of input that motivated the refactor: many cent-exact
+    addends whose DOUBLE sum lands within an ulp of a .xx5 boundary.
+    0.01 is not binary-exact; 288 × 6.10 accumulates enough error that
+    float addition order decides round(x, 2)'s last digit — decimal
+    accumulation must not care."""
+    values = [6.10] * 288
+    expected = _model_round_sum(values)  # exactly 1756.80
+    assert expected == 1756.80
+    for parts in (1, 7, 32):
+        s, _ = _spark_sums(spark, values, parts)
+        assert s == expected, f"{parts} partitions: {s} != {expected}"
+
+
+def test_exact_round_avg_matches_model(spark):
+    values = [0.1] * 30 + [123456.78, -99999.99]
+    q6 = decimal.Decimal(1).scaleb(-6)
+    total = sum(
+        decimal.Decimal(v).quantize(q6, rounding=decimal.ROUND_HALF_UP)
+        for v in values
+    )
+    expected = round(float(total) / len(values), 4)
+    _, a = _spark_sums(spark, values, 5)
+    assert a == pytest.approx(expected, abs=0.0)
+
+
+def test_nan_excluded_guard(spark):
+    """NaN addends are dropped (they'd NULL silently through the Spark
+    cast while ERRORING the DuckDB oracle — numeric.py contract); NULLs
+    pass through as NULL; the finite part still sums exactly."""
+    df = spark.createDataFrame(
+        [(1.25,), (float("nan"),), (None,), (2.50,)], "v double"
+    )
+    out = df.agg(exact_round_sum(nan_excluded("v")).alias("s")).collect()[0]
+    assert out["s"] == 3.75
+    all_bad = spark.createDataFrame([(float("nan"),), (None,)], "v double")
+    out2 = all_bad.agg(exact_round_sum(nan_excluded("v")).alias("s")).collect()[0]
+    assert out2["s"] is None, "sum over only NaN/NULL must stay NULL"
