@@ -20,7 +20,13 @@ flat schema. The matching oracle idiom is ``sql_exact_round_sum``.
 Precision choice: 28 leaves 22 integer digits — hostile fixtures push
 1e12 money values through 3-factor products, far inside range, and the
 sum accumulator widens to DECIMAL(38, 6) on both engines (≈1e31
-headroom; a 100 TB corpus of 1e12-scale addends peaks near 1e22).
+headroom; a 100 TB corpus of 1e12-scale addends peaks near 1e22). A
+FINITE addend beyond the 22 digits errors LOUDLY on both engines
+(Spark 4 runs ANSI by default → NUMERIC_VALUE_OUT_OF_RANGE; DuckDB
+CAST raises) — pinned by tests/test_numeric_exact.py, so corrupt
+jumbo data can never silently truncate a sum. NaN is the one value
+that NULLs instead of erroring on Spark (even under ANSI), which is
+why the NaN guard below is a separate explicit contract.
 Scale 6 covers the 4–6 fractional digits a product of 2dp money values
 carries. Cost at 100 TB: precision > 18 accumulates in Int128 instead
 of a compact long — measurably slower than a double sum, which is the

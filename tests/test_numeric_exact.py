@@ -115,6 +115,42 @@ def test_exact_round_avg_matches_model(spark):
     assert a == pytest.approx(expected, abs=0.0)
 
 
+def test_out_of_range_addend_contract(spark):
+    """Pin the documented range edge: an addend beyond DECIMAL(28,6)'s
+    22 integer digits (~1e22) ERRORS on BOTH engines — Spark 4 runs
+    ANSI mode by default (NUMERIC_VALUE_OUT_OF_RANGE at the cast; the
+    repo sets no ansi override anywhere, asserted below) and DuckDB's
+    CAST raises out-of-range. Loud on both sides: a fixture pushing
+    such a value can never make the engines silently agree on a
+    truncated sum. In-range jumbo values (the hostile 1e12 money tier)
+    must sum exactly."""
+    from hadoop_lab_spark import session as S
+
+    assert not any("ansi" in k for k in {**S._STATIC_CONF, **S._RUNTIME_CONF})
+    assert spark.conf.get("spark.sql.ansi.enabled") == "true"
+
+    jumbo = 1.0e12  # hostile-fixture tier: inside range, exact
+    df = spark.createDataFrame([(jumbo,), (0.25,)], "v double")
+    out = df.agg(exact_round_sum("v").alias("s")).collect()[0]
+    assert out["s"] == 1.0e12 + 0.25
+
+    from pyspark.errors.exceptions.captured import ArithmeticException
+
+    over = 1.0e30  # beyond 22 integer digits
+    df2 = spark.createDataFrame([(over,), (0.25,)], "v double")
+    with pytest.raises(ArithmeticException):
+        df2.agg(exact_round_sum("v").alias("s")).collect()
+
+    import duckdb
+
+    con = duckdb.connect()
+    try:
+        with pytest.raises(duckdb.Error):
+            con.execute("SELECT CAST(1e30 AS DECIMAL(28,6))")
+    finally:
+        con.close()
+
+
 def test_nan_excluded_guard(spark):
     """NaN addends are dropped (they'd NULL silently through the Spark
     cast while ERRORING the DuckDB oracle — numeric.py contract); NULLs
