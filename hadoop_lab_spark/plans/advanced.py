@@ -22,7 +22,7 @@ from hadoop_lab_spark.operators import (
     deterministic_sample,
 )
 from hadoop_lab_spark.operators.sampling import hash_bucket
-from hadoop_lab_spark.functions.numeric import exact_round_sum
+from hadoop_lab_spark.functions.numeric import exact_round_sum, nan_excluded
 from hadoop_lab_spark.plans.registry import register
 from hadoop_lab_spark.session import tune_session
 from hadoop_lab_spark.sources import load_table
@@ -219,14 +219,19 @@ def q_scalar_function_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
         -- BOTH engines. The nested CASE is required: DuckDB's ->> errors
         -- on invalid JSON, and its TRY_CAST('1.5' AS INT) ROUNDS to 2
         -- where Spark's try_cast yields NULL — the regex pins the
-        -- integer-literal-only contract.
+        -- integer-literal-only contract. The regex mirrors Spark's
+        -- try_cast string→int grammar exactly (ADVICE r6): Spark trims
+        -- surrounding whitespace and accepts a leading '+', so a quoted
+        -- "+5" or " 5" must yield 5 here too (DuckDB TRY_CAST also
+        -- trims and accepts the sign — the regex only needs to ADMIT
+        -- those forms, the cast semantics already agree).
         SELECT event_type,
                CAST(sum(k) AS BIGINT) AS sum_k,
                CAST(max(k) AS INTEGER) AS max_k
         FROM (
             SELECT event_type,
                    TRY_CAST(CASE WHEN json_valid(props) THEN
-                       (CASE WHEN props->>'$.k' ~ '^-?[0-9]+$'
+                       (CASE WHEN props->>'$.k' ~ '^\\s*[+-]?[0-9]+\\s*$'
                              THEN props->>'$.k' END)
                    END AS INT) AS k
             FROM events
@@ -647,9 +652,14 @@ def q_csv_roundtrip_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "json_roundtrip_events_daily",
     oracle="""
+        -- NaN guard (ADVICE r6): value is NaN-capable, and an unguarded
+        -- decimal sum silently NULLs the NaN addend on Spark while the
+        -- DuckDB cast errors — the mirrored CASE makes NaN-exclusion an
+        -- explicit contract on both engines (functions/numeric.py).
         SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
                CAST(count(*) AS BIGINT) AS cnt,
-               CAST(round(sum(CAST(value AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_value
+               CAST(round(sum(CAST(CASE WHEN NOT isnan(value) THEN (value) END
+                   AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_value
         FROM events
         WHERE event_type = 'purchase'
         GROUP BY 1
@@ -669,11 +679,14 @@ def q_json_roundtrip_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame
     out = os.path.join(tempfile.gettempdir(), f"hls_json_demo_{sf_tag}")
     e.select("event_id", "ts", "value").write.mode("overwrite").json(out)
     back = spark.read.schema("event_id BIGINT, ts TIMESTAMP, value DOUBLE").json(out)
+    # NaN survives the JSON hop (Spark writes/reads the literal NaN
+    # token), so the NaN guard applies to the read-back column exactly
+    # as the oracle applies it to the original parquet.
     return back.groupBy(
         F.date_trunc("day", "ts").cast("date").alias("day")
     ).agg(
         F.count(F.lit(1)).alias("cnt"),
-        exact_round_sum("value").alias("sum_value"),
+        exact_round_sum(nan_excluded("value")).alias("sum_value"),
     )
 
 
@@ -827,8 +840,13 @@ def q_null_semantics_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM b
         ),
         r AS (
+            -- NaN guard (ADVICE r6): mirrored NaN-exclusion contract —
+            -- see functions/numeric.py; a NaN purchase value must be
+            -- skipped identically on both engines, never NULL-dropped
+            -- on one and a cast error on the other.
             SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
-                   CAST(round(sum(CAST(value AS DECIMAL(28,6))), 2) AS DOUBLE) AS rev
+                   CAST(round(sum(CAST(CASE WHEN NOT isnan(value) THEN (value) END
+                       AS DECIMAL(28,6))), 2) AS DOUBLE) AS rev
             FROM events WHERE event_type = 'purchase'
             GROUP BY 1
         )
@@ -856,7 +874,7 @@ def q_daily_revenue_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (
         e.filter(F.col("event_type") == "purchase")
         .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
-        .agg(exact_round_sum("value").alias("rev"))
+        .agg(exact_round_sum(nan_excluded("value")).alias("rev"))
     )
     return spine.join(daily, "day", "left").select(
         "day", F.coalesce("rev", F.lit(0.0)).alias("rev")
@@ -1088,13 +1106,33 @@ def q_compaction_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame
 @register(
     "from_json_typed",
     oracle="""
+        -- Mirrors Spark's PERMISSIVE from_json(k INT) at FIELD level
+        -- (probed empirically on Spark 4: a type-mismatched field NULLs
+        -- that field only, sibling fields survive): k is an INT exactly
+        -- when the RAW json repr is an unquoted integer literal that
+        -- fits INT32 — a quoted "+5"/" 5"/"12", a float 1.5, or an
+        -- overflowing literal all yield NULL k on both engines. The
+        -- plain CAST(->>'$.k' AS INT) used before coerced quoted
+        -- strings and diverged (caught by the ADVICE-r6 hostile rows).
         SELECT event_id,
-               CAST(props->>'$.k' AS INT) AS k_typed,
-               CAST(props->>'$.absent' AS VARCHAR) AS absent_field,
-               CAST(CAST(props->>'$.k' AS INT) // 10 AS INT) AS k_decile,
-               CAST(props->>'$.k' AS INT) >= 50 AS is_high
-        FROM events
-        WHERE event_type = 'purchase'
+               k_typed,
+               absent_field,
+               CAST(k_typed // 10 AS INT) AS k_decile,
+               k_typed >= 50 AS is_high
+        FROM (
+            SELECT event_id,
+                   TRY_CAST(CASE WHEN json_valid(props) THEN
+                       (CASE WHEN CAST(json_extract(props, '$.k') AS VARCHAR)
+                                  ~ '^-?[0-9]+$'
+                             THEN CAST(json_extract(props, '$.k') AS VARCHAR)
+                        END)
+                   END AS INT) AS k_typed,
+                   CASE WHEN json_valid(props)
+                        THEN CAST(props->>'$.absent' AS VARCHAR)
+                   END AS absent_field
+            FROM events
+            WHERE event_type = 'purchase'
+        )
     """,
     doc="from_json with an EXPLICIT schema (struct<k:int, absent:string>): "
     "typed extraction in one parse instead of per-path get_json_object "

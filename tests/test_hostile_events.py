@@ -98,6 +98,13 @@ HOSTILE_ROWS = [
     (13, 57.0, 5, None, 50.0, '{"k": "12"}'),           # NULL type, band boundary
     (14, None, None, None, None, None),                 # all-NULL payload
     (15, 58.0, 2, None, 49.5, '{"k": 1e3}'),            # exponent json value
+    # ADVICE r6 quoted-int grammar rows: purchase-typed so the filtered
+    # JSON lanes (from_json_typed, json_roundtrip) see them; value NULL
+    # so the moment statistics of the purchase group (1e12-scale values
+    # where round(,6) is sub-ulp and cannot snap engine accumulation
+    # differences) are untouched.
+    (16, 58.5, 6, "purchase", None, '{"k": "+5"}'),     # signed quoted int
+    (17, 59.0, 6, "purchase", None, '{"k": " 5"}'),     # padded quoted int
 ]
 
 
@@ -174,10 +181,45 @@ _row = st.tuples(
     st.one_of(
         st.none(),
         st.sampled_from(
-            ["not json", "{}", '{"k": 1}', '{"k": -7}', '{"k": 1.5}', '{"k": "12"}', '{"j": 5}']
+            ["not json", "{}", '{"k": 1}', '{"k": -7}', '{"k": 1.5}',
+             '{"k": "12"}', '{"k": "+5"}', '{"k": " 5"}', '{"j": 5}']
         ),
     ),
 )
+
+
+#: NaN-purchase posture (ADVICE r6): a NaN on a PURCHASE row exercises
+#: the nan_excluded contract of every purchase-value money sum. Kept out
+#: of HOSTILE_ROWS because NaN ORDERING semantics legitimately diverge
+#: between the engines (Spark sorts NaN above all values; DuckDB 1.0's
+#: vectorized path disagrees with its own constant folding — see
+#: functions/numeric.py), so the ordering/percentile lanes scope NaN out
+#: of their contracts; the money-sum lanes must NOT (an unguarded lane
+#: silently drops the addend on Spark but errors the DuckDB oracle —
+#: exactly the loud failure this test locks in).
+NAN_GUARDED_LANES = ("daily_revenue_gapfill", "json_roundtrip_events_daily")
+
+
+@pytest.fixture(scope="module")
+def nan_purchase_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("nan_events"))
+    rows = HOSTILE_ROWS + [
+        (18, 60.0, 6, "purchase", float("nan"), '{"k": 6}'),
+        (19, 60.5, 6, "purchase", 8.25, '{"k": 7}'),  # NaN day has real revenue too
+    ]
+    _write_events(rows, d)
+    return d
+
+
+@pytest.mark.parametrize("name", NAN_GUARDED_LANES)
+def test_money_sum_lane_survives_nan_purchase(spark, nan_purchase_dir, name):
+    spec = REGISTRY[name]
+    df = spec.fn(spark, nan_purchase_dir)
+    con = _con_for(nan_purchase_dir)
+    try:
+        assert_matches_oracle(df, con, spec.oracle, name=f"nan-purchase:{name}")
+    finally:
+        con.close()
 
 
 @given(st.lists(_row, min_size=1, max_size=10))
