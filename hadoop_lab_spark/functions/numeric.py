@@ -127,3 +127,90 @@ def sql_exact_sum(expr: str) -> str:
 def sql_exact_round_sum(expr: str, nd: int = 2) -> str:
     """Oracle-side twin of :func:`exact_round_sum` (DuckDB ANSI SQL)."""
     return f"CAST(round({sql_exact_sum(expr)}, {nd}) AS DOUBLE)"
+
+
+# ---------------------------------------------------------------------------
+# Fast path: micro-long addends (r7, VERDICT r6 #3)
+# ---------------------------------------------------------------------------
+# Spark's double→decimal cast goes through Double.toString + BigDecimal
+# parse — measured at ~45% of pricing_summary's whole wall time once the
+# r6 decimal refactor landed (PERFORMANCE.md "r7: micro-long fast
+# path"). For addends inside the double-exact rounding zone the same
+# 6dp image is reachable without strings: floor(x*1e6 + 0.5) in plain
+# IEEE arithmetic, cast LONG→DECIMAL (integer repack, no parse), summed
+# exactly in micros, rescaled once per GROUP after the aggregate.
+#
+# The branch keeps the r6 contract intact:
+# - |x| < 2**32 (fast): x*1e6 < 2**52, so the product is exact to
+#   < 0.25 ulp and floor(m + 0.5) is the true half-up 6dp rounding.
+#   Money-like values give the SAME micros as the decimal-image cast
+#   (the module's tie-safety argument covers both paths: digits 5-6 of
+#   a 2dp/4dp value are exactly zero, and a non-binary-exact value has
+#   no tie at digit 6), so lanes switching to the fast helpers keep
+#   their values bit-for-bit.
+# - |x| >= 2**32 (slow): the existing decimal-image cast, times 10^6 in
+#   exact decimal arithmetic — the 22-integer-digit loud-overflow bound
+#   and the NaN posture (abs(NaN) compares false → slow branch → Spark
+#   NULL / DuckDB cast error → differential fails LOUDLY; nan_excluded
+#   composes as before) are unchanged.
+# Both branches are per-row deterministic and the accumulation is exact
+# integer decimal — layout/partitioning invariance holds as for
+# :func:`exact_round_sum`. The per-engine formulas are mirrored
+# operation-for-operation, so the one place the two PATHS could in
+# principle disagree (a rounded product m landing exactly on n+0.5)
+# resolves identically on both engines; cross-path equality is never
+# required because the branch predicate is part of the contract.
+
+#: Fast-path magnitude bound: micros stay below 2**52 with 4x margin.
+FAST_ABS_BOUND = 4294967296.0  # 2**32
+
+
+def _micro_addend(col: Column | str) -> Column:
+    """Per-row addend in exact MICROS (decimal, value = units * 10^6)."""
+    c = F.col(col) if isinstance(col, str) else col
+    fast = F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("decimal(22,0)")
+    slow = c.cast(SUM_DECIMAL) * F.lit(1000000).cast("decimal(7,0)")
+    return F.when(F.abs(c) < F.lit(FAST_ABS_BOUND), fast).otherwise(slow)
+
+
+def _sql_micro_addend(expr: str) -> str:
+    """Oracle-side twin of :func:`_micro_addend` (DuckDB ANSI SQL)."""
+    return (
+        f"CASE WHEN abs({expr}) < 4294967296.0 "
+        f"THEN CAST(CAST(floor(({expr}) * 1e6 + 0.5) AS BIGINT) AS DECIMAL(38,6)) "
+        f"ELSE CAST(({expr}) AS DECIMAL(28,6)) * CAST(1000000 AS DECIMAL(7,0)) END"
+    )
+
+
+def exact_round_sum_fast(col: Column | str, nd: int = 2) -> Column:
+    """:func:`exact_round_sum` with the micro-long fast path. Same
+    layout-invariance and loud-overflow contract; identical values for
+    money-like addends (see fast-path block comment). Use on hot
+    scan-side money sums; the plain helper remains the default."""
+    s = F.sum(_micro_addend(col))
+    return (F.round(s, nd - 6).cast("double") / F.lit(1000000.0))
+
+
+def sql_exact_round_sum_fast(expr: str, nd: int = 2) -> str:
+    """Oracle-side twin of :func:`exact_round_sum_fast`."""
+    return (
+        f"CAST(round(sum({_sql_micro_addend(expr)}), {nd - 6}) AS DOUBLE)"
+        f" / 1000000.0"
+    )
+
+
+def exact_round_avg_fast(col: Column | str, nd: int = 4) -> Column:
+    """:func:`exact_round_avg` with the micro-long fast path: exact
+    micros sum → double → /10^6 → /count — each double op mirrored in
+    the SQL twin, so both engines walk the same IEEE steps."""
+    c = F.col(col) if isinstance(col, str) else col
+    s = F.sum(_micro_addend(c))
+    return F.round(s.cast("double") / F.lit(1000000.0) / F.count(c), nd)
+
+
+def sql_exact_round_avg_fast(expr: str, nd: int = 4) -> str:
+    """Oracle-side twin of :func:`exact_round_avg_fast`."""
+    return (
+        f"round(CAST(sum({_sql_micro_addend(expr)}) AS DOUBLE)"
+        f" / 1000000.0 / count({expr}), {nd})"
+    )

@@ -17,7 +17,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from hadoop_lab_spark.functions.numeric import exact_round_avg, exact_round_sum
+from hadoop_lab_spark.functions.numeric import (
+    exact_round_avg,
+    exact_round_avg_fast,
+    exact_round_sum,
+    exact_round_sum_fast,
+    sql_exact_round_avg_fast,
+    sql_exact_round_sum_fast,
+)
 from hadoop_lab_spark.plans.registry import register
 from hadoop_lab_spark.session import tune_session
 from hadoop_lab_spark.sources import load_table
@@ -37,15 +44,18 @@ def _revenue():
 # ---------------------------------------------------------------------------
 @register(
     "pricing_summary",
-    oracle="""
+    # Oracle built from the sql twins so both engines carry the SAME
+    # micro-long fast-path formula (functions/numeric.py, r7) — the
+    # lane and oracle change in lock-step by construction.
+    oracle=f"""
         SELECT l_returnflag, l_linestatus,
-               CAST(round(sum(CAST(l_quantity AS DECIMAL(28,6))), 2) AS DOUBLE)                                   AS sum_qty,
-               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(28,6))), 2) AS DOUBLE)                              AS sum_base_price,
-               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))), 2) AS DOUBLE)           AS sum_disc_price,
-               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_charge,
-               round(CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / count(l_quantity), 4)                                   AS avg_qty,
-               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / count(l_extendedprice), 4)                              AS avg_price,
-               round(CAST(sum(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE) / count(l_discount), 4)                                   AS avg_disc,
+               {sql_exact_round_sum_fast('l_quantity')} AS sum_qty,
+               {sql_exact_round_sum_fast('l_extendedprice')} AS sum_base_price,
+               {sql_exact_round_sum_fast('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+               {sql_exact_round_sum_fast('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+               {sql_exact_round_avg_fast('l_quantity')} AS avg_qty,
+               {sql_exact_round_avg_fast('l_extendedprice')} AS avg_price,
+               {sql_exact_round_avg_fast('l_discount')} AS avg_disc,
                count(*)                                                    AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '2000-12-01'
@@ -56,18 +66,26 @@ def _revenue():
 )
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One scan (7 of 11 columns), filter pushed to parquet, partial
-    aggregates before the single exchange on (returnflag, linestatus)."""
+    aggregates before the single exchange on (returnflag, linestatus).
+
+    Money sums use the micro-long fast path (VERDICT r6 #3): Spark's
+    double→decimal cast goes through Double.toString and was 45% of
+    this lane's wall time (PERFORMANCE.md "r7: micro-long fast path");
+    the fast addend reaches the same 6dp image through IEEE arithmetic
+    + a LONG→DECIMAL repack, keeping exact integer accumulation — the
+    r6 layout-invariance contract — at about half the cost. Values are
+    bit-identical to exact_round_sum for money-like columns."""
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
     disc_price = _revenue()
     charge = disc_price * (1 + F.col("l_tax"))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        exact_round_sum("l_quantity").alias("sum_qty"),
-        exact_round_sum("l_extendedprice").alias("sum_base_price"),
-        exact_round_sum(disc_price).alias("sum_disc_price"),
-        exact_round_sum(charge).alias("sum_charge"),
-        exact_round_avg("l_quantity").alias("avg_qty"),
-        exact_round_avg("l_extendedprice").alias("avg_price"),
-        exact_round_avg("l_discount").alias("avg_disc"),
+        exact_round_sum_fast("l_quantity").alias("sum_qty"),
+        exact_round_sum_fast("l_extendedprice").alias("sum_base_price"),
+        exact_round_sum_fast(disc_price).alias("sum_disc_price"),
+        exact_round_sum_fast(charge).alias("sum_charge"),
+        exact_round_avg_fast("l_quantity").alias("avg_qty"),
+        exact_round_avg_fast("l_extendedprice").alias("avg_price"),
+        exact_round_avg_fast("l_discount").alias("avg_disc"),
         F.count(F.lit(1)).alias("count_order"),
     )
 
@@ -125,11 +143,11 @@ def q_revenue_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "top_customers_by_revenue",
-    oracle="""
+    oracle=f"""
         SELECT c_custkey, revenue
         FROM (
             SELECT o_custkey AS c_custkey,
-                   CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))), 2) AS DOUBLE) AS revenue
+                   {sql_exact_round_sum_fast('l_extendedprice * (1 - l_discount)')} AS revenue
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_custkey
         )
@@ -149,7 +167,7 @@ def q_top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy(F.col("o_custkey").alias("c_custkey"))
-        .agg(exact_round_sum(_revenue()).alias("revenue"))
+        .agg(exact_round_sum_fast(_revenue()).alias("revenue"))
     )
     return rev.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc()).limit(10)
 
@@ -926,13 +944,12 @@ def q_range_frame_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "promo_revenue_share",
-    oracle="""
+    oracle=f"""
         SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ship_month,
-               CAST(round(sum(CAST(CASE WHEN p_type = 'PROMO'
-                              THEN l_extendedprice * (1 - l_discount)
-                              ELSE 0 END AS DECIMAL(28,6))), 2) AS DOUBLE) AS promo_revenue,
-               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
-                              AS DECIMAL(28,6))), 2) AS DOUBLE) AS total_revenue,
+               {sql_exact_round_sum_fast(
+                   "CASE WHEN p_type = 'PROMO' "
+                   "THEN l_extendedprice * (1 - l_discount) ELSE 0 END")} AS promo_revenue,
+               {sql_exact_round_sum_fast('l_extendedprice * (1 - l_discount)')} AS total_revenue,
                CAST(count(*) AS BIGINT) AS n_lines
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE l_shipdate IS NOT NULL
@@ -964,10 +981,10 @@ def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(F.date_trunc("month", "l_shipdate").alias("ship_month"))
         .agg(
-            exact_round_sum(
+            exact_round_sum_fast(
                 F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
             ).alias("promo_revenue"),
-            exact_round_sum(rev).alias("total_revenue"),
+            exact_round_sum_fast(rev).alias("total_revenue"),
             F.count(F.lit(1)).cast("bigint").alias("n_lines"),
         )
     )

@@ -22,9 +22,14 @@ from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from hadoop_lab_spark.functions.numeric import (
+    FAST_ABS_BOUND,
     exact_round_avg,
+    exact_round_avg_fast,
     exact_round_sum,
+    exact_round_sum_fast,
     nan_excluded,
+    sql_exact_round_avg_fast,
+    sql_exact_round_sum_fast,
 )
 
 _SETTINGS = settings(
@@ -147,6 +152,139 @@ def test_out_of_range_addend_contract(spark):
     try:
         with pytest.raises(duckdb.Error):
             con.execute("SELECT CAST(1e30 AS DECIMAL(28,6))")
+    finally:
+        con.close()
+
+
+# ---------------------------------------------------------------------------
+# Micro-long fast path (r7): same contract, string-free addend
+# ---------------------------------------------------------------------------
+def _model_round_sum_fast(values: list[float], nd: int = 2) -> float | None:
+    """Independent exact model of exact_round_sum_fast: fast addends are
+    floor(v*1e6 + 0.5) in IEEE double arithmetic (Python floats ARE
+    IEEE doubles, so `math.floor(v * 1e6 + 0.5)` walks Spark's exact
+    steps); slow addends are the decimal-image micros. The micros sum
+    exactly, round HALF_UP at 10^(6-nd), then double-cast and a double
+    division by 1e6 — mirrored operation-for-operation."""
+    import math
+
+    if not values:
+        return None
+    q6 = decimal.Decimal(1).scaleb(-6)
+    total = decimal.Decimal(0)
+    for v in values:
+        if abs(v) < FAST_ABS_BOUND:
+            total += decimal.Decimal(math.floor(v * 1e6 + 0.5))
+        else:
+            total += decimal.Decimal(v).quantize(
+                q6, rounding=decimal.ROUND_HALF_UP
+            ).scaleb(6)
+    rounded = total.quantize(
+        decimal.Decimal(1).scaleb(6 - nd), rounding=decimal.ROUND_HALF_UP
+    )
+    return float(rounded) / 1e6
+
+
+def _spark_fast_sums(spark, values: list[float], n_parts: int):
+    rows = [(v,) for v in values]
+    df = spark.createDataFrame(rows, "v double").repartition(n_parts)
+    out = df.agg(
+        exact_round_sum_fast("v").alias("s"),
+        exact_round_avg_fast("v").alias("a"),
+    ).collect()[0]
+    return out["s"], out["a"]
+
+
+@given(st.lists(_cents, min_size=1, max_size=60))
+@_SETTINGS
+def test_fast_sum_matches_model_classic_and_layout(spark, cents):
+    """Money-like addends: the fast path must equal its own exact model,
+    equal the CLASSIC decimal-image sum (the bit-for-bit equivalence
+    the three converted lanes rely on), and not care about
+    permutation/partitioning."""
+    values = [c / 100.0 for c in cents]
+    expected = _model_round_sum_fast(values)
+    assert expected == _model_round_sum(values), "models diverge on money"
+    s1, _ = _spark_fast_sums(spark, values, 1)
+    s2, _ = _spark_fast_sums(spark, list(reversed(values)), 7)
+    assert s1 == expected, (values, s1, expected)
+    assert s2 == expected, "permuted/repartitioned input moved the fast sum"
+
+
+@given(st.lists(_micros, min_size=1, max_size=60))
+@_SETTINGS
+def test_fast_sum_6dp_products(spark, micros):
+    values = [m / 1_000_000.0 for m in micros]
+    expected = _model_round_sum_fast(values)
+    assert expected == _model_round_sum(values), "models diverge on 6dp"
+    s1, _ = _spark_fast_sums(spark, values, 3)
+    assert s1 == expected, (values, s1, expected)
+
+
+def test_fast_slow_branch_and_out_of_range(spark):
+    """Jumbo values ride the slow (decimal-image) branch: 1e12+0.25 is
+    above FAST_ABS_BOUND and must sum exactly; beyond 22 integer digits
+    still ERRORS loudly under ANSI (the branch keeps the r6 bound)."""
+    df = spark.createDataFrame([(1.0e12 + 0.25,), (0.25,)], "v double")
+    out = df.agg(exact_round_sum_fast("v").alias("s")).collect()[0]
+    assert out["s"] == 1.0e12 + 0.5
+
+    from pyspark.errors.exceptions.captured import ArithmeticException
+
+    df2 = spark.createDataFrame([(1.0e30,), (0.25,)], "v double")
+    with pytest.raises(ArithmeticException):
+        df2.agg(exact_round_sum_fast("v").alias("s")).collect()
+
+
+def test_fast_sql_twin_mixed_branches(spark):
+    """The DuckDB twin must reproduce the Spark fast sum bit-for-bit on
+    a mix that exercises both branches, negatives, and sub-cent values
+    (plus the avg twin's double-division chain)."""
+    import duckdb
+
+    values = [1.0, 0.07, -3.335, 1e12 + 0.25, 5e21, 4294967295.9, 4294967296.5]
+    df = spark.createDataFrame([(v,) for v in values], "v double")
+    row = df.agg(
+        exact_round_sum_fast("v").alias("s"),
+        exact_round_avg_fast("v").alias("a"),
+    ).collect()[0]
+    con = duckdb.connect()
+    try:
+        vals = ",".join(f"({v!r})" for v in values)
+        o = con.execute(
+            f"SELECT {sql_exact_round_sum_fast('v')} AS s,"
+            f" {sql_exact_round_avg_fast('v')} AS a"
+            f" FROM (VALUES {vals}) AS t(v)"
+        ).fetchone()
+    finally:
+        con.close()
+    assert repr(row["s"]) == repr(o[0]), (row["s"], o[0])
+    assert repr(row["a"]) == repr(o[1]), (row["a"], o[1])
+
+
+def test_fast_nan_posture(spark):
+    """NaN rides the slow branch (abs(NaN) < bound is false), so the
+    posture is IDENTICAL to exact_round_sum: Spark silently NULLs the
+    addend, the DuckDB twin ERRORS — an unguarded NaN lane fails
+    loudly in the differential; nan_excluded composes as before."""
+    import duckdb
+
+    df = spark.createDataFrame(
+        [(1.25,), (float("nan"),), (None,), (2.50,)], "v double"
+    )
+    out = df.agg(
+        exact_round_sum_fast(nan_excluded("v")).alias("s")
+    ).collect()[0]
+    assert out["s"] == 3.75
+    unguarded = df.agg(exact_round_sum_fast("v").alias("s")).collect()[0]
+    assert unguarded["s"] == 3.75, "Spark silently drops the NaN addend"
+    con = duckdb.connect()
+    try:
+        with pytest.raises(duckdb.Error):
+            con.execute(
+                f"SELECT {sql_exact_round_sum_fast('v')} FROM "
+                "(VALUES (1.25), (CAST('nan' AS DOUBLE)), (2.50)) AS t(v)"
+            )
     finally:
         con.close()
 
