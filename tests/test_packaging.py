@@ -1,0 +1,62 @@
+"""Packaging contract (VERDICT r6 #4): the pyproject metadata, the
+console-script target, and the cwd-independence the README promises
+must not rot. No pip run here (offline container) — the editable
+install itself was verified manually in a venv (README "Install");
+these pin the pieces that install depends on."""
+
+from __future__ import annotations
+
+import pathlib
+import subprocess
+import sys
+import tomllib
+
+REPO = pathlib.Path(__file__).parent.parent
+
+
+def _pyproject() -> dict:
+    return tomllib.loads((REPO / "pyproject.toml").read_text())
+
+
+def test_pyproject_parses_with_required_fields():
+    meta = _pyproject()["project"]
+    assert meta["name"] == "hadoop-lab-spark"
+    assert any(d.startswith("pyspark") for d in meta["dependencies"])
+    assert "scripts" in _pyproject()["project"]
+
+
+def test_console_script_target_resolves():
+    """The entry point string must name a real callable that returns an
+    int exit code (setuptools wraps the return value in sys.exit)."""
+    target = _pyproject()["project"]["scripts"]["hadoop-lab-spark"]
+    mod_name, func_name = target.split(":")
+    import importlib
+
+    fn = getattr(importlib.import_module(mod_name), func_name)
+    assert callable(fn)
+
+
+def test_module_imports_without_repo_cwd(tmp_path):
+    """`import hadoop_lab_spark` and the CLI parser must work from a
+    foreign cwd with only PYTHONPATH pointing at the checkout — the
+    exact posture of both a pip install and the verify driver."""
+    import os
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(REPO) + os.pathsep + env.get("PYTHONPATH", "")
+    out = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "from hadoop_lab_spark.__main__ import main; "
+            "import hadoop_lab_spark.plans.registry as r; "
+            "r.load_all_query_modules(); print(len(r.REGISTRY))",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=120,
+        cwd=str(tmp_path),
+        env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert int(out.stdout.strip()) >= 160
