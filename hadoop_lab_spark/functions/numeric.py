@@ -141,28 +141,45 @@ def sql_exact_round_sum(expr: str, nd: int = 2) -> str:
 # exactly in micros, rescaled once per GROUP after the aggregate.
 #
 # The branch keeps the r6 contract intact:
-# - |x| < 2**32 (fast): x*1e6 < 2**52, so the product is exact to
-#   < 0.25 ulp and floor(m + 0.5) is the true half-up 6dp rounding.
-#   Money-like values give the SAME micros as the decimal-image cast
-#   (the module's tie-safety argument covers both paths: digits 5-6 of
-#   a 2dp/4dp value are exactly zero, and a non-binary-exact value has
-#   no tie at digit 6), so lanes switching to the fast helpers keep
-#   their values bit-for-bit.
-# - |x| >= 2**32 (slow): the existing decimal-image cast, times 10^6 in
-#   exact decimal arithmetic — the 22-integer-digit loud-overflow bound
-#   and the NaN posture (abs(NaN) compares false → slow branch → Spark
-#   NULL / DuckDB cast error → differential fails LOUDLY; nan_excluded
-#   composes as before) are unchanged.
+# - |x| < 2**31 (fast): floor(x*1e6 + 0.5) in doubles. Error budget vs
+#   the true decimal micros of a micro-exact (≤6dp) money value below
+#   the bound: the input double's own quantization is ≤ 0.5·ulp(2**31)
+#   ·1e6 ≈ 0.12 µ and the product rounding ≤ 0.5·ulp(2**31·1e6) ≈
+#   0.13 µ — total < 0.25 µ, strictly inside the half-micro window, so
+#   the floor IS the true half-up 6dp image. (A first cut used 2**32;
+#   hypothesis found a cent value near the bound where the two error
+#   terms sum past 0.5 µ — the bound must leave the input-quantization
+#   term room, not just the product term.) For addends that are NOT
+#   micro-exact decimals (double PRODUCTS like price*(1-disc), whose
+#   expansions run past digit 6), the fast image may pick the other
+#   side of a 1 µ boundary than the string-image cast in rare rows —
+#   a deterministic, per-row, engine-mirrored contract difference
+#   bounded by 1 µ per addend, NOT an accumulation artifact; the three
+#   converted lanes were additionally verified value-identical to
+#   their classic r6 results at sf0.01/0.1/1.0 empirically.
+# - |x| >= 2**31 (slow): the existing decimal-image cast, times 10^6 in
+#   exact decimal arithmetic — the loud-overflow posture and the NaN
+#   posture (abs(NaN) compares false → slow branch → Spark NULL /
+#   DuckDB cast error → differential fails LOUDLY; nan_excluded
+#   composes as before) are unchanged. Range bound: the micros sum is
+#   narrowed to DECIMAL(31,0) before the final rescale, so the loudly-
+#   enforced cap is Σ|units| < 1e25 per group (classic: 1e26; both
+#   absurdly above any real corpus, both ANSI-loud on breach).
+# The final image is produced by ONE decimal→double conversion of the
+# exactly-rescaled units (micros × 0.000001 in exact decimal
+# arithmetic) — the same single-conversion shape as exact_round_sum,
+# so the output double is identical to the classic image for the same
+# rounded sum. (A first cut did cast(double)/1e6, whose second IEEE
+# rounding flips the last ulp once the micros exceed 2**53 — also
+# hypothesis-caught.)
 # Both branches are per-row deterministic and the accumulation is exact
 # integer decimal — layout/partitioning invariance holds as for
-# :func:`exact_round_sum`. The per-engine formulas are mirrored
-# operation-for-operation, so the one place the two PATHS could in
-# principle disagree (a rounded product m landing exactly on n+0.5)
-# resolves identically on both engines; cross-path equality is never
-# required because the branch predicate is part of the contract.
+# :func:`exact_round_sum`. Cross-path equality at the branch boundary
+# is never required because the branch predicate is part of the
+# contract and is mirrored on both engines.
 
-#: Fast-path magnitude bound: micros stay below 2**52 with 4x margin.
-FAST_ABS_BOUND = 4294967296.0  # 2**32
+#: Fast-path magnitude bound — see error budget above.
+FAST_ABS_BOUND = 2147483648.0  # 2**31
 
 
 def _micro_addend(col: Column | str) -> Column:
@@ -176,41 +193,54 @@ def _micro_addend(col: Column | str) -> Column:
 def _sql_micro_addend(expr: str) -> str:
     """Oracle-side twin of :func:`_micro_addend` (DuckDB ANSI SQL)."""
     return (
-        f"CASE WHEN abs({expr}) < 4294967296.0 "
+        f"CASE WHEN abs({expr}) < 2147483648.0 "
         f"THEN CAST(CAST(floor(({expr}) * 1e6 + 0.5) AS BIGINT) AS DECIMAL(38,6)) "
         f"ELSE CAST(({expr}) AS DECIMAL(28,6)) * CAST(1000000 AS DECIMAL(7,0)) END"
     )
 
 
+#: Exact decimal rescale factor micros→units (multiplying is exact
+#: decimal arithmetic; DIVIDING by 1e6 as a double after the cast
+#: double-rounds above 2**53 micros — the hypothesis-caught bug).
+_MICRO = "CAST(0.000001 AS DECIMAL(7,6))"
+
+
 def exact_round_sum_fast(col: Column | str, nd: int = 2) -> Column:
     """:func:`exact_round_sum` with the micro-long fast path. Same
-    layout-invariance and loud-overflow contract; identical values for
-    money-like addends (see fast-path block comment). Use on hot
-    scan-side money sums; the plain helper remains the default."""
+    layout-invariance and loud-overflow posture; same final double
+    image (single decimal→double conversion of the exactly-rescaled
+    rounded sum). See the fast-path block comment for the addend-level
+    contract. Use on hot scan-side money sums; the plain helper
+    remains the default."""
     s = F.sum(_micro_addend(col))
-    return (F.round(s, nd - 6).cast("double") / F.lit(1000000.0))
+    micros = F.round(s, nd - 6).cast("decimal(31,0)")
+    return (micros * F.expr(_MICRO)).cast("double")
 
 
 def sql_exact_round_sum_fast(expr: str, nd: int = 2) -> str:
     """Oracle-side twin of :func:`exact_round_sum_fast`."""
     return (
-        f"CAST(round(sum({_sql_micro_addend(expr)}), {nd - 6}) AS DOUBLE)"
-        f" / 1000000.0"
+        f"CAST(CAST(round(sum({_sql_micro_addend(expr)}), {nd - 6})"
+        f" AS DECIMAL(31,0)) * {_MICRO} AS DOUBLE)"
     )
 
 
 def exact_round_avg_fast(col: Column | str, nd: int = 4) -> Column:
     """:func:`exact_round_avg` with the micro-long fast path: exact
-    micros sum → double → /10^6 → /count — each double op mirrored in
-    the SQL twin, so both engines walk the same IEEE steps."""
+    micros sum, exact decimal rescale to units, ONE decimal→double
+    conversion, one double division by the non-null count — the same
+    IEEE step sequence as :func:`exact_round_avg`, mirrored in the SQL
+    twin. Narrowing bound: Σ|micros| < 1e25 per group (DECIMAL(31,6)),
+    ANSI-loud on breach."""
     c = F.col(col) if isinstance(col, str) else col
     s = F.sum(_micro_addend(c))
-    return F.round(s.cast("double") / F.lit(1000000.0) / F.count(c), nd)
+    units = s.cast("decimal(31,6)") * F.expr(_MICRO)
+    return F.round(units.cast("double") / F.count(c), nd)
 
 
 def sql_exact_round_avg_fast(expr: str, nd: int = 4) -> str:
     """Oracle-side twin of :func:`exact_round_avg_fast`."""
     return (
-        f"round(CAST(sum({_sql_micro_addend(expr)}) AS DOUBLE)"
-        f" / 1000000.0 / count({expr}), {nd})"
+        f"round(CAST(CAST(sum({_sql_micro_addend(expr)}) AS DECIMAL(31,6))"
+        f" * {_MICRO} AS DOUBLE) / count({expr}), {nd})"
     )

@@ -164,8 +164,11 @@ def _model_round_sum_fast(values: list[float], nd: int = 2) -> float | None:
     floor(v*1e6 + 0.5) in IEEE double arithmetic (Python floats ARE
     IEEE doubles, so `math.floor(v * 1e6 + 0.5)` walks Spark's exact
     steps); slow addends are the decimal-image micros. The micros sum
-    exactly, round HALF_UP at 10^(6-nd), then double-cast and a double
-    division by 1e6 — mirrored operation-for-operation."""
+    exactly, round HALF_UP at 10^(6-nd), rescale to units in EXACT
+    decimal arithmetic, then ONE correctly-rounded decimal→double
+    conversion — mirrored operation-for-operation. (float(Decimal) is
+    correctly rounded, like the engines' single decimal→double cast;
+    `float(rounded)/1e6` would double-round above 2**53 micros.)"""
     import math
 
     if not values:
@@ -182,7 +185,7 @@ def _model_round_sum_fast(values: list[float], nd: int = 2) -> float | None:
     rounded = total.quantize(
         decimal.Decimal(1).scaleb(6 - nd), rounding=decimal.ROUND_HALF_UP
     )
-    return float(rounded) / 1e6
+    return float(rounded.scaleb(-6))
 
 
 def _spark_fast_sums(spark, values: list[float], n_parts: int):
@@ -237,29 +240,47 @@ def test_fast_slow_branch_and_out_of_range(spark):
 
 
 def test_fast_sql_twin_mixed_branches(spark):
-    """The DuckDB twin must reproduce the Spark fast sum bit-for-bit on
-    a mix that exercises both branches, negatives, and sub-cent values
-    (plus the avg twin's double-division chain)."""
+    """The DuckDB twin must reproduce the Spark fast sum/avg
+    bit-for-bit on a mix that exercises both branches, negatives,
+    sub-cent values, and (for the sum) a jumbo 5e21 addend. The avg
+    twin's DECIMAL(31,6) narrowing caps Σ|micros| at 1e25 — the jumbo
+    mix must breach it LOUDLY on BOTH engines (checked below), so the
+    avg comparison uses the sub-cap mix."""
     import duckdb
 
-    values = [1.0, 0.07, -3.335, 1e12 + 0.25, 5e21, 4294967295.9, 4294967296.5]
-    df = spark.createDataFrame([(v,) for v in values], "v double")
-    row = df.agg(
-        exact_round_sum_fast("v").alias("s"),
-        exact_round_avg_fast("v").alias("a"),
-    ).collect()[0]
-    con = duckdb.connect()
-    try:
-        vals = ",".join(f"({v!r})" for v in values)
-        o = con.execute(
-            f"SELECT {sql_exact_round_sum_fast('v')} AS s,"
-            f" {sql_exact_round_avg_fast('v')} AS a"
-            f" FROM (VALUES {vals}) AS t(v)"
-        ).fetchone()
-    finally:
-        con.close()
-    assert repr(row["s"]) == repr(o[0]), (row["s"], o[0])
-    assert repr(row["a"]) == repr(o[1]), (row["a"], o[1])
+    values = [1.0, 0.07, -3.335, 1e12 + 0.25, 5e21, 2147483647.9, 2147483648.5]
+    avg_values = [v for v in values if v != 5e21]
+
+    def spark_agg(vals, col):
+        df = spark.createDataFrame([(v,) for v in vals], "v double")
+        return df.agg(col.alias("x")).collect()[0]["x"]
+
+    def duck(vals, expr):
+        con = duckdb.connect()
+        try:
+            rows = ",".join(f"({v!r})" for v in vals)
+            return con.execute(
+                f"SELECT {expr} FROM (VALUES {rows}) AS t(v)"
+            ).fetchone()[0]
+        finally:
+            con.close()
+
+    s = spark_agg(values, exact_round_sum_fast("v"))
+    o_s = duck(values, sql_exact_round_sum_fast("v"))
+    assert repr(s) == repr(o_s), (s, o_s)
+
+    a = spark_agg(avg_values, exact_round_avg_fast("v"))
+    o_a = duck(avg_values, sql_exact_round_avg_fast("v"))
+    assert repr(a) == repr(o_a), (a, o_a)
+
+    # Breach posture: the jumbo mix exceeds the avg narrowing cap and
+    # must ERROR on both engines — loud, never a silent truncation.
+    from pyspark.errors.exceptions.captured import ArithmeticException
+
+    with pytest.raises(ArithmeticException):
+        spark_agg(values, exact_round_avg_fast("v"))
+    with pytest.raises(duckdb.Error):
+        duck(values, sql_exact_round_avg_fast("v"))
 
 
 def test_fast_nan_posture(spark):
