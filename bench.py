@@ -132,8 +132,37 @@ def _time_query(fn, spark, sf_dir: str, repeats: int, gc: bool) -> list[float]:
     return times
 
 
+def _warn_if_contended() -> None:
+    """A concurrent Spark JVM inflates isolated small lanes 1.5-2x
+    (measured r7: a CLI smoke running mid-bench pushed
+    top_parts_per_brand 0.18->0.38 s while barely moving the totals),
+    which poisons per-lane adjudication. Our own JVM hasn't started
+    yet, so ANY Spark JVM visible now is foreign. Warning only — the
+    run may be deliberate (e.g. a shared CI box)."""
+    try:
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit():
+                continue
+            try:
+                with open(f"/proc/{pid}/cmdline", "rb") as f:
+                    cmd = f.read()
+            except OSError:
+                continue
+            if b"org.apache.spark" in cmd:
+                print(
+                    f"WARNING: another Spark JVM is running (pid {pid}) — "
+                    "bench medians will be contended; per-lane numbers "
+                    "are not adjudication-grade",
+                    file=sys.stderr,
+                )
+                return
+    except OSError:
+        pass  # non-procfs platform: skip the check
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    _warn_if_contended()
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
     gc = os.environ.get("SPARK_GRAFT_BENCH_GC", "0") == "1"
     match = re.search(r"sf([0-9.]+)", sf_dir)
