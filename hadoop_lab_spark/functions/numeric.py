@@ -157,45 +157,84 @@ def sql_exact_round_sum(expr: str, nd: int = 2) -> str:
 #   bounded by 1 µ per addend, NOT an accumulation artifact; the three
 #   converted lanes were additionally verified value-identical to
 #   their classic r6 results at sf0.01/0.1/1.0 empirically.
-# - |x| >= 2**31 (slow): the existing decimal-image cast, times 10^6 in
-#   exact decimal arithmetic — the loud-overflow posture and the NaN
-#   posture (abs(NaN) compares false → slow branch → Spark NULL /
-#   DuckDB cast error → differential fails LOUDLY; nan_excluded
-#   composes as before) are unchanged. Range bound: the micros sum is
-#   narrowed to DECIMAL(31,0) before the final rescale, so the loudly-
-#   enforced cap is Σ|units| < 1e25 per group (classic: 1e26; both
-#   absurdly above any real corpus, both ANSI-loud on breach).
+# - |x| >= 2**31 (slow): the SPLIT image — integer part by exact IEEE
+#   truncation (x - x % 1.0 is exact at every magnitude: the fraction
+#   of a double is always representable, and fmod/subtraction return
+#   it exactly), fraction micros by the same floor(+0.5) on |frac|
+#   with the sign reapplied (= half-away rounding, matching HALF_UP).
+#   The integer part alone goes through a double→decimal(22,0) cast —
+#   exact on BOTH engines for integer-valued doubles, which is the
+#   entire point: the hostile-star gate caught DuckDB's double→decimal
+#   cast SCALING IN DOUBLE (CAST((1e12+0.25)*0.5 AS DECIMAL(28,6)) =
+#   500000000000.124992, not .125 — micros above 2**53 are not
+#   representable mid-flight), so a slow branch defined as "the
+#   decimal image of x" means two DIFFERENT images once |x| ≳ 9e9.
+#   The split image is engine-identical at any magnitude by IEEE
+#   construction and equals the true half-away 6dp image of the
+#   double's exact value (up to the same ±1 µ near-tie ambiguity as
+#   the fast branch). NaN/±inf propagate to a NULL addend on Spark
+#   (NaN truncation casts to NULL decimal) while the DuckDB twin's
+#   cast ERRORS — the classic loud-differential NaN posture;
+#   nan_excluded composes as before. Loud range bound: the (22,0)
+#   integer-part cast errors beyond 22 integer digits on both engines
+#   — the SAME 1e22 addend bound as exact_round_sum.
 # The final image is produced by ONE decimal→double conversion of the
 # exactly-rescaled units (micros × 0.000001 in exact decimal
 # arithmetic) — the same single-conversion shape as exact_round_sum,
 # so the output double is identical to the classic image for the same
 # rounded sum. (A first cut did cast(double)/1e6, whose second IEEE
-# rounding flips the last ulp once the micros exceed 2**53 — also
-# hypothesis-caught.)
+# rounding flips the last ulp once the micros exceed 2**53 —
+# hypothesis-caught.) The micros sum is narrowed to DECIMAL(31,0)
+# before the rescale, capping Σ|units| at 1e25 per group (classic:
+# 1e32; both absurdly above any real corpus, both ANSI-loud on
+# breach).
 # Both branches are per-row deterministic and the accumulation is exact
 # integer decimal — layout/partitioning invariance holds as for
 # :func:`exact_round_sum`. Cross-path equality at the branch boundary
 # is never required because the branch predicate is part of the
 # contract and is mirrored on both engines.
+#
+# NOTE on the CLASSIC helpers' domain, recorded while fixing this: the
+# classic oracle idiom CAST(x AS DECIMAL(28,6)) carries the same
+# DuckDB double-scaling limitation, so exact_round_sum's cross-engine
+# image agreement is guaranteed only where the addend's true micros
+# are double-representable (|x| ≲ 9e9, or exactly-representable
+# micros like round 1e12 values — every shipped corpus qualifies);
+# a lane whose addends can exceed that domain should use the fast
+# helpers, whose split image has no such bound. The classic final
+# CAST(... AS DOUBLE) additionally inherits DuckDB's sign-asymmetric
+# decimal→double conversion (see :func:`_sql_dec_to_double`) for
+# NEGATIVE sums beyond ~9e9 units — also out of every shipped
+# corpus's range, also fixed in the fast twins.
 
 #: Fast-path magnitude bound — see error budget above.
 FAST_ABS_BOUND = 2147483648.0  # 2**31
 
 
 def _micro_addend(col: Column | str) -> Column:
-    """Per-row addend in exact MICROS (decimal, value = units * 10^6)."""
+    """Per-row addend in exact integer MICROS (scale-0 decimal)."""
     c = F.col(col) if isinstance(col, str) else col
     fast = F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("decimal(22,0)")
-    slow = c.cast(SUM_DECIMAL) * F.lit(1000000).cast("decimal(7,0)")
+    frac = c % F.lit(1.0)  # exact IEEE: the fraction of a double is representable
+    frac_mic = F.floor(F.abs(frac) * F.lit(1e6) + F.lit(0.5))  # LONG, half-away w/ sign below
+    slow = (
+        (c - frac).cast("decimal(22,0)") * F.lit(1000000).cast("decimal(7,0)")
+        + F.when(c < 0, -frac_mic).otherwise(frac_mic).cast("decimal(22,0)")
+    )
     return F.when(F.abs(c) < F.lit(FAST_ABS_BOUND), fast).otherwise(slow)
 
 
 def _sql_micro_addend(expr: str) -> str:
     """Oracle-side twin of :func:`_micro_addend` (DuckDB ANSI SQL)."""
+    e = f"({expr})"
+    frac_mic = f"floor(abs({e} % 1.0) * 1e6 + 0.5)"
     return (
-        f"CASE WHEN abs({expr}) < 2147483648.0 "
-        f"THEN CAST(CAST(floor(({expr}) * 1e6 + 0.5) AS BIGINT) AS DECIMAL(38,6)) "
-        f"ELSE CAST(({expr}) AS DECIMAL(28,6)) * CAST(1000000 AS DECIMAL(7,0)) END"
+        f"CASE WHEN abs{e} < 2147483648.0 "
+        f"THEN CAST(CAST(floor({e} * 1e6 + 0.5) AS BIGINT) AS DECIMAL(22,0)) "
+        f"ELSE CAST({e} - ({e} % 1.0) AS DECIMAL(22,0))"
+        f" * CAST(1000000 AS DECIMAL(7,0))"
+        f" + CAST(CASE WHEN {e} < 0 THEN -{frac_mic} ELSE {frac_mic} END"
+        f" AS DECIMAL(22,0)) END"
     )
 
 
@@ -203,6 +242,18 @@ def _sql_micro_addend(expr: str) -> str:
 #: decimal arithmetic; DIVIDING by 1e6 as a double after the cast
 #: double-rounds above 2**53 micros — the hypothesis-caught bug).
 _MICRO = "CAST(0.000001 AS DECIMAL(7,6))"
+
+
+def _sql_dec_to_double(expr: str) -> str:
+    """DuckDB decimal→double via the POSITIVE path only: measured on
+    DuckDB 1.x, CAST(DECIMAL AS DOUBLE) is sign-ASYMMETRIC once the
+    unscaled value exceeds 2**53 (+500000000000.380000 → .38 correct,
+    -500000000000.380000 → -500000000000.37994 — off by 6e-5). Spark's
+    conversion (BigDecimal.doubleValue) is correctly rounded and
+    symmetric, so the twin negates around DuckDB's correct positive
+    path. Decimal negation is exact; IEEE negation is exact."""
+    e = f"({expr})"
+    return f"CASE WHEN {e} < 0 THEN -CAST(-{e} AS DOUBLE) ELSE CAST({e} AS DOUBLE) END"
 
 
 def exact_round_sum_fast(col: Column | str, nd: int = 2) -> Column:
@@ -219,10 +270,11 @@ def exact_round_sum_fast(col: Column | str, nd: int = 2) -> Column:
 
 def sql_exact_round_sum_fast(expr: str, nd: int = 2) -> str:
     """Oracle-side twin of :func:`exact_round_sum_fast`."""
-    return (
-        f"CAST(CAST(round(sum({_sql_micro_addend(expr)}), {nd - 6})"
-        f" AS DECIMAL(31,0)) * {_MICRO} AS DOUBLE)"
+    units = (
+        f"CAST(round(sum({_sql_micro_addend(expr)}), {nd - 6})"
+        f" AS DECIMAL(31,0)) * {_MICRO}"
     )
+    return _sql_dec_to_double(units)
 
 
 def exact_round_avg_fast(col: Column | str, nd: int = 4) -> Column:
@@ -230,17 +282,15 @@ def exact_round_avg_fast(col: Column | str, nd: int = 4) -> Column:
     micros sum, exact decimal rescale to units, ONE decimal→double
     conversion, one double division by the non-null count — the same
     IEEE step sequence as :func:`exact_round_avg`, mirrored in the SQL
-    twin. Narrowing bound: Σ|micros| < 1e25 per group (DECIMAL(31,6)),
-    ANSI-loud on breach."""
+    twin. Narrowing bound: Σ|units| < 1e25 per group (DECIMAL(31,0)
+    micros), ANSI-loud on breach — same cap as the sum helper."""
     c = F.col(col) if isinstance(col, str) else col
     s = F.sum(_micro_addend(c))
-    units = s.cast("decimal(31,6)") * F.expr(_MICRO)
+    units = s.cast("decimal(31,0)") * F.expr(_MICRO)
     return F.round(units.cast("double") / F.count(c), nd)
 
 
 def sql_exact_round_avg_fast(expr: str, nd: int = 4) -> str:
     """Oracle-side twin of :func:`exact_round_avg_fast`."""
-    return (
-        f"round(CAST(CAST(sum({_sql_micro_addend(expr)}) AS DECIMAL(31,6))"
-        f" * {_MICRO} AS DOUBLE) / count({expr}), {nd})"
-    )
+    units = f"CAST(sum({_sql_micro_addend(expr)}) AS DECIMAL(31,0)) * {_MICRO}"
+    return f"round({_sql_dec_to_double(units)} / count({expr}), {nd})"

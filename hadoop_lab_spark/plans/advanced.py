@@ -274,13 +274,19 @@ def q_approx_distinct_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The approx value itself is engine-specific (HLL internals), so it
     can't be hash-compared — but its error bound CAN be. At 100 TB
     approx_count_distinct is the difference between one pass with a
-    16KB sketch per group and a full distinct shuffle."""
+    16KB sketch per group and a full distinct shuffle.
+
+    Zero-distinct guard (hostile-star finding): a group whose key
+    column is all-NULL has exact_uniq = 0 and the ratio divides by
+    zero — a DIVIDE_BY_ZERO job-killer under ANSI (the corr() class
+    from the adversarial-corpus round). The contract for such groups
+    is approx == 0 (an empty HLL must report nothing)."""
     orders = _t(spark, sf_dir, "orders")
     agg = orders.groupBy("o_orderpriority").agg(
         F.count_distinct("o_custkey").alias("exact_uniq"),
         F.approx_count_distinct("o_custkey", rsd=0.02).alias("_approx"),
     )
-    within = (
+    within = F.when(F.col("exact_uniq") == 0, F.col("_approx") == 0).otherwise(
         F.abs(F.col("_approx") - F.col("exact_uniq")) / F.col("exact_uniq") <= 0.05
     )
     return agg.select("o_orderpriority", "exact_uniq", within.alias("within_5pct"))
@@ -1234,11 +1240,27 @@ def q_map_function_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "string_distance_sampler",
     oracle="""
+        -- Levenshtein is distance-UNIT-mismatched across engines on
+        -- non-ASCII input (Spark counts codepoints, DuckDB counts
+        -- bytes — a unicode part name measured 15 vs 19; hostile-star
+        -- finding), so the oracle-checked contract scopes the distance
+        -- to printable-ASCII pairs and yields NULL otherwise, the same
+        -- move that keeps ln/exp and soundex out of the oracle
+        -- surface. split_part is NULL-guarded: DuckDB returns '' for a
+        -- NULL input where Spark propagates NULL.
         SELECT p_partkey,
-               CAST(levenshtein(p_brand, p_type) AS INTEGER) AS brand_type_dist,
-               CAST(levenshtein(p_name, p_type) AS INTEGER) AS name_type_dist,
-               split_part(p_name, ' ', 1) AS name_head,
-               split_part(p_name, ' ', -1) AS name_tail,
+               CAST(CASE WHEN regexp_matches(p_brand, '^[ -~]*$')
+                          AND regexp_matches(p_type, '^[ -~]*$')
+                         THEN levenshtein(p_brand, p_type) END
+                    AS INTEGER) AS brand_type_dist,
+               CAST(CASE WHEN regexp_matches(p_name, '^[ -~]*$')
+                          AND regexp_matches(p_type, '^[ -~]*$')
+                         THEN levenshtein(p_name, p_type) END
+                    AS INTEGER) AS name_type_dist,
+               CASE WHEN p_name IS NOT NULL
+                    THEN split_part(p_name, ' ', 1) END AS name_head,
+               CASE WHEN p_name IS NOT NULL
+                    THEN split_part(p_name, ' ', -1) END AS name_tail,
                translate(p_name, 'aeiou', 'AEIOU') AS name_caps_vowels,
                repeat(p_brand, 2) AS brand_twice,
                CAST(strpos(p_name, 'widget') AS INTEGER) AS widget_pos,
@@ -1246,21 +1268,34 @@ def q_map_function_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
                contains(p_name, 'blue') AS has_blue
         FROM part
     """,
-    doc="string-distance + manipulation parity: levenshtein, split_part "
-    "(positive and negative index), translate, repeat, instr/strpos, "
-    "starts_with, contains — all JVM built-ins, one codegen stage",
+    doc="string-distance + manipulation parity: levenshtein (ASCII-scoped "
+    "contract), split_part (positive and negative index), translate, repeat, "
+    "instr/strpos, starts_with, contains — all JVM built-ins, one codegen stage",
     tags=("advanced", "functions", "string"),
 )
 def q_string_distance_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Levenshtein at 100 TB: O(len^2) per pair but JVM-side and
     shuffle-free as a projection; for pairwise fuzzy JOINS use the
     blocked dedup operators instead (soundex exists Spark-side but has
-    no DuckDB twin, so it stays out of the oracle surface)."""
+    no DuckDB twin, so it stays out of the oracle surface). The
+    distance contract is scoped to printable-ASCII pairs (NULL
+    otherwise): the engines disagree on the distance UNIT for
+    multi-byte text (codepoints vs bytes — see oracle comment)."""
     p = _t(spark, sf_dir, "part")
+
+    def _ascii(c: str):
+        return F.col(c).rlike("^[ -~]*$")
+
     return p.select(
         "p_partkey",
-        F.levenshtein("p_brand", "p_type").alias("brand_type_dist"),
-        F.levenshtein("p_name", "p_type").alias("name_type_dist"),
+        F.when(
+            _ascii("p_brand") & _ascii("p_type"),
+            F.levenshtein("p_brand", "p_type"),
+        ).alias("brand_type_dist"),
+        F.when(
+            _ascii("p_name") & _ascii("p_type"),
+            F.levenshtein("p_name", "p_type"),
+        ).alias("name_type_dist"),
         F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("name_head"),
         F.split_part(F.col("p_name"), F.lit(" "), F.lit(-1)).alias("name_tail"),
         F.translate("p_name", "aeiou", "AEIOU").alias("name_caps_vowels"),

@@ -735,8 +735,14 @@ def q_orders_page2_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
                lead(o_orderkey) OVER w AS next_key,
                first_value(o_orderkey) OVER w AS cheapest_key
         FROM orders
+        -- NULLS FIRST explicitly on EVERY key (the event_value_deltas
+        -- convention): Spark ASC defaults to it, DuckDB to NULLS LAST —
+        -- the hostile-star gate caught a NULL o_orderkey changing
+        -- lead/first_value positions between engines when only the
+        -- price key was pinned.
         WINDOW w AS (PARTITION BY o_orderpriority
-                     ORDER BY o_totalprice ASC NULLS FIRST, o_orderkey ASC)
+                     ORDER BY o_totalprice ASC NULLS FIRST,
+                              o_orderkey ASC NULLS FIRST)
     """,
     doc="ranking-window sampler: ntile/rank/dense_rank/row_number/"
     "percent_rank/cume_dist/lead/first_value sharing one window spec "
@@ -752,7 +758,8 @@ def q_order_rank_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical across engines with no rounding policy."""
     orders = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_orderpriority").orderBy(
-        F.col("o_totalprice").asc_nulls_first(), F.col("o_orderkey").asc()
+        F.col("o_totalprice").asc_nulls_first(),
+        F.col("o_orderkey").asc_nulls_first(),
     )
     return orders.select(
         "o_orderkey",

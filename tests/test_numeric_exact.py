@@ -173,15 +173,18 @@ def _model_round_sum_fast(values: list[float], nd: int = 2) -> float | None:
 
     if not values:
         return None
-    q6 = decimal.Decimal(1).scaleb(-6)
     total = decimal.Decimal(0)
     for v in values:
         if abs(v) < FAST_ABS_BOUND:
             total += decimal.Decimal(math.floor(v * 1e6 + 0.5))
         else:
-            total += decimal.Decimal(v).quantize(
-                q6, rounding=decimal.ROUND_HALF_UP
-            ).scaleb(6)
+            # Split image: exact truncation + half-away fraction micros
+            # (the engines' slow branch, walked in the same IEEE steps).
+            frac = math.fmod(v, 1.0)
+            frac_mic = math.floor(abs(frac) * 1e6 + 0.5)
+            total += decimal.Decimal(v - frac) * 10**6 + (
+                -frac_mic if v < 0 else frac_mic
+            )
     rounded = total.quantize(
         decimal.Decimal(1).scaleb(6 - nd), rounding=decimal.ROUND_HALF_UP
     )
@@ -242,14 +245,13 @@ def test_fast_slow_branch_and_out_of_range(spark):
 def test_fast_sql_twin_mixed_branches(spark):
     """The DuckDB twin must reproduce the Spark fast sum/avg
     bit-for-bit on a mix that exercises both branches, negatives,
-    sub-cent values, and (for the sum) a jumbo 5e21 addend. The avg
-    twin's DECIMAL(31,6) narrowing caps Σ|micros| at 1e25 — the jumbo
-    mix must breach it LOUDLY on BOTH engines (checked below), so the
-    avg comparison uses the sub-cap mix."""
+    sub-cent values, a jumbo 5e21 addend (slow split image far beyond
+    double-representable micros), and the exact class the hostile-star
+    gate caught: a slow-branch value whose group sum lands on a
+    half-cent (500000000000.125 + 0.25 → x.375 — DuckDB's plain
+    double→decimal CAST scales in double and lands on .374992 there,
+    which is why the slow branch is a SPLIT image, not a cast)."""
     import duckdb
-
-    values = [1.0, 0.07, -3.335, 1e12 + 0.25, 5e21, 2147483647.9, 2147483648.5]
-    avg_values = [v for v in values if v != 5e21]
 
     def spark_agg(vals, col):
         df = spark.createDataFrame([(v,) for v in vals], "v double")
@@ -265,22 +267,22 @@ def test_fast_sql_twin_mixed_branches(spark):
         finally:
             con.close()
 
-    s = spark_agg(values, exact_round_sum_fast("v"))
-    o_s = duck(values, sql_exact_round_sum_fast("v"))
-    assert repr(s) == repr(o_s), (s, o_s)
-
-    a = spark_agg(avg_values, exact_round_avg_fast("v"))
-    o_a = duck(avg_values, sql_exact_round_avg_fast("v"))
-    assert repr(a) == repr(o_a), (a, o_a)
-
-    # Breach posture: the jumbo mix exceeds the avg narrowing cap and
-    # must ERROR on both engines — loud, never a silent truncation.
-    from pyspark.errors.exceptions.captured import ArithmeticException
-
-    with pytest.raises(ArithmeticException):
-        spark_agg(values, exact_round_avg_fast("v"))
-    with pytest.raises(duckdb.Error):
-        duck(values, sql_exact_round_avg_fast("v"))
+    mixes = [
+        [1.0, 0.07, -3.335, 1e12 + 0.25, 5e21, 2147483647.9, 2147483648.5],
+        [(1e12 + 0.25) * 0.5, 0.25],  # hostile-star half-cent case → x.38
+        [-(1e12 + 0.25) * 0.5, -0.25],  # negative twin → away-rounding
+    ]
+    for vals in mixes:
+        s = spark_agg(vals, exact_round_sum_fast("v"))
+        o_s = duck(vals, sql_exact_round_sum_fast("v"))
+        assert repr(s) == repr(o_s), (vals, s, o_s)
+        assert s == _model_round_sum_fast(vals), (vals, s)
+        a = spark_agg(vals, exact_round_avg_fast("v"))
+        o_a = duck(vals, sql_exact_round_avg_fast("v"))
+        assert repr(a) == repr(o_a), (vals, a, o_a)
+    # The half-cent group must round away on both engines.
+    assert spark_agg(mixes[1], exact_round_sum_fast("v")) == 500000000000.38
+    assert spark_agg(mixes[2], exact_round_sum_fast("v")) == -500000000000.38
 
 
 def test_fast_nan_posture(spark):
