@@ -106,16 +106,21 @@ def q_grade_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "grades_collect_per_segment",
     oracle="""
+        -- || not concat(): Spark's concat PROPAGATES a NULL argument
+        -- while DuckDB's concat SKIPS it (a NULL c_name collected as
+        -- ':F' on one engine only — hostile-star finding). The ANSI ||
+        -- operator NULL-propagates on both, pinning the contract that
+        -- a NULL-named row contributes no entry.
         SELECT c_mktsegment,
                string_agg(entry, ', ' ORDER BY entry) AS collected
         FROM (
             SELECT c_mktsegment,
-                   concat(c_name, ':',
+                   c_name || ':' ||
                           CASE WHEN c_acctbal >= 9000 THEN 'A'
                                WHEN c_acctbal >= 8000 THEN 'B'
                                WHEN c_acctbal >= 7000 THEN 'C'
                                WHEN c_acctbal >= 6000 THEN 'D'
-                               ELSE 'F' END) AS entry
+                               ELSE 'F' END AS entry
             FROM customer
         )
         GROUP BY c_mktsegment

@@ -42,7 +42,9 @@ _ALL_TABLES = (
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
 )
-_STAR = {"lineitem", "orders", "part"}
+_STAR = {
+    "lineitem", "orders", "part", "customer", "supplier", "nation", "region",
+}
 
 
 def _star_only_lanes() -> list[str]:
@@ -82,7 +84,7 @@ LINEITEM = [
     (3, None, 3, 1, 1.0, 2147483647.75, 0.0, 0.0, "A", "F", 400.0),  # just below 2**31 (fast branch)
     (3, 4, 3, 2, 1.0, 2147483648.25, 0.0, 0.0, "A", "F", 400.0),    # just above 2**31 (slow branch)
     (4, 5, 4, 1, 50.0, 1.0e12 + 0.25, 0.5, 0.25, "", "O", -4000.0),  # jumbo money, empty flag, far past
-    (5, 6, 5, 1, 3.0, 750.5, 1.0, 0.0, "X", "", 30000.0),      # discount=1, unseen flag, far future
+    (7, 6, 5, 1, 3.0, 750.5, 1.0, 0.0, "X", "", 30000.0),      # discount=1, unseen flag, far future (order 7 = BUILDING customer → Q3 shape non-vacuous)
     (5, 6, 5, 2, 3.0, 750.5, 1.25, 0.75, "X", "Q", None),      # discount>1, NULL shipdate
     (6, 7, 6, 1, None, None, None, None, None, None, 5.0),     # all-NULL measures
     (99, 99, 99, 1, 2.0, 10.25, 0.0, 0.0, "N", "O", 5.0),      # dangling l_orderkey/l_partkey
@@ -105,6 +107,58 @@ ORDERS = [
     (8, None, None, None, -40000.0, "4-NOT SPECIFIED"),  # NULL measures, far past
     (None, 14, "O", 10.25, 6.0, "5-LOW"),         # NULL orderkey
     (10, 14, "O", 10.25, 6.0, "5-LOW"),           # custkey with two orders, no lineitems
+]
+
+#: (c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment)
+#: Near-duplicate names feed the fuzzy-ER/sorted-neighborhood lanes;
+#: custkeys 10-13 line up with ORDERS (13 = BUILDING so the Q3 shape
+#: joins through to the far-future lineitems of order 7).
+CUSTOMER = [
+    (10, "Acme Machining Ltd", 1, 1000.25, "BUILDING"),
+    (11, "Acme Machining Ltd.", 2, -50.5, "AUTOMOBILE"),   # near-dup name, negative bal
+    (12, "ACME MACHINING LTD", 1, 1000.25, "BUILDING"),    # case twin, bal tie
+    (13, "Wayne Enterprises", 2, 2147483648.25, "BUILDING"),  # jumbo bal (slow branch)
+    (14, "café corporation \U0001f600", None, 0.0, "MACHINERY"),  # unicode, NULL nation
+    (15, "", 99, 0.25, ""),                                # empty strings, dangling nation
+    (16, None, 1, None, None),                             # NULL name/bal/segment
+    (17, "Wayne Enterprises", 1, -2147483648.25, "HOUSEHOLD"),  # dup name, negative jumbo
+    (17, "Wayne Enterprises", 1, -2147483648.25, "HOUSEHOLD"),  # full-duplicate PK row
+    (None, "Null Key Holdings", 2, 10.25, "BUILDING"),     # NULL custkey
+]
+
+#: (s_suppkey, s_name, s_nationkey, s_acctbal)
+#: suppkeys 1-7 line up with LINEITEM's l_suppkey values.
+SUPPLIER = [
+    (1, "Supplier#000000001", 1, 500.75),
+    (2, "Supplier#000000001", 2, 500.75),   # duplicate name + bal tie
+    (3, "", None, -0.25),                   # empty name, NULL nation
+    (4, None, 99, None),                    # NULL name/bal, dangling nation
+    (5, "süpplier unicode", 1, 1.0e12 + 0.25),  # unicode, jumbo bal
+    (6, "idle supplier", 2, 0.0),
+    (7, "dup key supplier", 1, 10.25),
+    (7, "dup key supplier", 1, 10.25),      # full-duplicate PK row
+    (None, "null key supplier", 2, 3.25),   # NULL suppkey
+]
+
+#: (n_nationkey, n_name, n_regionkey)
+NATION = [
+    (1, "JAPAN", 1),
+    (2, "FRANCE", 2),
+    (3, "", 1),          # empty name
+    (4, None, 2),        # NULL name
+    (5, "ATLANTIS", 99), # dangling region
+    (6, "NULLLAND", None),
+    (None, "KEYLESS", 1),
+    (2, "FRANCE", 2),    # full-duplicate PK row
+]
+
+#: (r_regionkey, r_name) — ASIA/EUROPE kept live (revenue_per_nation
+#: filters on them).
+REGION = [
+    (1, "ASIA"),
+    (2, "EUROPE"),
+    (3, None),
+    (None, "GHOST REGION"),
 ]
 
 #: (p_partkey, p_name, p_brand, p_type, p_size, p_retailprice)
@@ -170,11 +224,53 @@ def _write_star(directory: str) -> None:
         ),
         os.path.join(directory, "part.parquet"),
     )
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array([r[0] for r in CUSTOMER], pa.int64()),
+                "c_name": pa.array([r[1] for r in CUSTOMER], pa.string()),
+                "c_nationkey": pa.array([r[2] for r in CUSTOMER], pa.int32()),
+                "c_acctbal": pa.array([r[3] for r in CUSTOMER], pa.float64()),
+                "c_mktsegment": pa.array([r[4] for r in CUSTOMER], pa.string()),
+            }
+        ),
+        os.path.join(directory, "customer.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "s_suppkey": pa.array([r[0] for r in SUPPLIER], pa.int64()),
+                "s_name": pa.array([r[1] for r in SUPPLIER], pa.string()),
+                "s_nationkey": pa.array([r[2] for r in SUPPLIER], pa.int32()),
+                "s_acctbal": pa.array([r[3] for r in SUPPLIER], pa.float64()),
+            }
+        ),
+        os.path.join(directory, "supplier.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "n_nationkey": pa.array([r[0] for r in NATION], pa.int32()),
+                "n_name": pa.array([r[1] for r in NATION], pa.string()),
+                "n_regionkey": pa.array([r[2] for r in NATION], pa.int32()),
+            }
+        ),
+        os.path.join(directory, "nation.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "r_regionkey": pa.array([r[0] for r in REGION], pa.int32()),
+                "r_name": pa.array([r[1] for r in REGION], pa.string()),
+            }
+        ),
+        os.path.join(directory, "region.parquet"),
+    )
 
 
 def _con_for(directory: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
-    for t in ("lineitem", "orders", "part"):
+    for t in sorted(_STAR):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet("
             f"'{os.path.join(directory, t + '.parquet')}')"
@@ -192,7 +288,9 @@ def hostile_star_dir(tmp_path_factory):
 def test_gate_discovers_the_star_family():
     # Pins the discovery heuristic: if this drops, lanes silently left
     # the gate (e.g. a refactor moved the table name behind a variable).
-    assert len(STAR_LANES) >= 40, STAR_LANES
+    # 45 scan/agg lanes on the fact tables + 29 join-heavy lanes once
+    # the dims joined the fixture (r7 widening).
+    assert len(STAR_LANES) >= 70, STAR_LANES
 
 
 def test_fixture_reaches_the_money_aggregates(spark, hostile_star_dir):
