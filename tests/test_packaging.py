@@ -60,3 +60,21 @@ def test_module_imports_without_repo_cwd(tmp_path):
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert int(out.stdout.strip()) >= 160
+
+
+def test_requires_python_floor_matches_tomllib_import():
+    """ADVICE r7 #2: this module imports stdlib tomllib (3.11+), so the
+    declared floor must be at least 3.11 — a 3.10 install with the test
+    extra would otherwise die at collection time."""
+    floor = _pyproject()["project"]["requires-python"]
+    assert floor.replace(" ", "") == ">=3.11"
+
+
+def test_pandas_udf_lanes_have_an_install_path():
+    """ADVICE r7 #3: pandas/pyarrow are runtime deps of the
+    mapInPandas/applyInPandas lanes (multimodal decoders, grouped-map
+    demo) — a plain `pip install hadoop-lab-spark` must have a declared
+    extra that pulls them, and the test extra must keep covering both."""
+    extras = _pyproject()["project"]["optional-dependencies"]
+    assert set(extras["pandas"]) >= {"pandas", "pyarrow"}
+    assert set(extras["test"]) >= {"pandas", "pyarrow"}
