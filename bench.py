@@ -282,6 +282,13 @@ def main() -> None:
                 "n_common_lanes": n_common,
                 "normalized_total": normalized_total,
                 "normalized_total_common": normalized_total_common,
+                # machine-recorded budget provenance (VERDICT r7 #3):
+                # the pin tool chains budget x canary-bridge per re-pin,
+                # so the unit the normalized figures are read in is data
+                "budget_normalized_spq": (reference or {}).get(
+                    "budget_normalized_spq"
+                ),
+                "reference_label": (reference or {}).get("label"),
                 "detail_file": "bench_detail.json",
             }
         )

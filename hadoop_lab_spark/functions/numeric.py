@@ -162,32 +162,57 @@ def sql_exact_round_sum(expr: str, nd: int = 2) -> str:
 #   of a double is always representable, and fmod/subtraction return
 #   it exactly), fraction micros by the same floor(+0.5) on |frac|
 #   with the sign reapplied (= half-away rounding, matching HALF_UP).
-#   The integer part alone goes through a double→decimal(22,0) cast —
-#   exact on BOTH engines for integer-valued doubles, which is the
-#   entire point: the hostile-star gate caught DuckDB's double→decimal
-#   cast SCALING IN DOUBLE (CAST((1e12+0.25)*0.5 AS DECIMAL(28,6)) =
-#   500000000000.124992, not .125 — micros above 2**53 are not
-#   representable mid-flight), so a slow branch defined as "the
-#   decimal image of x" means two DIFFERENT images once |x| ≳ 9e9.
-#   The split image is engine-identical at any magnitude by IEEE
-#   construction and equals the true half-away 6dp image of the
-#   double's exact value (up to the same ±1 µ near-tie ambiguity as
-#   the fast branch). NaN/±inf propagate to a NULL addend on Spark
-#   (NaN truncation casts to NULL decimal) while the DuckDB twin's
-#   cast ERRORS — the classic loud-differential NaN posture;
-#   nan_excluded composes as before. Loud range bound: the (22,0)
-#   integer-part cast errors beyond 22 integer digits on both engines
-#   — the SAME 1e22 addend bound as exact_round_sum.
-# The final image is produced by ONE decimal→double conversion of the
-# exactly-rescaled units (micros × 0.000001 in exact decimal
-# arithmetic) — the same single-conversion shape as exact_round_sum,
-# so the output double is identical to the classic image for the same
-# rounded sum. (A first cut did cast(double)/1e6, whose second IEEE
-# rounding flips the last ulp once the micros exceed 2**53 —
-# hypothesis-caught.) The micros sum is narrowed to DECIMAL(31,0)
-# before the rescale, capping Σ|units| at 1e25 per group (classic:
-# 1e32; both absurdly above any real corpus, both ANSI-loud on
-# breach).
+#   The integer part alone goes through a double→decimal(16,0) cast,
+#   which is the entire point: the hostile-star gate caught DuckDB's
+#   double→decimal cast SCALING IN DOUBLE (CAST((1e12+0.25)*0.5 AS
+#   DECIMAL(28,6)) = 500000000000.124992, not .125 — micros above
+#   2**53 are not representable mid-flight), so a slow branch defined
+#   as "the decimal image of x" means two DIFFERENT images once
+#   |x| ≳ 9e9. The split image equals the true half-away 6dp image of
+#   the double's exact value (up to the same ±1 µ near-tie ambiguity
+#   as the fast branch).
+#   LOUD bound at 1e16 (r8, tightened from the r7 (22,0) cast): the
+#   two engines build the integer-part decimal DIFFERENTLY — DuckDB
+#   from the double's exact binary value, Spark via Double.toString's
+#   shortest round-trip string — and those agree only while every
+#   integer-valued double still PRINTS as its exact integer. Below
+#   1e16 that is a theorem (v < 2**53 is exact; in [2**53, 1e16) the
+#   spacing is 2, so distinguishing v from v±2 forces all 16 digits);
+#   at 1e16+ the shortest string starts rounding the tail and the r8
+#   mixed-branches fuzz caught the two images differing (3.95e19:
+#   exact …487552 vs string …490000 — a silent r7 divergence, since
+#   (22,0) let such addends through). A double that big has already
+#   lost UNIT precision, so a "money" addend there is corrupt data:
+#   the (16,0) cast makes both engines error loudly instead of
+#   answering differently. NaN/±inf propagate to a NULL addend on
+#   Spark (NaN truncation casts to NULL decimal) while the DuckDB
+#   twin's cast ERRORS — the classic loud-differential NaN posture;
+#   nan_excluded composes as before.
+# The final image (r8 form): the rounded micros stay a SCALE-0 decimal
+# through the double conversion, then ONE IEEE division by 1e6 yields
+# units. The conversion is CORRECTLY ROUNDED on each engine by a
+# per-engine route — Spark's decimal→double (BigDecimal.doubleValue)
+# natively; DuckDB via VARCHAR (exact digits → strtod), because
+# DuckDB's direct int128→double composes fl(upper)·2^64 + fl(lower)
+# and double-rounds once |micros| > 2**64 (and is sign-asymmetric
+# past 2**53 — the r7 hostile-star finding 2 generalized; both
+# measured on 5k fuzzed magnitudes up to 1e31, where the VARCHAR
+# route matched CPython's correctly-rounded int→float on all of
+# them). Correctly-rounded conversion + one correctly-rounded IEEE
+# division by an exact divisor ⇒ the image is engine-identical BY
+# CONSTRUCTION for every representable micros sum. The r7 form
+# instead rescaled in exact decimal (micros × 0.000001) and converted
+# the SCALED decimal — DuckDB converts those as fl(unscaled)·10^-scale
+# (two roundings) while Spark single-rounds, so the images diverged
+# once the micros exceeded 2**53; the NaN-purchase fixture caught it
+# live on a 2 000 000 000 010.000000 sum whose unscaled micros land
+# on an exact int128→double tie (DuckDB printed …009.9998) — pinned
+# in tests/test_numeric_exact.py. For micros below 2**53 the r7 and
+# r8 images agree exactly (conversion exact there, division correctly
+# rounds the same rational); past 2**53 the r8 image moves only
+# where r7's was already cross-engine divergent. The micros sum is narrowed to DECIMAL(31,0) before
+# converting, capping Σ|units| at 1e25 per group (classic: 1e32; both
+# absurdly above any real corpus, both ANSI-loud on breach).
 # Both branches are per-row deterministic and the accumulation is exact
 # integer decimal — layout/partitioning invariance holds as for
 # :func:`exact_round_sum`. Cross-path equality at the branch boundary
@@ -201,9 +226,12 @@ def sql_exact_round_sum(expr: str, nd: int = 2) -> str:
 # are double-representable (|x| ≲ 9e9, or exactly-representable
 # micros like round 1e12 values — every shipped corpus qualifies);
 # a lane whose addends can exceed that domain should use the fast
-# helpers, whose split image has no such bound. The classic final
+# helpers, whose split image agrees by construction up to the LOUD
+# 1e16 addend bound (beyond which both engines error instead of
+# diverging). The classic final
 # CAST(... AS DOUBLE) additionally inherits DuckDB's sign-asymmetric
-# decimal→double conversion (see :func:`_sql_dec_to_double`) for
+# decimal→double conversion (sign-asymmetric past 2**53 unscaled —
+# hostile-star r7 finding 2) for
 # NEGATIVE sums beyond ~9e9 units — also out of every shipped
 # corpus's range, also fixed in the fast twins.
 
@@ -211,86 +239,105 @@ def sql_exact_round_sum(expr: str, nd: int = 2) -> str:
 FAST_ABS_BOUND = 2147483648.0  # 2**31
 
 
-def _micro_addend(col: Column | str) -> Column:
-    """Per-row addend in exact integer MICROS (scale-0 decimal)."""
+def micro_addend(col: Column | str) -> Column:
+    """Per-row addend in exact integer MICROS (scale-0 decimal) — the
+    fast-path building block, public for operators that must hold the
+    accumulator OPEN across batches (streaming state stores sum these
+    micros exactly per micro-batch; :func:`round_micros_to_double`
+    finishes the snapshot). Batch lanes should use the composed
+    :func:`exact_round_sum_fast` family instead."""
     c = F.col(col) if isinstance(col, str) else col
     fast = F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("decimal(22,0)")
     frac = c % F.lit(1.0)  # exact IEEE: the fraction of a double is representable
     frac_mic = F.floor(F.abs(frac) * F.lit(1e6) + F.lit(0.5))  # LONG, half-away w/ sign below
     slow = (
-        (c - frac).cast("decimal(22,0)") * F.lit(1000000).cast("decimal(7,0)")
+        # (16,0) enforces the loud 1e16 bound; the (22,0) re-cast widens
+        # the backing type so the ×1e6 repack cannot overflow int64
+        (c - frac).cast("decimal(16,0)").cast("decimal(22,0)")
+        * F.lit(1000000).cast("decimal(7,0)")
         + F.when(c < 0, -frac_mic).otherwise(frac_mic).cast("decimal(22,0)")
     )
     return F.when(F.abs(c) < F.lit(FAST_ABS_BOUND), fast).otherwise(slow)
 
 
 def _sql_micro_addend(expr: str) -> str:
-    """Oracle-side twin of :func:`_micro_addend` (DuckDB ANSI SQL)."""
+    """Oracle-side twin of :func:`micro_addend` (DuckDB ANSI SQL)."""
     e = f"({expr})"
     frac_mic = f"floor(abs({e} % 1.0) * 1e6 + 0.5)"
     return (
         f"CASE WHEN abs{e} < 2147483648.0 "
         f"THEN CAST(CAST(floor({e} * 1e6 + 0.5) AS BIGINT) AS DECIMAL(22,0)) "
-        f"ELSE CAST({e} - ({e} % 1.0) AS DECIMAL(22,0))"
+        f"ELSE CAST(CAST({e} - ({e} % 1.0) AS DECIMAL(16,0)) AS DECIMAL(22,0))"
         f" * CAST(1000000 AS DECIMAL(7,0))"
         f" + CAST(CASE WHEN {e} < 0 THEN -{frac_mic} ELSE {frac_mic} END"
         f" AS DECIMAL(22,0)) END"
     )
 
 
-#: Exact decimal rescale factor micros→units (multiplying is exact
-#: decimal arithmetic; DIVIDING by 1e6 as a double after the cast
-#: double-rounds above 2**53 micros — the hypothesis-caught bug).
-_MICRO = "CAST(0.000001 AS DECIMAL(7,6))"
+def exact_sum_double_fast(col: Column | str) -> Column:
+    """Un-rounded fast-path sum as DOUBLE units: exact micros sum,
+    narrowed to DECIMAL(31,0) (ANSI-loud past Σ|units| = 1e25 per
+    group), one scale-0 decimal→double conversion (correctly rounded
+    on both engines at any magnitude), one IEEE division by 1e6.
+    The composition sites (q8 mkt_share ratio, q17 /7.0) do further
+    IEEE arithmetic on this value identically on both engines."""
+    return F.sum(micro_addend(col)).cast("decimal(31,0)").cast("double") / F.lit(1e6)
 
 
-def _sql_dec_to_double(expr: str) -> str:
-    """DuckDB decimal→double via the POSITIVE path only: measured on
-    DuckDB 1.x, CAST(DECIMAL AS DOUBLE) is sign-ASYMMETRIC once the
-    unscaled value exceeds 2**53 (+500000000000.380000 → .38 correct,
-    -500000000000.380000 → -500000000000.37994 — off by 6e-5). Spark's
-    conversion (BigDecimal.doubleValue) is correctly rounded and
-    symmetric, so the twin negates around DuckDB's correct positive
-    path. Decimal negation is exact; IEEE negation is exact."""
-    e = f"({expr})"
-    return f"CASE WHEN {e} < 0 THEN -CAST(-{e} AS DOUBLE) ELSE CAST({e} AS DOUBLE) END"
+def sql_exact_sum_double_fast(expr: str) -> str:
+    """Oracle-side twin of :func:`exact_sum_double_fast`. The VARCHAR
+    hop makes DuckDB's wide-decimal→double correctly rounded (block
+    comment above); Spark needs no hop."""
+    return (
+        f"(CAST(CAST(CAST(sum({_sql_micro_addend(expr)}) AS DECIMAL(31,0))"
+        f" AS VARCHAR) AS DOUBLE) / 1e6)"
+    )
 
 
 def exact_round_sum_fast(col: Column | str, nd: int = 2) -> Column:
     """:func:`exact_round_sum` with the micro-long fast path. Same
-    layout-invariance and loud-overflow posture; same final double
-    image (single decimal→double conversion of the exactly-rescaled
-    rounded sum). See the fast-path block comment for the addend-level
-    contract. Use on hot scan-side money sums; the plain helper
-    remains the default."""
-    s = F.sum(_micro_addend(col))
-    micros = F.round(s, nd - 6).cast("decimal(31,0)")
-    return (micros * F.expr(_MICRO)).cast("double")
+    layout-invariance and loud-overflow posture; the final image is
+    engine-identical at any magnitude (scale-0 micros→double + one
+    IEEE division — see the fast-path block comment). Use on hot
+    scan-side money sums; the plain helper remains the default."""
+    return round_micros_to_double(F.sum(micro_addend(col)), nd)
+
+
+def round_micros_to_double(sum_micros: Column, nd: int = 2) -> Column:
+    """Finish an OPEN micros accumulator (a sum of :func:`micro_addend`
+    values, possibly re-aggregated across micro-batches or partial
+    sinks): round to ``nd`` decimals, narrow to DECIMAL(31,0) micros
+    (ANSI-loud past Σ|units| = 1e25), convert the SCALE-0 decimal to
+    double (single int128→double, correctly rounded on both engines),
+    divide by 1e6 in IEEE — the exact finisher
+    :func:`exact_round_sum_fast` applies, split out so streaming state
+    stores can keep integer micros between batches and stay
+    micro-batch-boundary invariant."""
+    micros = F.round(sum_micros, nd - 6).cast("decimal(31,0)")
+    return micros.cast("double") / F.lit(1e6)
 
 
 def sql_exact_round_sum_fast(expr: str, nd: int = 2) -> str:
-    """Oracle-side twin of :func:`exact_round_sum_fast`."""
-    units = (
-        f"CAST(round(sum({_sql_micro_addend(expr)}), {nd - 6})"
-        f" AS DECIMAL(31,0)) * {_MICRO}"
+    """Oracle-side twin of :func:`exact_round_sum_fast` (VARCHAR hop:
+    see :func:`sql_exact_sum_double_fast`)."""
+    return (
+        f"(CAST(CAST(CAST(round(sum({_sql_micro_addend(expr)}), {nd - 6})"
+        f" AS DECIMAL(31,0)) AS VARCHAR) AS DOUBLE) / 1e6)"
     )
-    return _sql_dec_to_double(units)
 
 
 def exact_round_avg_fast(col: Column | str, nd: int = 4) -> Column:
     """:func:`exact_round_avg` with the micro-long fast path: exact
-    micros sum, exact decimal rescale to units, ONE decimal→double
-    conversion, one double division by the non-null count — the same
-    IEEE step sequence as :func:`exact_round_avg`, mirrored in the SQL
-    twin. Narrowing bound: Σ|units| < 1e25 per group (DECIMAL(31,0)
-    micros), ANSI-loud on breach — same cap as the sum helper."""
+    micros sum, scale-0 decimal→double (engine-identical), /1e6 to
+    units, one further double division by the non-null count, round —
+    every IEEE step mirrored in the SQL twin. Narrowing bound:
+    Σ|units| < 1e25 per group (DECIMAL(31,0) micros), ANSI-loud on
+    breach — same cap as the sum helper."""
     c = F.col(col) if isinstance(col, str) else col
-    s = F.sum(_micro_addend(c))
-    units = s.cast("decimal(31,0)") * F.expr(_MICRO)
-    return F.round(units.cast("double") / F.count(c), nd)
+    units = exact_sum_double_fast(c)
+    return F.round(units / F.count(c), nd)
 
 
 def sql_exact_round_avg_fast(expr: str, nd: int = 4) -> str:
     """Oracle-side twin of :func:`exact_round_avg_fast`."""
-    units = f"CAST(sum({_sql_micro_addend(expr)}) AS DECIMAL(31,0)) * {_MICRO}"
-    return f"round({_sql_dec_to_double(units)} / count({expr}), {nd})"
+    return f"round({sql_exact_sum_double_fast(expr)} / count({expr}), {nd})"

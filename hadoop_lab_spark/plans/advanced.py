@@ -22,7 +22,11 @@ from hadoop_lab_spark.operators import (
     deterministic_sample,
 )
 from hadoop_lab_spark.operators.sampling import hash_bucket
-from hadoop_lab_spark.functions.numeric import exact_round_sum, nan_excluded
+from hadoop_lab_spark.functions.numeric import (
+    exact_round_sum_fast,
+    nan_excluded,
+    sql_exact_round_sum_fast,
+)
 from hadoop_lab_spark.plans.registry import register
 from hadoop_lab_spark.session import tune_session
 from hadoop_lab_spark.sources import load_table
@@ -92,7 +96,7 @@ _HEXPAIR = (
     oracle=f"""
         SELECT o_orderpriority,
                CAST(count(*) AS BIGINT) AS cnt,
-               CAST(round(sum(CAST(o_totalprice AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_price
+               {sql_exact_round_sum_fast("o_totalprice")} AS sum_price
         FROM orders
         WHERE {_HEXPAIR.format(k="o_orderkey")} % 256 < 64
         GROUP BY o_orderpriority
@@ -106,7 +110,7 @@ def q_sampled_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame
     sampled = deterministic_sample(orders, "o_orderkey", keep_buckets=64)
     return sampled.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("cnt"),
-        exact_round_sum("o_totalprice").alias("sum_price"),
+        exact_round_sum_fast("o_totalprice").alias("sum_price"),
     )
 
 
@@ -374,10 +378,10 @@ def q_scalar_function_sampler2(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "partitioned_scan_prune",
-    oracle="""
+    oracle=f"""
         SELECT o_orderstatus,
                CAST(count(*) AS BIGINT) AS cnt,
-               CAST(round(sum(CAST(o_totalprice AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_price
+               {sql_exact_round_sum_fast("o_totalprice")} AS sum_price
         FROM orders
         WHERE o_orderpriority = '1-URGENT'
         GROUP BY o_orderstatus
@@ -410,7 +414,7 @@ def q_partitioned_scan_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pruned.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("cnt"),
-        exact_round_sum("o_totalprice").alias("sum_price"),
+        exact_round_sum_fast("o_totalprice").alias("sum_price"),
     )
 
 
@@ -530,10 +534,10 @@ def q_approx_percentile_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "orc_roundtrip_supplier",
-    oracle="""
+    oracle=f"""
         SELECT s_nationkey,
                CAST(count(*) AS BIGINT) AS cnt,
-               CAST(round(sum(CAST(s_acctbal AS DECIMAL(28,6))), 2) AS DOUBLE) AS bal_sum
+               {sql_exact_round_sum_fast("s_acctbal")} AS bal_sum
         FROM supplier
         GROUP BY s_nationkey
     """,
@@ -554,7 +558,7 @@ def q_orc_roundtrip_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.orc(out)
     return back.groupBy("s_nationkey").agg(
         F.count(F.lit(1)).alias("cnt"),
-        exact_round_sum("s_acctbal").alias("bal_sum"),
+        exact_round_sum_fast("s_acctbal").alias("bal_sum"),
     )
 
 
@@ -563,7 +567,7 @@ def q_orc_roundtrip_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "range_join_value_bands",
-    oracle="""
+    oracle=f"""
         WITH bands AS (
             SELECT CAST(i AS INTEGER) AS band_id,
                    i * 50.0 AS lo, (i + 1) * 50.0 AS hi
@@ -571,7 +575,7 @@ def q_orc_roundtrip_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT b.band_id,
                CAST(count(*) AS BIGINT) AS cnt,
-               CAST(round(sum(CAST(e.value AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_value
+               {sql_exact_round_sum_fast("e.value")} AS sum_value
         FROM events e JOIN bands b
           ON e.value >= b.lo AND e.value < b.hi
         -- NaN excluded on both engines (ADVICE-r3 class): Spark's
@@ -615,7 +619,7 @@ def q_range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = fact.join(F.broadcast(bands), F.col("_bucket") == F.col("band_id"))
     return joined.groupBy("band_id").agg(
         F.count(F.lit(1)).alias("cnt"),
-        exact_round_sum("value").alias("sum_value"),
+        exact_round_sum_fast("value").alias("sum_value"),
     )
 
 
@@ -657,15 +661,14 @@ def q_csv_roundtrip_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "json_roundtrip_events_daily",
-    oracle="""
+    oracle=f"""
         -- NaN guard (ADVICE r6): value is NaN-capable, and an unguarded
         -- decimal sum silently NULLs the NaN addend on Spark while the
         -- DuckDB cast errors — the mirrored CASE makes NaN-exclusion an
         -- explicit contract on both engines (functions/numeric.py).
         SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
                CAST(count(*) AS BIGINT) AS cnt,
-               CAST(round(sum(CAST(CASE WHEN NOT isnan(value) THEN (value) END
-                   AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_value
+               {sql_exact_round_sum_fast("CASE WHEN NOT isnan(value) THEN (value) END")} AS sum_value
         FROM events
         WHERE event_type = 'purchase'
         GROUP BY 1
@@ -692,7 +695,7 @@ def q_json_roundtrip_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame
         F.date_trunc("day", "ts").cast("date").alias("day")
     ).agg(
         F.count(F.lit(1)).alias("cnt"),
-        exact_round_sum(nan_excluded("value")).alias("sum_value"),
+        exact_round_sum_fast(nan_excluded("value")).alias("sum_value"),
     )
 
 
@@ -701,10 +704,10 @@ def q_json_roundtrip_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame
 # ---------------------------------------------------------------------------
 @register(
     "bucketed_join_order_lines",
-    oracle="""
+    oracle=f"""
         SELECT o_orderpriority,
                CAST(count(*) AS BIGINT) AS cnt,
-               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_price
+               {sql_exact_round_sum_fast("l_extendedprice")} AS sum_price
         FROM orders JOIN lineitem ON l_orderkey = o_orderkey
         GROUP BY o_orderpriority
     """,
@@ -737,7 +740,7 @@ def q_bucketed_join_order_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = bo.hint("merge").join(bl, bo["o_orderkey"] == bl["l_orderkey"])
     return joined.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("cnt"),
-        exact_round_sum("l_extendedprice").alias("sum_price"),
+        exact_round_sum_fast("l_extendedprice").alias("sum_price"),
     )
 
 
@@ -746,11 +749,11 @@ def q_bucketed_join_order_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "orders_grouping_sets",
-    oracle="""
+    oracle=f"""
         SELECT o_orderstatus, o_orderpriority,
                CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
                CAST(count(*) AS BIGINT) AS cnt,
-               CAST(round(sum(CAST(o_totalprice AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_price
+               {sql_exact_round_sum_fast("o_totalprice")} AS sum_price
         FROM orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
     """,
@@ -774,7 +777,7 @@ def q_orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.grouping_id().cast("long").alias("gid"),
             F.count(F.lit(1)).alias("cnt"),
-            exact_round_sum("o_totalprice").alias("sum_price"),
+            exact_round_sum_fast("o_totalprice").alias("sum_price"),
         )
         .select("o_orderstatus", "o_orderpriority", "gid", "cnt", "sum_price")
     )
@@ -785,13 +788,13 @@ def q_orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "null_semantics_sampler",
-    oracle="""
+    oracle=f"""
         SELECT event_type,
                CAST(count(*) AS BIGINT) AS cnt_star,
                CAST(count(CASE WHEN value >= 50 THEN value END) AS BIGINT)
                    AS cnt_highs,
-               CAST(round(sum(CAST(CASE WHEN value >= 50 THEN value END AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_highs,
-               CAST(round(sum(CAST(CASE WHEN value < 0 THEN value END AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_never,
+               {sql_exact_round_sum_fast("CASE WHEN value >= 50 THEN value END")} AS sum_highs,
+               {sql_exact_round_sum_fast("CASE WHEN value < 0 THEN value END")} AS sum_never,
                coalesce(max(nullif(event_type, 'error')), 'none') AS type_or_none,
                CAST(count(*) FILTER (nullif(event_type, 'error')
                    IS NOT DISTINCT FROM NULL) AS BIGINT) AS null_safe_hits
@@ -822,8 +825,8 @@ def q_null_semantics_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("cnt_star"),
         F.count(highs).alias("cnt_highs"),
-        exact_round_sum(highs).alias("sum_highs"),
-        exact_round_sum(F.when(F.col("value") < 0, F.col("value"))).alias("sum_never"),
+        exact_round_sum_fast(highs).alias("sum_highs"),
+        exact_round_sum_fast(F.when(F.col("value") < 0, F.col("value"))).alias("sum_never"),
         F.coalesce(F.max(nv_type), F.lit("none")).alias("type_or_none"),
         F.count(F.when(nv_type.eqNullSafe(F.lit(None)), 1)).alias("null_safe_hits"),
     )
@@ -834,7 +837,7 @@ def q_null_semantics_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "daily_revenue_gapfill",
-    oracle="""
+    oracle=f"""
         WITH b AS (
             SELECT CAST(min(date_trunc('day', ts)) AS DATE) AS lo,
                    CAST(max(date_trunc('day', ts)) AS DATE) AS hi
@@ -851,8 +854,7 @@ def q_null_semantics_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
             -- skipped identically on both engines, never NULL-dropped
             -- on one and a cast error on the other.
             SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
-                   CAST(round(sum(CAST(CASE WHEN NOT isnan(value) THEN (value) END
-                       AS DECIMAL(28,6))), 2) AS DOUBLE) AS rev
+                   {sql_exact_round_sum_fast("CASE WHEN NOT isnan(value) THEN (value) END")} AS rev
             FROM events WHERE event_type = 'purchase'
             GROUP BY 1
         )
@@ -880,7 +882,7 @@ def q_daily_revenue_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (
         e.filter(F.col("event_type") == "purchase")
         .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
-        .agg(exact_round_sum(nan_excluded("value")).alias("rev"))
+        .agg(exact_round_sum_fast(nan_excluded("value")).alias("rev"))
     )
     return spine.join(daily, "day", "left").select(
         "day", F.coalesce("rev", F.lit(0.0)).alias("rev")
@@ -1073,10 +1075,10 @@ def q_array_lambda_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "compaction_roundtrip_orders",
-    oracle="""
+    oracle=f"""
         SELECT o_orderstatus,
                CAST(count(*) AS BIGINT) AS cnt,
-               CAST(round(sum(CAST(o_totalprice AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_price
+               {sql_exact_round_sum_fast("o_totalprice")} AS sum_price
         FROM orders
         GROUP BY o_orderstatus
     """,
@@ -1102,7 +1104,7 @@ def q_compaction_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame
     back = spark.read.parquet(compact)
     return back.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("cnt"),
-        exact_round_sum("o_totalprice").alias("sum_price"),
+        exact_round_sum_fast("o_totalprice").alias("sum_price"),
     )
 
 
@@ -1311,12 +1313,11 @@ def q_string_distance_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "conditional_agg_sampler",
-    oracle="""
+    oracle=f"""
         SELECT o_orderpriority,
                CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
                    AS n_fulfilled,
-               CAST(round(sum(CAST(o_totalprice AS DECIMAL(28,6)))
-                          FILTER (WHERE o_orderstatus = 'O'), 2) AS DOUBLE)
+               {sql_exact_round_sum_fast("CASE WHEN o_orderstatus = 'O' THEN o_totalprice END")}
                    AS open_revenue,
                bool_or(o_totalprice > 300000.0) AS any_jumbo,
                bool_and(o_totalprice > 0.0) AS all_positive,
@@ -1338,7 +1339,7 @@ def q_conditional_agg_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     return o.groupBy("o_orderpriority").agg(
         F.count_if(F.col("o_orderstatus") == "F").cast("bigint").alias("n_fulfilled"),
-        exact_round_sum(F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice"))).alias("open_revenue"),
+        exact_round_sum_fast(F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice"))).alias("open_revenue"),
         F.bool_or(F.col("o_totalprice") > 300000.0).alias("any_jumbo"),
         F.bool_and(F.col("o_totalprice") > 0.0).alias("all_positive"),
         F.count_distinct("o_orderstatus").cast("bigint").alias("n_statuses"),

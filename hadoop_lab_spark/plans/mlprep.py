@@ -19,7 +19,10 @@ from pyspark.sql import functions as F
 
 from hadoop_lab_spark.functions import text as X
 from hadoop_lab_spark.operators.sampling import hash_bucket
-from hadoop_lab_spark.functions.numeric import exact_round_sum
+from hadoop_lab_spark.functions.numeric import (
+    exact_round_sum_fast,
+    sql_exact_round_sum_fast,
+)
 from hadoop_lab_spark.plans.registry import register
 from hadoop_lab_spark.session import tune_session
 from hadoop_lab_spark.sources import load_table
@@ -236,7 +239,7 @@ _V2 = """
                     WHEN v1.o_totalprice <> v2.o_totalprice THEN 'changed'
                     ELSE 'unchanged' END AS change_type,
                CAST(count(*) AS BIGINT) AS n_rows,
-               CAST(round(sum(CAST(coalesce(v2.o_totalprice, 0) - coalesce(v1.o_totalprice, 0) AS DECIMAL(28,6))), 2) AS DOUBLE)
+               {sql_exact_round_sum_fast("coalesce(v2.o_totalprice, 0) - coalesce(v1.o_totalprice, 0)")}
                    AS price_delta
         FROM v1 FULL OUTER JOIN v2 USING (o_orderkey)
         GROUP BY 1
@@ -284,7 +287,7 @@ def q_snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("change_type")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-            exact_round_sum("_d").alias("price_delta"),
+            exact_round_sum_fast("_d").alias("price_delta"),
         )
     )
 
@@ -308,7 +311,7 @@ def q_snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
              )
         SELECT o_orderstatus,
                CAST(count(*) AS BIGINT) AS n_rows,
-               CAST(round(sum(CAST(o_totalprice AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_price
+               {sql_exact_round_sum_fast("o_totalprice")} AS sum_price
         FROM merged
         GROUP BY o_orderstatus
     """,
@@ -340,7 +343,7 @@ def q_upsert_orders_scd1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return merged.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-        exact_round_sum("o_totalprice").alias("sum_price"),
+        exact_round_sum_fast("o_totalprice").alias("sum_price"),
     )
 
 
@@ -656,7 +659,7 @@ HIST_BINS = 20
                                          / {(HIST_HI - HIST_LO)} * {HIST_BINS}),
                                    0), {HIST_BINS - 1}) AS BIGINT) AS bin,
                CAST(count(*) AS BIGINT) AS n_orders,
-               CAST(round(sum(CAST(o_totalprice AS DECIMAL(28,6))), 2) AS DOUBLE) AS bin_total
+               {sql_exact_round_sum_fast("o_totalprice")} AS bin_total
         FROM orders
         WHERE o_totalprice IS NOT NULL AND NOT isnan(o_totalprice)
         GROUP BY 1
@@ -683,7 +686,7 @@ def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     bin_ = F.least(F.greatest(raw, F.lit(0)), F.lit(HIST_BINS - 1)).cast("bigint")
     return o.groupBy(bin_.alias("bin")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_orders"),
-        exact_round_sum("o_totalprice").alias("bin_total"),
+        exact_round_sum_fast("o_totalprice").alias("bin_total"),
     )
 
 

@@ -18,9 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hadoop_lab_spark.functions.numeric import (
-    exact_round_avg,
     exact_round_avg_fast,
-    exact_round_sum,
     exact_round_sum_fast,
     sql_exact_round_avg_fast,
     sql_exact_round_sum_fast,
@@ -95,8 +93,8 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "revenue_per_nation",
-    oracle="""
-        SELECT n_name, CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))), 2) AS DOUBLE) AS revenue
+    oracle=f"""
+        SELECT n_name, {sql_exact_round_sum_fast("l_extendedprice * (1 - l_discount)")} AS revenue
         FROM lineitem
         JOIN orders   ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey  = c_custkey
@@ -134,7 +132,7 @@ def q_revenue_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust_nation, orders.o_custkey == cust_nation.c_custkey)
         .groupBy("n_name")
-        .agg(exact_round_sum(_revenue()).alias("revenue"))
+        .agg(exact_round_sum_fast(_revenue()).alias("revenue"))
     )
 
 
@@ -206,7 +204,7 @@ def q_top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "cumulative_monthly_revenue",
-    oracle="""
+    oracle=f"""
         -- explicit ROWS frame (the Spark side uses rowsBetween): DuckDB's
         -- DEFAULT frame is RANGE, whose NULL peer group swallows the
         -- whole partition for the NULL-month row — with unique months
@@ -218,7 +216,7 @@ def q_top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM (
             -- CAST: duckdb's date_trunc('month') yields DATE; Spark yields TIMESTAMP
             SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
-                   CAST(round(sum(CAST(o_totalprice AS DECIMAL(28,6))), 2) AS DOUBLE) AS monthly
+                   {sql_exact_round_sum_fast("o_totalprice")} AS monthly
             FROM orders
             WHERE o_orderdate IS NOT NULL
             GROUP BY 1
@@ -244,7 +242,7 @@ def q_cumulative_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     stable cross-engine contract at all."""
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
     monthly = orders.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
-        exact_round_sum("o_totalprice").alias("monthly")
+        exact_round_sum_fast("o_totalprice").alias("monthly")
     )
     win = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return monthly.select(
@@ -408,10 +406,10 @@ def q_only_fulfilled_customers_except(spark: SparkSession, sf_dir: str) -> DataF
 # ---------------------------------------------------------------------------
 @register(
     "orders_rollup",
-    oracle="""
+    oracle=f"""
         SELECT o_orderstatus, o_orderpriority,
                count(*) AS cnt,
-               CAST(round(sum(CAST(o_totalprice AS DECIMAL(28,6))), 2) AS DOUBLE) AS total
+               {sql_exact_round_sum_fast("o_totalprice")} AS total
         FROM orders
         GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     """,
@@ -422,7 +420,7 @@ def q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     return orders.rollup("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("cnt"),
-        exact_round_sum("o_totalprice").alias("total"),
+        exact_round_sum_fast("o_totalprice").alias("total"),
     )
 
 
@@ -528,11 +526,11 @@ def q_orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "pivot_revenue_by_status",
-    oracle="""
+    oracle=f"""
         SELECT o_orderpriority,
-               CAST(round(sum(CAST(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END AS DECIMAL(28,6))), 2) AS DOUBLE) AS F,
-               CAST(round(sum(CAST(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END AS DECIMAL(28,6))), 2) AS DOUBLE) AS O,
-               CAST(round(sum(CAST(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END AS DECIMAL(28,6))), 2) AS DOUBLE) AS P
+               {sql_exact_round_sum_fast("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END")} AS F,
+               {sql_exact_round_sum_fast("CASE WHEN o_orderstatus = 'O' THEN o_totalprice END")} AS O,
+               {sql_exact_round_sum_fast("CASE WHEN o_orderstatus = 'P' THEN o_totalprice END")} AS P
         FROM orders
         GROUP BY o_orderpriority
     """,
@@ -548,7 +546,7 @@ def q_pivot_revenue_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = (
         orders.groupBy("o_orderpriority")
         .pivot("o_orderstatus", ["F", "O", "P"])
-        .agg(exact_round_sum("o_totalprice"))
+        .agg(exact_round_sum_fast("o_totalprice"))
     )
     return out
 
@@ -780,9 +778,9 @@ def q_order_rank_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "building_unshipped_top10",
-    oracle="""
+    oracle=f"""
         SELECT l_orderkey,
-               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))), 2) AS DOUBLE) AS revenue,
+               {sql_exact_round_sum_fast("l_extendedprice * (1 - l_discount)")} AS revenue,
                o_orderdate
         FROM customer, orders, lineitem
         WHERE c_mktsegment = 'BUILDING'
@@ -815,7 +813,7 @@ def q_building_unshipped_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(o, l["l_orderkey"] == o["o_orderkey"])
         .join(c, o["o_custkey"] == c["c_custkey"])
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(exact_round_sum(rev).alias("revenue"))
+        .agg(exact_round_sum_fast(rev).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
         .limit(10)

@@ -47,7 +47,11 @@ from hadoop_lab_spark.functions import text as X
 from hadoop_lab_spark.operators.graph import pagerank
 from hadoop_lab_spark.operators.sampling import hash_bucket
 from hadoop_lab_spark.plans import pipeline as _P
-from hadoop_lab_spark.functions.numeric import exact_round_sum, nan_excluded
+from hadoop_lab_spark.functions.numeric import (
+    exact_round_sum_fast,
+    nan_excluded,
+    sql_exact_round_sum_fast,
+)
 from hadoop_lab_spark.plans.registry import register
 from hadoop_lab_spark.session import tune_session
 from hadoop_lab_spark.sources import load_table
@@ -687,8 +691,7 @@ def _rate_case_sql() -> str:
         )
         SELECT event_type,
                CAST(count(*) AS BIGINT) AS n_sampled,
-               CAST(round(sum(CAST(CASE WHEN NOT isnan(value) THEN value END
-                                   AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_value,
+               {sql_exact_round_sum_fast("CASE WHEN NOT isnan(value) THEN value END")} AS sum_value,
                CAST(min(event_id) AS BIGINT) AS min_event_id,
                CAST(max(event_id) AS BIGINT) AS max_event_id
         FROM sampled GROUP BY event_type
@@ -724,7 +727,7 @@ def q_stratified_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # guard (numeric.py non-finite policy) — NaN rows still count.
     return sampled.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_sampled"),
-        exact_round_sum(nan_excluded("value")).alias("sum_value"),
+        exact_round_sum_fast(nan_excluded("value")).alias("sum_value"),
         F.min("event_id").cast("bigint").alias("min_event_id"),
         F.max("event_id").cast("bigint").alias("max_event_id"),
     )
@@ -1005,8 +1008,7 @@ _QUOTA_PER_TYPE = 200
         )
         SELECT event_type,
                CAST(count(*) AS BIGINT) AS n_sampled,
-               CAST(round(sum(CAST(CASE WHEN NOT isnan(value) THEN value END
-                                   AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_value
+               {sql_exact_round_sum_fast("CASE WHEN NOT isnan(value) THEN value END")} AS sum_value
         FROM ranked WHERE rn <= {_QUOTA_PER_TYPE}
         GROUP BY event_type
     """,
@@ -1047,7 +1049,7 @@ def q_quota_sample_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the exact decimal sum — see functions/numeric.py non-finite policy.
     return sampled.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_sampled"),
-        exact_round_sum(nan_excluded("value")).alias("sum_value"),
+        exact_round_sum_fast(nan_excluded("value")).alias("sum_value"),
     )
 
 

@@ -21,7 +21,12 @@ from pyspark.sql import functions as F
 
 from hadoop_lab_spark.plans.mlprep import CHUNK_STRIDE, CHUNK_WINDOW
 from hadoop_lab_spark.plans import scale_ops as _SO
-from hadoop_lab_spark.functions.numeric import exact_round_sum, nan_excluded
+from hadoop_lab_spark.functions.numeric import (
+    exact_round_sum_fast,
+    nan_excluded,
+    round_micros_to_double,
+    sql_exact_round_sum_fast,
+)
 from hadoop_lab_spark.plans.registry import register
 from hadoop_lab_spark.session import tune_session
 from hadoop_lab_spark.streaming.jobs import (
@@ -45,13 +50,12 @@ def _replay(spark: SparkSession, stream: DataFrame, base: str, mode: str) -> Dat
 
 @register(
     "stream_windowed_event_counts",
-    oracle="""
+    oracle=f"""
         SELECT date_trunc('hour', ts) AS w_start,
                event_type,
                CAST(count(*) AS BIGINT) AS cnt,
                -- NaN addends excluded on both engines (numeric.py contract)
-               CAST(round(sum(CAST(CASE WHEN NOT isnan(value) THEN value END
-                                   AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_value
+               {sql_exact_round_sum_fast("CASE WHEN NOT isnan(value) THEN value END")} AS sum_value
         FROM events
         -- explicit contract: the watermark operator drops NULL event
         -- times silently; the oracle must not mint a NULL-window group
@@ -70,13 +74,15 @@ def q_stream_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFram
     tune_session(spark)
     stream = stream_windowed_event_counts(spark, sf_dir)
     snap = _replay(spark, stream, "mem_wincounts", "complete")
-    # sum_value arrives as the job's exact DECIMAL accumulator; round and
-    # cast back to double for the driver-hashable flat schema.
+    # sum_micros arrives as the job's exact integer-micros accumulator;
+    # finish with the fast-path rescale (round_micros_to_double) so the
+    # image matches the fast oracle formula, cast back to double for
+    # the driver-hashable flat schema.
     return snap.select(
         "w_start",
         "event_type",
         "cnt",
-        F.round("sum_value", 2).cast("double").alias("sum_value"),
+        round_micros_to_double(F.col("sum_micros"), 2).alias("sum_value"),
     )
 
 
@@ -248,12 +254,11 @@ def q_stream_dedup_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_foreachbatch_totals",
-    oracle="""
+    oracle=f"""
         SELECT event_type,
                CAST(count(*) AS BIGINT) AS cnt,
                -- NaN addends excluded on both engines (numeric.py contract)
-               CAST(round(sum(CAST(CASE WHEN NOT isnan(value) THEN value END
-                                   AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_value
+               {sql_exact_round_sum_fast("CASE WHEN NOT isnan(value) THEN value END")} AS sum_value
         FROM events GROUP BY event_type
     """,
     doc="foreachBatch sink: per-micro-batch aggregates upserted to "
@@ -283,12 +288,14 @@ def q_stream_foreachbatch_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(p, ignore_errors=True)
     stream_foreachbatch_event_totals(spark, sf_dir, out)
     parts = spark.read.parquet(out)
-    # partials are already exact DECIMAL(38,6) (the job guards NaN and
-    # casts before summing) — re-summing decimals is exact as-is; a
-    # second cast through DECIMAL(28,6) would only squeeze precision.
+    # partials are exact integer micros (the job guards NaN and applies
+    # micro_addend before summing) — re-summing micros is exact and
+    # associative, so partial-of-partial equals the one-pass answer;
+    # round_micros_to_double is the same finisher exact_round_sum_fast
+    # applies, so the image matches the fast oracle formula.
     return parts.groupBy("event_type").agg(
         F.sum("cnt").cast("bigint").alias("cnt"),
-        F.round(F.sum("sum_value"), 2).cast("double").alias("sum_value"),
+        round_micros_to_double(F.sum("sum_micros"), 2).alias("sum_value"),
     )
 
 
@@ -351,8 +358,7 @@ def q_stream_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT event_type,
                CAST(count(*) AS BIGINT) AS n_sampled,
-               CAST(round(sum(CAST(CASE WHEN NOT isnan(value) THEN value END
-                                   AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_value,
+               {sql_exact_round_sum_fast("CASE WHEN NOT isnan(value) THEN value END")} AS sum_value,
                CAST(min(event_id) AS BIGINT) AS min_event_id,
                CAST(max(event_id) AS BIGINT) AS max_event_id
         FROM sampled GROUP BY event_type
@@ -374,7 +380,7 @@ def q_stream_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NaN guard mirrors the batch twin (numeric.py non-finite policy).
     return snap.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_sampled"),
-        exact_round_sum(nan_excluded("value")).alias("sum_value"),
+        exact_round_sum_fast(nan_excluded("value")).alias("sum_value"),
         F.min("event_id").cast("bigint").alias("min_event_id"),
         F.max("event_id").cast("bigint").alias("max_event_id"),
     )

@@ -43,9 +43,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hadoop_lab_spark.functions.numeric import (
-    exact_round_avg,
-    exact_round_sum,
-    exact_sum,
+    exact_round_avg_fast,
+    exact_round_sum_fast,
+    exact_sum_double_fast,
+    sql_exact_round_avg_fast,
+    sql_exact_round_sum_fast,
+    sql_exact_sum_double_fast,
 )
 from hadoop_lab_spark.plans.registry import register
 from hadoop_lab_spark.session import tune_session
@@ -66,9 +69,9 @@ def _revenue():
 # ---------------------------------------------------------------------------
 @register(
     "q7_volume_shipping",
-    oracle="""
+    oracle=f"""
         SELECT supp_nation, cust_nation, l_year,
-               CAST(round(sum(CAST(volume AS DECIMAL(28,6))), 2) AS DOUBLE) AS revenue
+               {sql_exact_round_sum_fast("volume")} AS revenue
         FROM (
             SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                    CAST(year(l_shipdate) AS BIGINT) AS l_year,
@@ -126,7 +129,7 @@ def q_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cust_nation",
             F.year("l_shipdate").cast("bigint").alias("l_year"),
         )
-        .agg(exact_round_sum(_revenue()).alias("revenue"))
+        .agg(exact_round_sum_fast(_revenue()).alias("revenue"))
     )
 
 
@@ -135,13 +138,10 @@ def q_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "q8_market_share",
-    oracle="""
+    oracle=f"""
         SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
-               round(CAST(sum(CAST(CASE WHEN n2.n_name = 'NATION_3'
-                              THEN l_extendedprice * (1 - l_discount)
-                              ELSE 0 END AS DECIMAL(28,6))) AS DOUBLE)
-                     / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
-                              AS DECIMAL(28,6))) AS DOUBLE), 4) AS mkt_share
+               round({sql_exact_sum_double_fast("CASE WHEN n2.n_name = 'NATION_3' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")}
+                     / {sql_exact_sum_double_fast("l_extendedprice * (1 - l_discount)")}, 4) AS mkt_share
         FROM lineitem
         JOIN part     ON p_partkey = l_partkey
         JOIN supplier ON s_suppkey = l_suppkey
@@ -188,12 +188,13 @@ def q_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust_in_region, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
         .agg(
-            # exact decimal sums (layout-invariant), ONE double division
+            # exact micros sums -> engine-identical double units
+            # (exact_sum_double_fast), ONE further IEEE division
             F.round(
-                exact_sum(
+                exact_sum_double_fast(
                     F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0.0))
-                ).cast("double")
-                / exact_sum(vol).cast("double"),
+                )
+                / exact_sum_double_fast(vol),
                 4,
             ).alias("mkt_share")
         )
@@ -205,10 +206,10 @@ def q_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "q15_top_supplier",
-    oracle="""
+    oracle=f"""
         WITH rev AS (
             SELECT l_suppkey,
-                   CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))), 2) AS DOUBLE) AS total_revenue
+                   {sql_exact_round_sum_fast("l_extendedprice * (1 - l_discount)")} AS total_revenue
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1996-01-01'
               AND l_shipdate <  TIMESTAMP '1996-04-01'
@@ -246,7 +247,7 @@ def q_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
         )
         .groupBy("l_suppkey")
-        .agg(exact_round_sum(_revenue()).alias("total_revenue"))
+        .agg(exact_round_sum_fast(_revenue()).alias("total_revenue"))
     )
     mx = rev.agg(F.max("total_revenue").alias("total_revenue"))
     best = rev.join(F.broadcast(mx), "total_revenue")
@@ -258,10 +259,10 @@ def q_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q15_top_supplier_cached",
-    oracle="""
+    oracle=f"""
         WITH rev AS (
             SELECT l_suppkey,
-                   CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))), 2) AS DOUBLE) AS total_revenue
+                   {sql_exact_round_sum_fast("l_extendedprice * (1 - l_discount)")} AS total_revenue
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1996-01-01'
               AND l_shipdate <  TIMESTAMP '1996-04-01'
@@ -299,7 +300,7 @@ def q_q15_top_supplier_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
         )
         .groupBy("l_suppkey")
-        .agg(exact_round_sum(_revenue()).alias("total_revenue"))
+        .agg(exact_round_sum_fast(_revenue()).alias("total_revenue"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     mx = rev.agg(F.max("total_revenue").alias("total_revenue"))
@@ -315,8 +316,8 @@ def q_q15_top_supplier_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "q17_small_quantity_orders",
-    oracle="""
-        SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
+    oracle=f"""
+        SELECT round({sql_exact_sum_double_fast("l_extendedprice")}
                      / 7.0, 2) AS avg_yearly
         FROM lineitem JOIN part ON p_partkey = l_partkey
         WHERE p_brand = 'Brand#1' AND p_size < 15
@@ -352,7 +353,7 @@ def q_q17_small_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_quantity") < F.col("qty_thresh"))
         .agg(
             F.round(
-                exact_sum("l_extendedprice").cast("double") / F.lit(7.0), 2
+                exact_sum_double_fast("l_extendedprice") / F.lit(7.0), 2
             ).alias("avg_yearly")
         )
     )
@@ -409,8 +410,8 @@ def q_q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "q19_disjunctive_bands",
-    oracle="""
-        SELECT CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))), 2) AS DOUBLE) AS revenue,
+    oracle=f"""
+        SELECT {sql_exact_round_sum_fast("l_extendedprice * (1 - l_discount)")} AS revenue,
                count(*) AS n_lines
         FROM lineitem JOIN part ON p_partkey = l_partkey
         WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
@@ -451,7 +452,7 @@ def q_q19_disjunctive_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .filter(band)
         .agg(
-            exact_round_sum(_revenue()).alias("revenue"),
+            exact_round_sum_fast(_revenue()).alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
@@ -534,12 +535,12 @@ def q_q21_lone_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "q22_idle_rich_customers",
-    oracle="""
+    oracle=f"""
         SELECT c_mktsegment, count(*) AS numcust,
-               CAST(round(sum(CAST(c_acctbal AS DECIMAL(28,6))), 2) AS DOUBLE) AS totacctbal
+               {sql_exact_round_sum_fast("c_acctbal")} AS totacctbal
         FROM customer
         WHERE c_acctbal > (
-              SELECT round(CAST(sum(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) / count(c_acctbal), 4) FROM customer WHERE c_acctbal > 0
+              SELECT {sql_exact_round_avg_fast("c_acctbal")} FROM customer WHERE c_acctbal > 0
           )
           AND NOT EXISTS (
               SELECT 1 FROM orders
@@ -562,7 +563,7 @@ def q_q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cannot flip a boundary customer."""
     cust = _t(spark, sf_dir, "customer")
     avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
-        exact_round_avg("c_acctbal").alias("avg_bal")
+        exact_round_avg_fast("c_acctbal").alias("avg_bal")
     )
     recent = (
         _t(spark, sf_dir, "orders")
@@ -576,7 +577,7 @@ def q_q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            exact_round_sum("c_acctbal").alias("totacctbal"),
+            exact_round_sum_fast("c_acctbal").alias("totacctbal"),
         )
     )
 
@@ -940,9 +941,9 @@ def q_q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "q3_shipping_priority",
-    oracle="""
+    oracle=f"""
         SELECT l_orderkey,
-               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))), 2) AS DOUBLE) AS revenue,
+               {sql_exact_round_sum_fast("l_extendedprice * (1 - l_discount)")} AS revenue,
                o_orderdate, o_orderpriority
         FROM customer
         JOIN orders ON c_custkey = o_custkey
@@ -987,7 +988,7 @@ def q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         lines.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(cust, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(exact_round_sum(_revenue()).alias("revenue"))
+        .agg(exact_round_sum_fast(_revenue()).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
         .limit(10)
@@ -1074,9 +1075,9 @@ def q_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "q10_returned_items",
-    oracle="""
+    oracle=f"""
         SELECT c_custkey, c_name,
-               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))), 2) AS DOUBLE) AS revenue,
+               {sql_exact_round_sum_fast("l_extendedprice * (1 - l_discount)")} AS revenue,
                round(c_acctbal, 2) AS c_acctbal, n_name
         FROM customer
         JOIN orders ON o_custkey = c_custkey
@@ -1124,7 +1125,7 @@ def q_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, F.col("c_custkey") == F.col("o_custkey"))
         .join(nation, F.col("n_nationkey") == F.col("c_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(exact_round_sum(_revenue()).alias("revenue"))
+        .agg(exact_round_sum_fast(_revenue()).alias("revenue"))
         .select(
             "c_custkey",
             "c_name",

@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from hadoop_lab_spark.functions.numeric import SUM_DECIMAL, nan_excluded
+from hadoop_lab_spark.functions.numeric import micro_addend, nan_excluded
 from hadoop_lab_spark.operators.wordcount import wordcount as wordcount_op
 from hadoop_lab_spark.sources.tables import _normalize, table_path
 
@@ -124,20 +124,23 @@ def stream_windowed_event_counts(
         .filter(F.col("ts").isNotNull())
         .withWatermark("ts", watermark)
     )
-    # The sum accumulates in exact DECIMAL (functions/numeric.py): state-
-    # store addition order follows micro-batch arrival, so a double sum
-    # here would move at the last ulp with HOW the replay was batched —
-    # the exact streaming analogue of the input-file-layout bug. NaN
+    # The sum accumulates in exact integer MICROS (functions/numeric.py
+    # micro_addend — the r8 fast path): state-store addition order
+    # follows micro-batch arrival, so a double sum here would move at
+    # the last ulp with HOW the replay was batched — the exact streaming
+    # analogue of the input-file-layout bug. Integer micros addition is
+    # associative, so the open accumulator is micro-batch-boundary
+    # invariant; the lane finishes it with round_micros_to_double. NaN
     # addends are excluded explicitly (they still count in cnt); Spark
-    # would NULL them into the decimal cast while the batch oracle's
+    # would NULL them into the micros cast while the batch oracle's
     # DuckDB CAST errors, so the guard is the stated contract.
     return events.groupBy(
         F.window("ts", window).alias("w"), "event_type"
     ).agg(
         F.count(F.lit(1)).alias("cnt"),
-        F.sum(nan_excluded("value").cast(SUM_DECIMAL)).alias("sum_value"),
+        F.sum(micro_addend(nan_excluded("value"))).alias("sum_micros"),
     ).select(
-        F.col("w.start").alias("w_start"), "event_type", "cnt", "sum_value"
+        F.col("w.start").alias("w_start"), "event_type", "cnt", "sum_micros"
     )
 
 
@@ -328,11 +331,12 @@ def stream_foreachbatch_event_totals(
             bdf.groupBy("event_type")
             .agg(
                 F.count(F.lit(1)).cast("bigint").alias("cnt"),
-                # exact decimal partials: partial-sum-of-partial-sums must
-                # equal the one-pass answer REGARDLESS of how the replay
-                # was batched, which double addition cannot promise at the
+                # exact integer-micros partials (micro_addend, the r8
+                # fast path): partial-sum-of-partial-sums must equal the
+                # one-pass answer REGARDLESS of how the replay was
+                # batched, which double addition cannot promise at the
                 # last ulp. NaN excluded per the numeric.py contract.
-                F.sum(nan_excluded("value").cast(SUM_DECIMAL)).alias("sum_value"),
+                F.sum(micro_addend(nan_excluded("value"))).alias("sum_micros"),
             )
             .withColumn("batch_id", F.lit(batch_id))
             .write.mode("overwrite")

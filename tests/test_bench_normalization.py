@@ -116,3 +116,58 @@ def test_pin_tool_round_trips(tmp_path):
     ref = json.load(open(out_path))
     assert ref["label"] == "test-label"
     assert set(ref["canaries"]) <= set(ref["queries"])
+
+
+def test_pin_tool_budget_chain_is_machine_recorded(tmp_path):
+    """VERDICT r7 #3: each re-pin rebases the normalized-budget unit, so
+    the pin tool must record the conversion as data — pin label, the
+    measured canary bridge vs the previous pin, and the converted
+    budget, appended to an auditable chain. Pinning the same detail on
+    top of itself must read bridge 1.0 and leave the budget unchanged."""
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out_path = str(tmp_path / "ref.json")
+    tool = os.path.join(repo, "tools", "pin_bench_reference.py")
+    detail = os.path.join(repo, "bench_detail.json")
+
+    # first pin: fresh file, chain starts from the explicit seed
+    r1 = subprocess.run(
+        [sys.executable, tool, "pin-one", detail, out_path, "--budget-seed=0.80"],
+        capture_output=True, text=True, check=False,
+    )
+    assert r1.returncode == 0, r1.stderr
+    ref1 = json.load(open(out_path))
+    assert ref1["budget_normalized_spq"] is None  # no previous pin at all
+    assert ref1["budget_chain"] == []
+
+    # seed the budget as the committed reference carries it, then re-pin
+    ref1["budget_normalized_spq"] = 0.80
+    json.dump(ref1, open(out_path, "w"))
+    r2 = subprocess.run(
+        [sys.executable, tool, "pin-two", detail, out_path],
+        capture_output=True, text=True, check=False,
+    )
+    assert r2.returncode == 0, r2.stderr
+    ref2 = json.load(open(out_path))
+    assert ref2["previous_pin_label"] == "pin-one"
+    assert ref2["canary_bridge_vs_previous_pin"] == 1.0  # same medians
+    assert ref2["budget_normalized_spq"] == 0.80
+    assert ref2["budget_chain"][-1] == {
+        "from_label": "pin-one",
+        "from_budget_spq": 0.80,
+        "canary_bridge": 1.0,
+        "to_budget_spq": 0.80,
+    }
+
+
+def test_committed_reference_carries_the_budget_chain():
+    """The committed bench_reference.json must carry the machine-recorded
+    budget provenance (r7 pin: 0.85 r6-units x 0.97 bridge = 0.82)."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ref = json.load(open(os.path.join(repo, "bench_reference.json")))
+    assert ref["budget_normalized_spq"] is not None
+    assert ref["budget_chain"], "empty budget chain on the committed pin"
+    last = ref["budget_chain"][-1]
+    assert last["to_budget_spq"] == ref["budget_normalized_spq"]
+    assert 0.5 < ref["budget_normalized_spq"] < 1.5  # sanity band

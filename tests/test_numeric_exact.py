@@ -164,11 +164,14 @@ def _model_round_sum_fast(values: list[float], nd: int = 2) -> float | None:
     floor(v*1e6 + 0.5) in IEEE double arithmetic (Python floats ARE
     IEEE doubles, so `math.floor(v * 1e6 + 0.5)` walks Spark's exact
     steps); slow addends are the decimal-image micros. The micros sum
-    exactly, round HALF_UP at 10^(6-nd), rescale to units in EXACT
-    decimal arithmetic, then ONE correctly-rounded decimal→double
-    conversion — mirrored operation-for-operation. (float(Decimal) is
-    correctly rounded, like the engines' single decimal→double cast;
-    `float(rounded)/1e6` would double-round above 2**53 micros.)"""
+    exactly, round HALF_UP at 10^(6-nd), then the r8 finisher: ONE
+    correctly-rounded int→double of the SCALE-0 micros (CPython's
+    float(int) is correctly rounded, like Spark's decimal→double and
+    the oracle's VARCHAR-routed cast), then ONE IEEE division by 1e6
+    — mirrored operation-for-operation. (The r7 finisher converted the
+    decimal-rescaled UNITS instead; DuckDB double-rounds that scaled
+    conversion above 2**53 micros — the nan-purchase 2e12+10 tie
+    catch, see functions/numeric.py block comment.)"""
     import math
 
     if not values:
@@ -188,7 +191,7 @@ def _model_round_sum_fast(values: list[float], nd: int = 2) -> float | None:
     rounded = total.quantize(
         decimal.Decimal(1).scaleb(6 - nd), rounding=decimal.ROUND_HALF_UP
     )
-    return float(rounded.scaleb(-6))
+    return float(int(rounded)) / 1e6
 
 
 def _spark_fast_sums(spark, values: list[float], n_parts: int):
@@ -205,12 +208,16 @@ def _spark_fast_sums(spark, values: list[float], n_parts: int):
 @_SETTINGS
 def test_fast_sum_matches_model_classic_and_layout(spark, cents):
     """Money-like addends: the fast path must equal its own exact model,
-    equal the CLASSIC decimal-image sum (the bit-for-bit equivalence
-    the three converted lanes rely on), and not care about
+    equal the CLASSIC decimal-image sum wherever that equivalence is a
+    THEOREM (group micros within 2**53 — beyond it the classic DuckDB
+    twin's scaled decimal→double conversion double-rounds, the very
+    divergence the r8 finisher fixed, so bit-equality to classic is
+    neither achievable nor wanted there), and not care about
     permutation/partitioning."""
     values = [c / 100.0 for c in cents]
     expected = _model_round_sum_fast(values)
-    assert expected == _model_round_sum(values), "models diverge on money"
+    if abs(sum(cents)) * 10**4 < 2**53:
+        assert expected == _model_round_sum(values), "models diverge on money"
     s1, _ = _spark_fast_sums(spark, values, 1)
     s2, _ = _spark_fast_sums(spark, list(reversed(values)), 7)
     assert s1 == expected, (values, s1, expected)
@@ -228,18 +235,33 @@ def test_fast_sum_6dp_products(spark, micros):
 
 
 def test_fast_slow_branch_and_out_of_range(spark):
-    """Jumbo values ride the slow (decimal-image) branch: 1e12+0.25 is
-    above FAST_ABS_BOUND and must sum exactly; beyond 22 integer digits
-    still ERRORS loudly under ANSI (the branch keeps the r6 bound)."""
+    """Jumbo values ride the slow (split-image) branch: 1e12+0.25 is
+    above FAST_ABS_BOUND and must sum exactly; at 1e16 and beyond both
+    engines ERROR loudly (r8: above double integer precision the
+    shortest-string and exact-value integer images diverge — see the
+    numeric.py slow-branch comment — so the cast refuses instead of
+    letting the engines answer differently)."""
+    import duckdb
+
     df = spark.createDataFrame([(1.0e12 + 0.25,), (0.25,)], "v double")
     out = df.agg(exact_round_sum_fast("v").alias("s")).collect()[0]
     assert out["s"] == 1.0e12 + 0.5
 
     from pyspark.errors.exceptions.captured import ArithmeticException
 
-    df2 = spark.createDataFrame([(1.0e30,), (0.25,)], "v double")
-    with pytest.raises(ArithmeticException):
-        df2.agg(exact_round_sum_fast("v").alias("s")).collect()
+    for jumbo in (1.0e16, 5e21, 1.0e30):
+        df2 = spark.createDataFrame([(jumbo,), (0.25,)], "v double")
+        with pytest.raises(ArithmeticException):
+            df2.agg(exact_round_sum_fast("v").alias("s")).collect()
+        con = duckdb.connect()
+        try:
+            with pytest.raises(duckdb.Error):
+                con.execute(
+                    f"SELECT {sql_exact_round_sum_fast('v')}"
+                    f" FROM (VALUES ({jumbo!r}), (0.25)) AS t(v)"
+                ).fetchone()
+        finally:
+            con.close()
 
 
 def test_fast_sql_twin_mixed_branches(spark):
@@ -268,9 +290,25 @@ def test_fast_sql_twin_mixed_branches(spark):
             con.close()
 
     mixes = [
-        [1.0, 0.07, -3.335, 1e12 + 0.25, 5e21, 2147483647.9, 2147483648.5],
+        # 8765432109876543.0 is an odd 16-digit integer in [2**53, 1e16):
+        # spacing-2 territory where the shortest-string and exact-value
+        # integer images still provably coincide (numeric.py slow-branch
+        # comment) — the largest legal addend class
+        [1.0, 0.07, -3.335, 1e12 + 0.25, 8765432109876543.0,
+         2147483647.9, 2147483648.5],
         [(1e12 + 0.25) * 0.5, 0.25],  # hostile-star half-cent case → x.38
         [-(1e12 + 0.25) * 0.5, -0.25],  # negative twin → away-rounding
+        # r8 finisher catch, pinned live from the nan-purchase run:
+        # 2e12+10 — its micros land on an EXACT int128→double tie past
+        # 2**53, where DuckDB's scaled-decimal cast printed …009.9998
+        [1e12, 1e12, 10.0],
+        [-1e12, -1e12, -10.0],
+        # group micros past 2**64 (3 × ~9e15 units): DuckDB's direct
+        # int128→double composes fl(upper)·2^64 + fl(lower) and
+        # double-rounds — the VARCHAR hop in the sql twins is what
+        # keeps these equal
+        [9.007e15, 9.007e15, 9.007e15, 0.25],
+        [-9.007e15, -9.007e15, -9.007e15, -0.25],
     ]
     for vals in mixes:
         s = spark_agg(vals, exact_round_sum_fast("v"))

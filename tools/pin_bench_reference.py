@@ -38,11 +38,37 @@ CANARIES = [
 ]
 
 
+def _trimmed_mean_bridge(new_q: dict, old_ref: dict) -> float | None:
+    """The SAME trimmed-mean canary computation bench.py applies
+    (bench.py:_trimmed_mean_ratio): ratio of the NEW pin's medians to
+    the PREVIOUS pin's, so the unit conversion between budgets is the
+    number a bench run on the new-pin host would have read as its
+    canary_ratio against the old pin."""
+    old_q = old_ref.get("queries", {})
+    ratios = sorted(
+        new_q[n] / old_q[n]
+        for n in old_ref.get("canaries", [])
+        if n in new_q and old_q.get(n)
+    )
+    if len(ratios) < 3:
+        return None
+    trimmed = ratios[1:-1]
+    return round(sum(trimmed) / len(trimmed), 3)
+
+
 def main() -> None:
     if len(sys.argv) < 2:
-        sys.exit("usage: pin_bench_reference.py <label> [detail_path]")
-    label = sys.argv[1]
-    detail_path = sys.argv[2] if len(sys.argv) > 2 else os.path.join(REPO, "bench_detail.json")
+        sys.exit(
+            "usage: pin_bench_reference.py <label> [detail_path] [out_path]"
+            " [--budget-seed=S]"
+        )
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    seed = None
+    for a in sys.argv[1:]:
+        if a.startswith("--budget-seed="):
+            seed = float(a.split("=", 1)[1])
+    label = args[0]
+    detail_path = args[1] if len(args) > 1 else os.path.join(REPO, "bench_detail.json")
     detail = json.load(open(detail_path))
     if detail.get("sf") != 0.1:
         sys.exit(f"refusing to pin a non-sf0.1 record (sf={detail.get('sf')})")
@@ -50,6 +76,39 @@ def main() -> None:
     missing = [c for c in CANARIES if c not in queries]
     if missing:
         sys.exit(f"canaries missing from detail: {missing}")
+
+    # Machine-recorded budget provenance (VERDICT r7 #3): each re-pin
+    # rebases what "normalized s/q" means, so the conversion chain must
+    # be data, not BASELINE.md prose. The previous pin carries its own
+    # budget; the new budget = old budget x measured canary bridge
+    # (host-speed unit conversion, NOT a budget raise), and the chain
+    # accumulates one auditable entry per pin.
+    ref_path = args[2] if len(args) > 2 else os.path.join(REPO, "bench_reference.json")
+    prev, bridge, budget, chain = None, None, None, []
+    try:
+        prev = json.load(open(ref_path))
+    except (OSError, json.JSONDecodeError):
+        prev = None
+    if prev:
+        bridge = _trimmed_mean_bridge(queries, prev)
+        prev_budget = prev.get("budget_normalized_spq", seed)
+        chain = list(prev.get("budget_chain", []))
+        if prev_budget is None:
+            sys.exit(
+                "previous pin has no budget_normalized_spq; pass "
+                "--budget-seed=<old-unit budget> once to start the chain"
+            )
+        if bridge is None:
+            sys.exit("cannot compute canary bridge vs previous pin")
+        budget = round(prev_budget * bridge, 2)
+        chain.append(
+            {
+                "from_label": prev.get("label"),
+                "from_budget_spq": prev_budget,
+                "canary_bridge": bridge,
+                "to_budget_spq": budget,
+            }
+        )
     out = {
         "label": label,
         "source": os.path.basename(detail_path),
@@ -57,12 +116,16 @@ def main() -> None:
         "total_median_sec": detail["total_median_sec"],
         "canaries": CANARIES,
         "queries": queries,
+        "previous_pin_label": prev.get("label") if prev else None,
+        "canary_bridge_vs_previous_pin": bridge,
+        "budget_normalized_spq": budget,
+        "budget_chain": chain,
     }
-    ref_path = (
-        sys.argv[3] if len(sys.argv) > 3 else os.path.join(REPO, "bench_reference.json")
-    )
     json.dump(out, open(ref_path, "w"), indent=1, sort_keys=True)
-    print(f"pinned {len(queries)} lane medians -> {ref_path} ({label})")
+    print(
+        f"pinned {len(queries)} lane medians -> {ref_path} ({label}); "
+        f"bridge={bridge} budget={budget} s/q"
+    )
 
 
 if __name__ == "__main__":
