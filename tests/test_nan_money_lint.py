@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import ast
 import pathlib
+import re
 
 import pytest
 
@@ -249,3 +250,33 @@ def test_lint_catches_an_unguarded_scratch_lane():
     assert _scan_source(direct, "x.py") == [("x.py", "q_scratch", 3)]
     assert _scan_source(hoisted, "x.py") == [("x.py", "q_scratch2", 3)]
     assert _scan_source(guarded, "x.py") == []
+
+
+def test_money_lanes_are_all_on_the_fast_family():
+    """VERDICT r7 #1 'done' pin: the registry carries ONE money-helper
+    family. No oracle may contain the classic DECIMAL(28,6) idiom and
+    no plan module may call the classic helpers — a new lane written
+    against the legacy family (whose cross-engine image has the
+    documented ~9e9/2**53 domain caveats) fails here, not in a hostile
+    fixture months later."""
+    from hadoop_lab_spark.plans.registry import REGISTRY, load_all_query_modules
+
+    load_all_query_modules()
+    stale = [
+        n for n, s in REGISTRY.items()
+        if s.oracle and "DECIMAL(28,6)" in s.oracle
+    ]
+    assert not stale, f"classic decimal idiom in oracles: {stale}"
+    classic = re.compile(
+        r"\b(exact_round_sum|exact_round_avg|exact_sum|"
+        r"sql_exact_round_sum|sql_exact_round_avg|sql_exact_sum)\("
+    )
+    offenders = []
+    for path in sorted(PKG.rglob("*.py")):
+        rel = str(path.relative_to(PKG))
+        if rel == "functions/numeric.py":  # definitions + classic family
+            continue
+        for i, line in enumerate(path.read_text().splitlines(), 1):
+            if classic.search(line):
+                offenders.append(f"{rel}:{i}: {line.strip()}")
+    assert not offenders, "classic helper call sites:\n" + "\n".join(offenders)
