@@ -362,3 +362,49 @@ def test_nan_excluded_guard(spark):
     all_bad = spark.createDataFrame([(float("nan"),), (None,)], "v double")
     out2 = all_bad.agg(exact_round_sum(nan_excluded("v")).alias("s")).collect()[0]
     assert out2["s"] is None, "sum over only NaN/NULL must stay NULL"
+
+
+def test_finisher_image_engine_identical_bulk(spark):
+    """Batched cross-engine fuzz of the r8 FINISHER alone (micros→double):
+    400 seeded pseudo-random micros sums spanning 1e3..1e27 — through
+    the >2**53 and >2**64 zones where DuckDB's direct conversions
+    double-round — must produce the identical double on Spark
+    (native decimal→double + /1e6) and DuckDB (VARCHAR hop + /1e6),
+    and both must equal the independent correctly-rounded model
+    (CPython int→float is correctly rounded). One Spark job, one
+    DuckDB query — per-value fuzzing at lane level would cost minutes.
+    Deterministic LCG, not random: the examples are pinned forever."""
+    import duckdb
+
+    vals, x = [], 88172645463325252
+    for i in range(400):
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        mag = 10 ** (3 + (x % 25))
+        v = (x % mag) * (1 if (x >> 8) % 2 else -1)
+        vals.append(v)
+
+    # Spark: the exact finisher steps round_micros_to_double applies
+    # after the per-group ROUND (values are already scale-0 here).
+    df = spark.createDataFrame(
+        [(str(v),) for v in vals], "m string"
+    ).select(
+        (F.col("m").cast("decimal(31,0)").cast("double") / F.lit(1e6)).alias("d")
+    )
+    got_spark = [r["d"] for r in df.collect()]
+
+    con = duckdb.connect()
+    try:
+        rows = ",".join(f"('{v}')" for v in vals)
+        got_duck = [
+            r[0]
+            for r in con.execute(
+                "SELECT CAST(CAST(CAST(m AS DECIMAL(31,0)) AS VARCHAR) AS DOUBLE)"
+                f" / 1e6 FROM (VALUES {rows}) AS t(m)"
+            ).fetchall()
+        ]
+    finally:
+        con.close()
+
+    model = [float(v) / 1e6 for v in vals]
+    assert got_spark == model, "Spark finisher image diverged from model"
+    assert got_duck == model, "DuckDB finisher image diverged from model"
