@@ -1,6 +1,8 @@
 """Generate an sf1.0-equivalent synthetic star schema (10x sf0.1).
 
-Usage: python tools/gen_scale_data.py [out_dir]   (default /tmp/sf1.0)
+Usage: python tools/gen_scale_data.py [out_dir] [--scale=K]
+       (default /tmp/sf1.0, K=1; --scale=10 yields an sf10-equivalent
+        universe for the two-decade scaling sweep, r8)
 
 Used for the r4 10x scale differential (PERFORMANCE.md): the driver
 only ships sf{0.001,0.01,0.1}, so scale-sweep fixtures are generated
@@ -17,14 +19,19 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1.0"
+_args = [a for a in sys.argv[1:] if not a.startswith("--")]
+OUT = _args[0] if _args else "/tmp/sf1.0"
+SCALE = 1
+for _a in sys.argv[1:]:
+    if _a.startswith("--scale="):
+        SCALE = int(_a.split("=", 1)[1])
 os.makedirs(OUT, exist_ok=True)
 rng = np.random.default_rng(4242)
 
-N_CUST, N_SUPP, N_PART = 150_000, 10_000, 200_000
-N_ORDERS, LINES_PER_ORDER = 1_500_000, 4
-N_EVENTS, N_USERS = 1_000_000, 15_000
-N_DOCS, N_EMB, DIM = 50_000, 20_000, 64
+N_CUST, N_SUPP, N_PART = 150_000 * SCALE, 10_000 * SCALE, 200_000 * SCALE
+N_ORDERS, LINES_PER_ORDER = 1_500_000 * SCALE, 4
+N_EVENTS, N_USERS = 1_000_000 * SCALE, 15_000 * SCALE
+N_DOCS, N_EMB, DIM = 50_000 * SCALE, 20_000 * SCALE, 64
 
 US_DAY = 86_400_000_000
 
