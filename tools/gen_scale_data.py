@@ -37,7 +37,15 @@ US_DAY = 86_400_000_000
 
 
 def w(name, table):
-    pq.write_table(table, os.path.join(OUT, name + ".parquet"))
+    # Proportional row groups: pyarrow's default (1Mi rows) writes the
+    # 500k-row sf10 documents table as ONE row group, which Spark can
+    # only scan as ONE task — the r8 two-decade sweep measured 14-17x
+    # second-decade wall on the doc/embedding lanes from exactly this,
+    # all of which collapsed back to <=3x once the files carried
+    # proportional splits. ~32 groups per table keeps every scan
+    # parallelizable at any --scale without changing any value.
+    rg = max(16_384, table.num_rows // 32)
+    pq.write_table(table, os.path.join(OUT, name + ".parquet"), row_group_size=rg)
     print(name, table.num_rows)
 
 
