@@ -29,9 +29,11 @@ the PRIMARY cross-round metric is the common-lane ratio — sum of this
 run's medians over the lanes shared with the pinned round-of-record
 reference (bench_reference.json, committed once per round) divided by
 the reference's sum over the same lanes. Canaries only bridge HOSTS:
-8 lanes spanning the plan families (scan-agg, scan-local text, salted
+9 lanes spanning the plan families (scan-agg, scan-local text, salted
 window agg, multi-join, LSH band join, banded self-join + verify,
-iterative graph, percentile window), normalized by the TRIMMED MEAN of
+iterative graph, percentile window, and — since the r9 pin —
+checkpoint-iterative CC, whose family swung 1.5x against a 0.98
+canary read in the r8 driver record), normalized by the TRIMMED MEAN of
 their current/reference ratios (drop the single lowest and highest —
 r5 showed one canary can move 37% for host-local reasons; the median
 of 3 gave that outlier a 1-in-3 chance of steering the headline).
@@ -86,16 +88,55 @@ def _trimmed_mean_ratio(
     """Host-bridge factor: trimmed mean (drop min and max) of the canary
     lanes' current/reference ratios. Needs >= 3 usable canaries so the
     trim leaves at least one value."""
-    ref_q = reference.get("queries", {})
-    ratios = sorted(
-        timings[n] / ref_q[n]
-        for n in reference.get("canaries", [])
-        if n in timings and ref_q.get(n)
-    )
+    ratios = sorted(_canary_ratios(timings, reference).values())
     if len(ratios) < 3:
         return None
     trimmed = ratios[1:-1]
     return round(sum(trimmed) / len(trimmed), 3)
+
+
+def _canary_ratios(
+    timings: dict[str, float], reference: dict
+) -> dict[str, float]:
+    ref_q = reference.get("queries", {})
+    return {
+        n: timings[n] / ref_q[n]
+        for n in reference.get("canaries", [])
+        if n in timings and ref_q.get(n)
+    }
+
+
+def _warn_if_canaries_skewed(
+    timings: dict[str, float], reference: dict, trimmed: float | None
+) -> list[str]:
+    """VERDICT r8 #2: the r8 driver record's budget breach was a
+    FAMILY-skewed host window — the checkpoint-iterative family ran
+    1.3-1.5x while the (then all CPU-bound) canaries read 0.98, so the
+    scalar bridge silently under-corrected and the breach surfaced as
+    an unexplained gate failure a round later. The trim drops the
+    extreme ratios by design (one host-local outlier must not steer the
+    bridge), which means a lone diverging family canary can never move
+    the scalar — its job is THIS check: name any canary whose ratio
+    sits >20% from the trimmed mean, loudly, in the run's own output,
+    so the record carries the "this window is family-skewed; per-lane
+    numbers need tools/bench_lanes.py adjudication" flag."""
+    if trimmed is None:
+        return []
+    skewed = [
+        n
+        for n, r in sorted(_canary_ratios(timings, reference).items())
+        if abs(r / trimmed - 1.0) > 0.20
+    ]
+    for n in skewed:
+        ratio = _canary_ratios(timings, reference)[n]
+        print(
+            f"WARNING: canary {n} at {ratio:.2f}x its pin vs trimmed mean "
+            f"{trimmed:.2f} — family-skewed host window; the scalar "
+            "canary_ratio does not bridge this run's "
+            f"{n}-like lanes (adjudicate with tools/bench_lanes.py)",
+            file=sys.stderr,
+        )
+    return skewed
 
 
 def _common_lane_ratio(
@@ -222,9 +263,13 @@ def main() -> None:
     reference = _load_reference() if sf == 0.1 else None
     canary_ratio = None
     common_lane_ratio, n_common = None, 0
+    skewed_canaries: list[str] = []
     if reference:
         canary_ratio = _trimmed_mean_ratio(timings, reference)
         common_lane_ratio, n_common = _common_lane_ratio(timings, reference)
+        skewed_canaries = _warn_if_canaries_skewed(
+            timings, reference, canary_ratio
+        )
     normalized_total = (
         round(total / canary_ratio, 3) if canary_ratio else None
     )
@@ -255,6 +300,7 @@ def main() -> None:
                 "reference_label": (reference or {}).get("label"),
                 "common_lane_ratio": common_lane_ratio,
                 "n_common_lanes": n_common,
+                "skewed_canaries": skewed_canaries,
                 "normalized_total_sec": normalized_total,
                 "normalized_total_common_sec": normalized_total_common,
                 "queries": detail,
@@ -280,6 +326,10 @@ def main() -> None:
                 "canary_ratio": canary_ratio,
                 "common_lane_ratio": common_lane_ratio,
                 "n_common_lanes": n_common,
+                # names of canaries >20% off the trimmed mean: non-empty
+                # means the window is family-skewed and per-lane numbers
+                # need bench_lanes.py adjudication (VERDICT r8 #2)
+                "skewed_canaries": skewed_canaries,
                 "normalized_total": normalized_total,
                 "normalized_total_common": normalized_total_common,
                 # machine-recorded budget provenance (VERDICT r7 #3):

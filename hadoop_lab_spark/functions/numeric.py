@@ -312,7 +312,17 @@ def round_micros_to_double(sum_micros: Column, nd: int = 2) -> Column:
     divide by 1e6 in IEEE — the exact finisher
     :func:`exact_round_sum_fast` applies, split out so streaming state
     stores can keep integer micros between batches and stay
-    micro-batch-boundary invariant."""
+    micro-batch-boundary invariant.
+
+    Accuracy bound (ADVICE r8): the composed image (correctly-rounded
+    micros→double, then an IEEE /1e6) can sit up to ~1.5 ulp from the
+    true rounded value — each step is ≤0.5 ulp but they compound, e.g.
+    exact 2000000000010.00 → 2000000000009.9998 past 2**53 micros.
+    The trade is deliberate: the image is ENGINE-IDENTICAL at any
+    magnitude (both engines compose the same two steps), which is what
+    the differential gate needs; a single direct conversion would be
+    ≤0.5 ulp but engine-divergent past 2**53. Full analysis in the
+    fast-path block comment above and PERFORMANCE.md r8."""
     micros = F.round(sum_micros, nd - 6).cast("decimal(31,0)")
     return micros.cast("double") / F.lit(1e6)
 

@@ -51,6 +51,40 @@ def test_trimmed_mean_needs_three_canaries():
     )
 
 
+def test_skew_warning_names_diverging_canary():
+    """VERDICT r8 #2: a lone family canary >20% off the trimmed mean is
+    (by design) trimmed out of the scalar bridge — it must instead be
+    NAMED in the record so a family-skewed window flags itself. The r8
+    driver scenario: 8 canaries near 1.0, dedup_clusters at 1.48."""
+    queries = {f"c{i}": 1.0 for i in range(8)} | {"dedup_clusters": 1.0}
+    timings = {f"c{i}": 1.0 for i in range(8)} | {"dedup_clusters": 1.48}
+    ref = _ref(list(queries), queries)
+    trimmed = bench._trimmed_mean_ratio(timings, ref)
+    assert trimmed == 1.0  # the scalar bridge is protected from it...
+    skewed = bench._warn_if_canaries_skewed(timings, ref, trimmed)
+    assert skewed == ["dedup_clusters"]  # ...and the record names it
+
+
+def test_skew_warning_quiet_on_uniform_shift():
+    """A uniform host shift (every canary at 1.3) is exactly what the
+    scalar bridge handles — no skew flag."""
+    queries = {f"c{i}": 1.0 for i in range(9)}
+    timings = {f"c{i}": 1.3 for i in range(9)}
+    ref = _ref(list(queries), queries)
+    trimmed = bench._trimmed_mean_ratio(timings, ref)
+    assert bench._warn_if_canaries_skewed(timings, ref, trimmed) == []
+    assert bench._warn_if_canaries_skewed(timings, ref, None) == []
+
+
+def test_committed_reference_has_checkpoint_iterative_canary():
+    """VERDICT r8 #2 'done' bar: the 9th canary (checkpoint-iterative
+    family representative) is present in the committed pin."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ref = json.load(open(os.path.join(repo, "bench_reference.json")))
+    assert "dedup_clusters" in ref["canaries"]
+    assert len(ref["canaries"]) == 9
+
+
 def test_common_lane_ratio_ignores_lane_set_churn():
     """New lanes must not inflate the ratio and removed lanes must not
     deflate it — only the shared set is compared, as sums (so a big
@@ -131,19 +165,26 @@ def test_pin_tool_budget_chain_is_machine_recorded(tmp_path):
     tool = os.path.join(repo, "tools", "pin_bench_reference.py")
     detail = os.path.join(repo, "bench_detail.json")
 
-    # first pin: fresh file, chain starts from the explicit seed
+    # first pin: fresh file — ADVICE r8: the seed must be HONORED (it
+    # used to be silently ignored, writing budget=null and forcing a
+    # hand-edit of the JSON here), recorded as a bridge-1.0 chain entry
+    # so the chain invariant (to = from x bridge) holds from link one.
     r1 = subprocess.run(
         [sys.executable, tool, "pin-one", detail, out_path, "--budget-seed=0.80"],
         capture_output=True, text=True, check=False,
     )
     assert r1.returncode == 0, r1.stderr
     ref1 = json.load(open(out_path))
-    assert ref1["budget_normalized_spq"] is None  # no previous pin at all
-    assert ref1["budget_chain"] == []
+    assert ref1["budget_normalized_spq"] == 0.80  # seed honored on fresh pin
+    assert ref1["budget_chain"] == [
+        {
+            "from_label": None,
+            "from_budget_spq": 0.80,
+            "canary_bridge": 1.0,
+            "to_budget_spq": 0.80,
+        }
+    ]
 
-    # seed the budget as the committed reference carries it, then re-pin
-    ref1["budget_normalized_spq"] = 0.80
-    json.dump(ref1, open(out_path, "w"))
     r2 = subprocess.run(
         [sys.executable, tool, "pin-two", detail, out_path],
         capture_output=True, text=True, check=False,
@@ -163,11 +204,25 @@ def test_pin_tool_budget_chain_is_machine_recorded(tmp_path):
 
 def test_committed_reference_carries_the_budget_chain():
     """The committed bench_reference.json must carry the machine-recorded
-    budget provenance (r7 pin: 0.85 r6-units x 0.97 bridge = 0.82)."""
+    budget provenance (r9 pin: 0.85 r6-units x 0.97 x 0.98 = 0.808),
+    and the chain must be arithmetically self-consistent at 4-decimal
+    precision — per-link round(x, 2) silently tightened the unit
+    conversion ~0.5% per re-pin until the r9 round figure 'breached' by
+    less than the accumulated rounding (BASELINE.md 'r9 budget-chain
+    precision')."""
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     ref = json.load(open(os.path.join(repo, "bench_reference.json")))
     assert ref["budget_normalized_spq"] is not None
-    assert ref["budget_chain"], "empty budget chain on the committed pin"
-    last = ref["budget_chain"][-1]
-    assert last["to_budget_spq"] == ref["budget_normalized_spq"]
+    chain = ref["budget_chain"]
+    assert chain, "empty budget chain on the committed pin"
+    assert chain[-1]["to_budget_spq"] == ref["budget_normalized_spq"]
     assert 0.5 < ref["budget_normalized_spq"] < 1.5  # sanity band
+    for prev, link in zip(chain, chain[1:]):
+        assert link["from_budget_spq"] == prev["to_budget_spq"], (
+            "chain discontinuity: a link's from_budget does not equal "
+            "the previous link's to_budget"
+        )
+    for link in chain:
+        assert link["to_budget_spq"] == pytest.approx(
+            round(link["from_budget_spq"] * link["canary_bridge"], 4)
+        ), f"link arithmetic broken at 4dp: {link}"

@@ -180,3 +180,50 @@ def test_lane_survives_hostile_universe(spark, hostile_universe_dir, name):
         )
     finally:
         con.close()
+
+
+# ---------------------------------------------------------------------------
+# Streaming section (VERDICT r8 #6): the 10 streaming jobs replayed over
+# the combined universe. Until r9 the streaming family's hostile coverage
+# was its own per-family batching gate — test_hostile_events.py line 64
+# explicitly SKIPS streaming lanes, so no streaming job had ever seen the
+# universe's NaN-purchase rows (the pair that caught r8 finisher defect
+# #1) riding next to the 1e12 jumbo values, NULL event times, and the
+# adversarial documents that stream_wordcount / stream_chunk_documents
+# consume. Streaming state is integer micros whose snapshot finisher
+# (round_micros_to_double) shares the exact code path the NaN rows broke
+# in batch — replay every job here, oracle-compared where the lane
+# carries one, rows-only (the driver's weaker check) where it doesn't.
+# ---------------------------------------------------------------------------
+
+STREAMING_LANES = sorted(
+    n for n, s in REGISTRY.items() if "streaming" in s.tags
+)
+
+
+def test_streaming_family_is_fully_enumerated():
+    """Non-vacuousness: the replay below must cover all 10 jobs — a tag
+    rename or a new streaming lane must widen this gate, not escape it."""
+    assert len(STREAMING_LANES) >= 10, STREAMING_LANES
+    assert "stream_windowed_event_counts" in STREAMING_LANES
+    assert "stream_foreachbatch_totals" in STREAMING_LANES
+
+
+@pytest.mark.parametrize("name", STREAMING_LANES)
+def test_streaming_lane_survives_hostile_universe(
+    spark, hostile_universe_dir, name
+):
+    spec = REGISTRY[name]
+    df = spec.fn(spark, hostile_universe_dir)
+    if spec.oracle is None:
+        # the driver's weaker rows-only contract: runs and yields a
+        # stable, non-crashing answer over the hostile replay
+        df.count()
+        return
+    con = _con_for(hostile_universe_dir)
+    try:
+        assert_matches_oracle(
+            df, con, spec.oracle, name=f"hostile-universe-streaming:{name}"
+        )
+    finally:
+        con.close()

@@ -10,12 +10,22 @@ Writes bench_reference.json — the per-lane medians bench.py compares
 every subsequent run against (trimmed-mean canary ratio bridges hosts;
 common-lane ratio is the primary cross-round metric).
 
-The canary list is fixed here, not in the detail file: 8 lanes spanning
+The canary list is fixed here, not in the detail file: 9 lanes spanning
 the plan families (scan-agg, scan-local text, salted window agg,
 multi-join, LSH band join, banded self-join + verify, iterative graph,
-percentile window). Change it only with a PERFORMANCE.md note — the
-trimmed mean needs >= 3 usable canaries and loses its outlier
-protection below ~6.
+percentile window, checkpoint-iterative CC). Change it only with a
+PERFORMANCE.md note — the trimmed mean needs >= 3 usable canaries and
+loses its outlier protection below ~6.
+
+dedup_clusters joined in r9 (VERDICT r8 #2): the r8 driver record's
+budget breach was this exact lane swinging 1.48x with host disk/GC
+state while the 8 CPU-bound canaries read 0.98 — checkpoint-heavy
+lanes need a representative in the bridge. Note the trim drops the
+single highest ratio, so ONE family canary cannot steer the scalar
+bridge when it diverges alone; its job is the SPREAD warning bench.py
+emits (a family-skewed window is flagged in the record) and pin-to-pin
+bridging when the whole host moved. PERFORMANCE.md r9 has the
+adjudication.
 """
 
 from __future__ import annotations
@@ -35,6 +45,7 @@ CANARIES = [
     "dedup_simhash_pairs",
     "pagerank_weighted_handoff",
     "exact_percentiles_per_priority",
+    "dedup_clusters",
 ]
 
 
@@ -100,7 +111,14 @@ def main() -> None:
             )
         if bridge is None:
             sys.exit("cannot compute canary bridge vs previous pin")
-        budget = round(prev_budget * bridge, 2)
+        # 4-decimal links (r9): round(x, 2) silently TIGHTENED the unit
+        # conversion ~0.5% per re-pin (0.8245->0.82 at r8, 0.8036->0.80
+        # at r9 — compounding, always downward when bridges hover just
+        # under 1.0), until the r9 round figure "breached" by less than
+        # the accumulated rounding. The budget is a COMMITMENT in old
+        # units; the chain must convert it faithfully, not re-quantize
+        # it per link. BASELINE.md "r9 budget-chain precision".
+        budget = round(prev_budget * bridge, 4)
         chain.append(
             {
                 "from_label": prev.get("label"),
@@ -109,6 +127,23 @@ def main() -> None:
                 "to_budget_spq": budget,
             }
         )
+    elif seed is not None:
+        # ADVICE r8: a fresh pin (no previous reference) used to IGNORE
+        # --budget-seed and write budget=null — misleading, since the
+        # usage text says the seed "starts the chain". Seed the budget
+        # directly: the seed IS in the new pin's units (there is no
+        # previous pin to bridge from), recorded as a bridge-1.0 entry
+        # so the chain's arithmetic invariant (to = from x bridge)
+        # holds from the first link.
+        budget = round(seed, 2)
+        chain = [
+            {
+                "from_label": None,
+                "from_budget_spq": budget,
+                "canary_bridge": 1.0,
+                "to_budget_spq": budget,
+            }
+        ]
     out = {
         "label": label,
         "source": os.path.basename(detail_path),
