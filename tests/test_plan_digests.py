@@ -1,0 +1,100 @@
+"""Whole-registry plan-digest gate (r9): the physical plan of every
+batch lane is FROZEN against plan_digests.json.
+
+The plan-shape tests pin specific optimizations (a broadcast here, a
+partial agg there) and the plan lint pins the absence of scale-killer
+operators — but a plan can degrade without tripping either: a
+SortMergeJoin where a broadcast used to be, an extra Exchange from a
+refactored column expression, a filter that stopped reaching the
+parquet scan. At sf0.1 such a flip costs milliseconds and hides inside
+host noise; at 100 TB it is the difference between a co-located join
+and a terabyte shuffle. This gate makes EVERY plan change loud: the
+committed digest must be regenerated (tools/pin_plan_digests.py) and
+the ops-skeleton diff reviewed in the commit that changes it.
+
+Digest = md5 of the normalized formatted explain (digits, paths and
+expr-ids masked — structure only, constants are the oracle gates'
+job). Stability across fresh JVMs, session order, and shuffle-partition
+settings was verified for the hard lane classes (iterative CC with
+localCheckpoint scans, roundtrip lanes that embed session temp dirs,
+data-adaptive plane counts, Arrow-UDF lanes) before pinning.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import pytest
+
+from hadoop_lab_spark.plans.registry import REGISTRY, load_all_query_modules
+
+from tests.conftest import SF_DIR
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(_REPO, "tools"))
+
+from pin_plan_digests import batch_lanes, plan_record  # noqa: E402
+
+load_all_query_modules()
+
+_PINNED_PATH = os.path.join(_REPO, "plan_digests.json")
+_PINNED = json.load(open(_PINNED_PATH))["lanes"]
+
+BATCH = batch_lanes()
+
+
+def test_pin_covers_exactly_the_batch_registry():
+    """A new batch lane must pin its plan; a removed lane must unpin —
+    the committed file and the registry may never drift apart."""
+    assert sorted(_PINNED) == BATCH, (
+        "plan_digests.json is out of sync with the registry — re-run "
+        "tools/pin_plan_digests.py (new/removed lanes: "
+        f"{sorted(set(BATCH) ^ set(_PINNED))})"
+    )
+
+
+def test_digest_detects_structure_change(spark):
+    """Non-vacuousness: adding one operator to a plan must change the
+    digest, and the ops skeleton must show it."""
+    base = spark.range(5)
+    a = plan_record(base)
+    b = plan_record(base.filter("id > 1"))
+    assert a["digest"] != b["digest"]
+    assert len(b["ops"]) > len(a["ops"])
+
+
+def test_normalization_masks_session_artifacts(spark):
+    """The same logical plan built twice must digest identically even
+    though expr ids differ between the two builds."""
+    a = plan_record(spark.range(7).selectExpr("id * 2 AS x"))
+    b = plan_record(spark.range(7).selectExpr("id * 2 AS x"))
+    assert a["digest"] == b["digest"]
+
+
+@pytest.mark.parametrize("name", BATCH)
+def test_plan_digest_is_unchanged(spark, name):
+    if name not in _PINNED:
+        pytest.skip("lane not pinned yet (covered by the sync test)")
+    rec = plan_record(REGISTRY[name].fn(spark, SF_DIR))
+    pinned = _PINNED[name]
+    if rec["digest"] == pinned["digest"]:
+        return
+    # Show the skeleton diff, not just hashes: the ops lists make the
+    # change reviewable in the failure itself.
+    import difflib
+
+    diff = "\n".join(
+        difflib.unified_diff(
+            pinned["ops"], rec["ops"], "pinned", "current", lineterm=""
+        )
+    )
+    raise AssertionError(
+        f"{name}: physical plan changed vs the committed pin.\n"
+        "If intentional, re-run tools/pin_plan_digests.py and review "
+        "this skeleton diff in the commit:\n" + (diff or "(ops skeleton "
+        "identical — the change is in operator details: join keys, "
+        "PushedFilters, ReadSchema, or partitioning; run the tool and "
+        "diff plan_digests.json)")
+    )
