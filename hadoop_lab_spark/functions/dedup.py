@@ -35,7 +35,11 @@ SIMHASH_CHUNKS = 4  # Hamming-band chunks: r<=chunks-1 guaranteed recall... see 
 
 
 def word_shingle_arrays(
-    df: DataFrame, id_col: str, text_col: str, n: int = SHINGLE_N
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = SHINGLE_N,
+    repartition_by_id: bool = False,
 ) -> DataFrame:
     """(id, sh_arr): each document's DISTINCT n-word shingle set as an
     array — built in ONE projection (tokenize → slide → distinct), no
@@ -49,13 +53,34 @@ def word_shingle_arrays(
 
     The sequence end is clamped to ≥1 so the expression is TOTAL: the
     optimizer may evaluate it on rows the arity filter later drops
-    (InferFiltersFromGenerate pushes a size(sh_arr)>0 predicate below
-    the filter), and an unclamped ``sequence(1, 0)`` counts backwards
-    into ``slice(…, 0, …)``, which throws. Short rows produce a junk
-    partial shingle that the filter then discards.
+    (under a vanilla session InferFiltersFromGenerate pushes a
+    size(sh_arr)>0 predicate below the filter; our sessions exclude
+    that rule as a pure CPU doubling — session.py — but the clamp must
+    hold for ANY session, e.g. the verify driver's), and an unclamped
+    ``sequence(1, 0)`` counts backwards into ``slice(…, 0, …)``, which
+    throws. Short rows produce a junk partial shingle that the filter
+    then discards.
+
+    ``repartition_by_id=True`` inserts the consumer's hash exchange on
+    ``id_col`` BETWEEN the arity filter and the shingle projection,
+    instead of the caller repartitioning the finished arrays. Two wins,
+    both scale-true (r9, PERFORMANCE.md): the exchange moves the
+    token array (≈ text bytes) rather than the built shingle-string
+    array (≈ 3× text — every word replicated into n shingles), and the
+    CPU-heavy slide+array_join+array_distinct lands AFTER the exchange,
+    so its parallelism is the shuffle width, not the input's split
+    count (a single-row-group parquet file scans as ONE task — the r8
+    sweep's lesson — and would otherwise build every shingle on one
+    core). Hash partitioning survives the projection, so downstream
+    consumers reuse the exchange exactly as before. Callers on the
+    bench-canary paths (minhash_near_dups) keep the old shape this
+    round so canary pins stay code-constant; flip them at the next
+    driver re-pin.
     """
     toks = F.split(F.trim(F.col(text_col)), WS_RE)
     df = df.select(F.col(id_col), toks.alias("_toks")).filter(F.size("_toks") >= n)
+    if repartition_by_id:
+        df = df.repartition(F.col(id_col))
     shingles = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size("_toks") - (n - 1), F.lit(1))),
         lambda i: F.array_join(F.slice("_toks", i, n), " "),
@@ -222,6 +247,12 @@ def minhash_incremental_dups(
     are a precomputed index table (bounded: bands × docs rows) and this
     plan's base subtree is exactly the query that maintains it.
     """
+    # Measured (r9): repartition_by_id=True REGRESSES this path (1.28x
+    # its pin) — the band-signature and exact-Jaccard consumers each
+    # re-run the shingle projection above the reused exchange, and with
+    # two doc-set subtrees (base + delta) the recompute beats the
+    # parallelism win that carries ssjoin/ngram. Keep the finished
+    # arrays upstream of the exchange here.
     base_sets = word_shingle_arrays(base, id_col, text_col, n).repartition(F.col(id_col))
     delta_sets = word_shingle_arrays(delta, id_col, text_col, n).repartition(F.col(id_col))
     base_bands = _band_signatures(base_sets, id_col, seeds, bands).select(
@@ -276,7 +307,7 @@ def ngram_jaccard_pairs(
     aggregate joined afterwards (broadcast at any realistic doc count
     relative to the pair table).
     """
-    doc_sets = word_shingle_arrays(df, id_col, text_col, n).repartition(F.col(id_col))
+    doc_sets = word_shingle_arrays(df, id_col, text_col, n, repartition_by_id=True)
     sh = doc_sets.select(F.col(id_col), F.explode("sh_arr").alias("shingle"))
     # Hot (boilerplate) shingles as ONE collected row, broadcast-crossed
     # onto every doc: capping becomes array_except in a projection, so

@@ -308,13 +308,17 @@ def prefix_jaccard_join(
     # collision could only merge two shingles ACROSS the sets of one
     # candidate pair — the same collision class those lanes accept.
     base = (
-        D.word_shingle_arrays(docs, id_col, text_col)
+        # The doc_id exchange sits INSIDE word_shingle_arrays, between
+        # the arity filter and the shingle build (see its docstring):
+        # the shuffle moves token arrays instead of shingle strings, and
+        # the slide/distinct/xxhash64 chain runs at shuffle width even
+        # when the input parquet has a single row group (one scan task).
+        D.word_shingle_arrays(docs, id_col, text_col, repartition_by_id=True)
         .select(
             F.col(id_col).alias("doc_id"),
             F.transform("sh_arr", lambda s: F.xxhash64(s)).alias("toks"),
             F.size("sh_arr").alias("sz"),
         )
-        .repartition(F.col("doc_id"))
     )
     toks = base.select("doc_id", "sz", F.explode("toks").alias("tok"))
     dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))

@@ -52,6 +52,23 @@ _RUNTIME_CONF = {
     # Spark has no TIMESTAMP(NANOS) type; read nano columns as raw int64
     # nanos and let the loader convert (sources/tables.py::_normalize).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # InferFiltersFromGenerate synthesizes `size(e) > 0 AND isnotnull(e)`
+    # below every explode, where `e` is the generator's INPUT EXPRESSION.
+    # For a stored array column that predicate is a cheap column read; for
+    # a COMPUTED array (explode(split(text)), the shingle pipelines) the
+    # alias gets substituted on pushdown and the whole tokenize/slide/
+    # distinct chain is evaluated a second time per row purely to decide
+    # "is the array I am about to build non-empty" — a pure CPU doubling,
+    # since explode already emits zero rows for empty arrays (identical
+    # semantics with or without the rule). Measured at sf0.1: the rule
+    # costs 2.3x on dedup_ngram_jaccard and ~1.3x on wordcount (r9,
+    # PERFORMANCE.md). Every explode in this repo feeds a computed array
+    # except two stored-column posexplode("embedding") sites, where the
+    # inferred filter saves nothing (the lanes pre-filter NULL vectors).
+    # Excluding the rule is semantics-neutral by construction.
+    "spark.sql.optimizer.excludedRules": (
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+    ),
 }
 
 

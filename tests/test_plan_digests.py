@@ -73,12 +73,54 @@ def test_normalization_masks_session_artifacts(spark):
     assert a["digest"] == b["digest"]
 
 
+def test_normalization_masks_jvm_callsite_drift(spark):
+    """Checkpoint scans print the reflective call-site, and HotSpot
+    rewrites that frame after ~15 reflective invocations
+    (NativeMethodAccessorImpl.java:0 → <unknown>:0 / a generated
+    accessor) — so an iterative lane's digest must not depend on how
+    many checkpoints ran earlier in the session. Regression test for
+    the r9 finding where test_scale_ops' hypothesis loops flipped four
+    iterative-lane digests."""
+    from pin_plan_digests import normalize_plan
+
+    young = "Arguments: [id#3L], MapPartitionsRDD[7] at localCheckpoint at NativeMethodAccessorImpl.java:0, ExistingRDD"
+    aged = "Arguments: [id#3L], MapPartitionsRDD[9] at localCheckpoint at <unknown>:0, ExistingRDD"
+    generated = "Arguments: [id#3L], MapPartitionsRDD[9] at localCheckpoint at GeneratedMethodAccessor42.java:17, ExistingRDD"
+    assert normalize_plan(young) == normalize_plan(aged) == normalize_plan(generated)
+    # The call-site mask must not eat genuine operator text around it.
+    assert "MapPartitionsRDD[N] at localCheckpoint at CALLSITE" in normalize_plan(young)
+
+
+def test_skeleton_only_lanes_are_actually_unstable(spark):
+    """Non-vacuousness for the SKELETON_ONLY allowlist: each member
+    must really emit build-varying full text (else it belongs back on
+    the strict digest), while its skeleton stays fixed. Grouping-sets
+    Expand key order comes from an expr-id-keyed hash set, and expr
+    ids are a per-build counter — so two builds can differ; a handful
+    of builds reliably shows the flip."""
+    from pin_plan_digests import SKELETON_ONLY
+
+    for name in SKELETON_ONLY:
+        recs = [plan_record(REGISTRY[name].fn(spark, SF_DIR)) for _ in range(8)]
+        assert len({r["skeleton_digest"] for r in recs}) == 1, name
+        if len({r["digest"] for r in recs}) == 1:
+            # The flip is a function of the expr-id counter, so it is
+            # near-certain but not guaranteed in any fixed number of
+            # builds — an all-equal run proves nothing either way.
+            pytest.skip(f"{name}: full digest happened to be stable this session")
+
+
 @pytest.mark.parametrize("name", BATCH)
 def test_plan_digest_is_unchanged(spark, name):
     if name not in _PINNED:
         pytest.skip("lane not pinned yet (covered by the sync test)")
+    from pin_plan_digests import SKELETON_ONLY
+
     rec = plan_record(REGISTRY[name].fn(spark, SF_DIR))
     pinned = _PINNED[name]
+    if name in SKELETON_ONLY:
+        if rec["skeleton_digest"] == pinned.get("skeleton_digest"):
+            return
     if rec["digest"] == pinned["digest"]:
         return
     # Show the skeleton diff, not just hashes: the ops lists make the
