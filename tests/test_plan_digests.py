@@ -116,6 +116,12 @@ def test_plan_digest_is_unchanged(spark, name):
         pytest.skip("lane not pinned yet (covered by the sync test)")
     from pin_plan_digests import SKELETON_ONLY
 
+    # Clean cache state, mirroring the pin tool: the cached-Q15 lane's
+    # persist() would otherwise auto-substitute an InMemoryRelation
+    # into its uncached twin's plan, making digests depend on which
+    # tests (or lanes) ran earlier in the shared session — found by
+    # the first full-suite run after this gate landed.
+    spark.catalog.clearCache()
     rec = plan_record(REGISTRY[name].fn(spark, SF_DIR))
     pinned = _PINNED[name]
     if name in SKELETON_ONLY:

@@ -115,6 +115,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     digests = {}
     for name in lanes:
+        # Digest from a clean cache state: building the cached-Q15 lane
+        # persists its supplier-revenue subtree, and Spark then
+        # auto-substitutes that InMemoryRelation into ANY later plan
+        # containing the identical subtree (the uncached twin) — plans
+        # would depend on lane build ORDER. The test clears likewise.
+        spark.catalog.clearCache()
         digests[name] = plan_record(REGISTRY[name].fn(spark, sf_dir))
         print(f"{name}: {digests[name]['digest'][:12]} ({len(digests[name]['ops'])} ops)")
     spark.stop()
