@@ -284,6 +284,62 @@ def minhash_incremental_dups(
     )
 
 
+def minhash_ingest_pairs(
+    base: DataFrame,
+    delta: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    n: int = SHINGLE_N,
+    seeds: int = MINHASH_SEEDS,
+    bands: int = LSH_BANDS,
+) -> DataFrame:
+    """Both halves of an ingest batch's near-dup pairing in ONE plan:
+    delta-vs-base collisions (the :func:`minhash_incremental_dups`
+    probe) AND delta-vs-delta collisions (the within-batch
+    :func:`minhash_near_dups`), verified by exact Jaccard >= threshold.
+    Returns (id_a, id_b, jaccard) with id_a always a delta doc; for
+    within-batch pairs id_a < id_b. Requires base/delta id-disjointness
+    (an upsert precondition the caller owns).
+
+    Running the two helpers side by side costs the delta subtree twice:
+    each builds its own shingle arrays, 12 minhashes and band
+    signatures for the SAME batch. Here the delta band table is
+    computed once and probes a UNION target (base bands flagged
+    ``_is_base`` + delta bands), so one candidate join replaces two and
+    the delta's CPU-heavy signature stage runs once. The within pair
+    dedup (id_a < id_b) applies only on the delta side of the target —
+    base ids never self-pair, preserving the incremental contract that
+    base x base work never happens. Verification joins the pair list
+    against the union of both doc-set subtrees (disjoint ids make the
+    union a safe lookup table). Measured r9 at sf0.1: the composed
+    ingest lane's pair stage dropped ~1 s of duplicated delta work; at
+    a 100 TB corpus the saving is one full batch re-shingle per ingest.
+    """
+    base_sets = word_shingle_arrays(base, id_col, text_col, n).repartition(F.col(id_col))
+    delta_sets = word_shingle_arrays(delta, id_col, text_col, n).repartition(F.col(id_col))
+    delta_bands = _band_signatures(delta_sets, id_col, seeds, bands)
+    base_bands = _band_signatures(base_sets, id_col, seeds, bands)
+    probe = delta_bands.select(F.col(id_col).alias("id_a"), "band", "band_sig")
+    target = base_bands.select(
+        F.col(id_col).alias("id_b"), "band", "band_sig", F.lit(True).alias("_is_base")
+    ).unionByName(
+        delta_bands.select(
+            F.col(id_col).alias("id_b"), "band", "band_sig", F.lit(False).alias("_is_base")
+        )
+    )
+    pairs = (
+        probe.join(target, ["band", "band_sig"])
+        .filter(F.col("_is_base") | (F.col("id_a") < F.col("id_b")))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    all_sets = delta_sets.unionByName(base_sets)
+    return exact_jaccard(all_sets, pairs, id_col).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,

@@ -369,16 +369,19 @@ def q_dedup_ingest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     delta = docs.filter(F.col("doc_id") % 5 == 0)
     base = docs.filter(F.col("doc_id") % 5 != 0)
-    cross = D.minhash_incremental_dups(
+    # One composed pair stage (cross-probe + within-batch) instead of
+    # minhash_incremental_dups + minhash_near_dups side by side: the
+    # delta batch is shingled and signed ONCE (see minhash_ingest_pairs
+    # — running the helpers separately re-derived the whole delta
+    # subtree, a full batch re-shingle per ingest at corpus scale).
+    edges = D.minhash_ingest_pairs(
         base, delta, "doc_id", "text", MINHASH_THRESHOLD
-    ).select(F.col("new_id").alias("id_a"), F.col("base_id").alias("id_b"))
-    within = D.minhash_near_dups(
-        delta, "doc_id", "text", MINHASH_THRESHOLD
     ).select("id_a", "id_b")
-    edges = cross.unionByName(within)
+    # id_a is always a delta doc; id_b is the only endpoint that can be
+    # a base doc, so delta ∪ edges.id_b covers the touched subgraph.
     nodes = (
         delta.select("doc_id")
-        .unionByName(cross.select(F.col("id_b").alias("doc_id")))
+        .unionByName(edges.select(F.col("id_b").alias("doc_id")))
         .distinct()
     )
     cc = connected_components(nodes, edges, "doc_id")

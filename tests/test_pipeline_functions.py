@@ -92,6 +92,47 @@ def test_minhash_candidates_subset_of_shingle_pairs(spark, docs):
     assert (1, 3) in cands
 
 
+def test_minhash_ingest_pairs_equals_two_helper_union(spark):
+    """The composed ingest pair stage must return EXACTLY the union of
+    its two predecessors — minhash_incremental_dups(base, delta) plus
+    minhash_near_dups(delta) — pairs and Jaccard values both. Uses a
+    corpus with near-dups in every class (cross, within-delta,
+    within-base [must NOT appear], none) at a permissive threshold so
+    all classes actually collide. Run on /root/testdata docs too via
+    the registered lane's oracle (driver gate)."""
+    rows = [
+        # delta docs (even ids), base docs (odd ids)
+        (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (1, "the quick brown fox jumps over the lazy dog near the river shore"),
+        (2, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        (3, "a completely unrelated sentence about query engines and big shuffles"),
+        (4, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (5, "a completely unrelated sentence about query engines and big shuffles ok"),
+        (7, "a completely unrelated sentence about query engines and big shuffle"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    delta = df.filter(F.col("doc_id") % 2 == 0)
+    base = df.filter(F.col("doc_id") % 2 == 1)
+    t = 0.3
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.minhash_ingest_pairs(base, delta, "doc_id", "text", t).collect()
+    }
+    cross = {
+        (r["new_id"], r["base_id"]): r["jaccard"]
+        for r in D.minhash_incremental_dups(base, delta, "doc_id", "text", t).collect()
+    }
+    within = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.minhash_near_dups(delta, "doc_id", "text", t).collect()
+    }
+    assert cross, "fixture must produce cross pairs"
+    assert within, "fixture must produce within-delta pairs"
+    assert got == {**cross, **within}
+    # base x base near-dups (5,7) must not be paired by any of them.
+    assert not any({a, b} == {5, 7} for a, b in got)
+
+
 def test_exact_jaccard_values(spark, docs):
     """Jaccard(1,3): 13-token docs, 3-shingles → 11 each, differing only
     in the last token → 10 shared ⇒ 10/12."""
