@@ -15,6 +15,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import subprocess
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -51,16 +52,96 @@ def _last_green_round() -> dict[str, int]:
     return seen
 
 
+def _digests_at_round(rnd: int, repo_dir: str = _REPO_DIR) -> dict | None:
+    """The per-lane plan digests pinned when round ``rnd``'s CORRECTNESS
+    file was committed — i.e. the digests of the code that round's green
+    rows actually verified. Resolved from git (the driver commits each
+    round's CORRECTNESS file against that round's final tree). If that
+    commit predates plan_digests.json (it shipped in r9), fall back to
+    the EARLIEST later round that has one — a conservative
+    under-approximation that still catches every change made after the
+    fallback pin. None when nothing resolves (offline / shallow clone):
+    callers must then not flag the lane."""
+    for k in range(rnd, 30):
+        path = f"CORRECTNESS_r{k:02d}.json"
+        if not os.path.exists(os.path.join(repo_dir, path)):
+            continue
+        try:
+            commit = subprocess.run(
+                ["git", "rev-list", "-1", "HEAD", "--", path],
+                cwd=repo_dir, capture_output=True, text=True, timeout=10,
+            ).stdout.strip()
+            if not commit:
+                continue
+            blob = subprocess.run(
+                ["git", "show", f"{commit}:plan_digests.json"],
+                cwd=repo_dir, capture_output=True, text=True, timeout=10,
+            )
+            if blob.returncode == 0:
+                return json.loads(blob.stdout).get("lanes", {})
+        except (OSError, subprocess.SubprocessError, json.JSONDecodeError):
+            return None
+    return None
+
+
+def _digest_changed_lanes(
+    seen: dict[str, int], repo_dir: str = _REPO_DIR
+) -> set[str]:
+    """Lanes whose CURRENT pinned plan digest differs from the digest
+    pinned at their last green driver round (VERDICT r9 task #4: the r9
+    ingest recompose kept its r8 green row, so the driver never
+    re-verified the code that actually shipped). A changed digest means
+    the green row verified a plan that no longer exists — the lane must
+    sort as never-green so the next window re-verifies it."""
+    try:
+        with open(os.path.join(repo_dir, "plan_digests.json")) as f:
+            current = json.load(f).get("lanes", {})
+    except (OSError, json.JSONDecodeError):
+        return set()
+    changed: set[str] = set()
+    cache: dict[int, dict | None] = {}
+    for name, rnd in seen.items():
+        cur = current.get(name)
+        if not cur:
+            continue
+        if rnd not in cache:
+            cache[rnd] = _digests_at_round(rnd, repo_dir)
+        hist = cache[rnd]
+        if hist is None:
+            continue
+        old = hist.get(name)
+        # Compare the SKELETON digest (operator-tree structure), not the
+        # full-text one: normalize_plan itself evolves (the r10
+        # canonical-list-order change re-hashed 147 lanes' full text
+        # while changing zero plans), and a format-evolution re-pin must
+        # not flag the whole registry as unverified. A recomposed lane
+        # changes its operator tree (the r9 ingest rewire: 75 -> 19
+        # ops), which is exactly the signal that demands a fresh green.
+        if (
+            old
+            and old.get("skeleton_digest")
+            and cur.get("skeleton_digest")
+            and old["skeleton_digest"] != cur["skeleton_digest"]
+        ):
+            changed.add(name)
+    return changed
+
+
 def _rotation_order() -> list[str]:
     """Registry names, least-recently-driver-verified first.
 
     Never-green queries sort before everything else; ties break by name
     for determinism. Each round's new CORRECTNESS file shifts the window,
     so all registered queries cycle through driver verification every
-    ceil(N/50) rounds with no manual curation.
+    ceil(N/50) rounds with no manual curation. A lane whose pinned plan
+    digest changed since its last green round sorts as never-green: its
+    green row verified code that no longer exists (see
+    :func:`_digest_changed_lanes`).
     """
     load_all_query_modules()
     seen = _last_green_round()
+    for name in _digest_changed_lanes(seen):
+        seen.pop(name, None)
     return sorted(REGISTRY, key=lambda n: (seen.get(n, 0), n))
 
 

@@ -1,0 +1,64 @@
+"""Tracked ``localCheckpoint`` — materialize an intermediate AND be able
+to free its blocks when it is superseded.
+
+``DataFrame.localCheckpoint(eager=True)`` pins the computed partitions
+as ordinary RDD blocks in the session's BlockManager, and NOTHING ever
+frees them while the session lives. Two consumers need more control:
+
+- **Iterative loops** (connected components, PageRank) checkpoint per
+  round to truncate lineage; each round's blocks are dead the moment
+  the next round is materialized, yet by default every round of every
+  loop of every lane accumulates for the whole session. The r9
+  round-of-record bench showed the cost of session-state accumulation:
+  a lane at 6 s fresh ran 50+ s with ~30 lanes of history
+  (VERDICT r9 #1/#2).
+- **Diamond-shaped plans** (the ingest dedup pair stage) checkpoint a
+  subtree so N consumers compute it once instead of N times —
+  DataFrame reuse alone does NOT dedupe computation; each reference
+  re-derives the whole subtree (the r9 composed ingest lane re-scanned
+  `documents` 8x for exactly this reason).
+
+``tracked_checkpoint`` returns the checkpointed frame plus the ids of
+the RDD blocks the call pinned; ``unpersist_rdds`` frees a set of ids.
+Both go through JavaSparkContext private accessors and degrade to
+no-ops on any failure — block cleanup is a memory optimization and must
+never affect results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def persistent_rdd_ids(sc) -> set[int]:
+    """Ids of the RDDs currently pinned in the session's BlockManager."""
+    try:
+        return {int(k) for k in sc._jsc.getPersistentRDDs().keySet().toArray()}
+    except Exception:  # private-API drift must never fail the lane
+        return set()
+
+
+def unpersist_rdds(sc, ids: set[int]) -> None:
+    """Drop the listed RDDs' blocks (non-blocking). Callers pass ids
+    captured by :func:`tracked_checkpoint` once the checkpointed frame
+    is superseded (iteration state) or fully consumed. Unpersisting a
+    local checkpoint makes it unrecoverable — only free ids no live
+    DataFrame still references."""
+    if not ids:
+        return
+    try:
+        jmap = sc._jsc.getPersistentRDDs()
+        for k in jmap.keySet().toArray():
+            if int(k) in ids:
+                jmap.get(k).unpersist(False)
+    except Exception:
+        pass
+
+
+def tracked_checkpoint(df: DataFrame) -> tuple[DataFrame, set[int]]:
+    """``df.localCheckpoint(eager=True)`` + the ids of the RDD blocks
+    the call pinned, so the caller can free them once superseded."""
+    sc = df.sparkSession.sparkContext
+    before = persistent_rdd_ids(sc)
+    out = df.localCheckpoint(eager=True)
+    return out, persistent_rdd_ids(sc) - before

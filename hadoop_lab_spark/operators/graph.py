@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from hadoop_lab_spark.checkpoint import tracked_checkpoint, unpersist_rdds
+
 #: Iteration cap: pointer jumping converges in O(log₂ n) rounds, so 25
 #: covers any graph below ~2³⁰ nodes of pathological path shape.
 MAX_CC_ITERATIONS = 25
@@ -58,18 +60,19 @@ def connected_components(
     # re-shuffling the same table each round (at 10⁹ edges that is the
     # dominant per-round cost; the distinct() already shuffles, so the
     # extra repartition only fixes WHICH key the layout lands on).
-    sym = (
+    sc = nodes.sparkSession.sparkContext
+    sym, sym_ids = tracked_checkpoint(
         edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
         .repartition(F.col("dst"))
-        .localCheckpoint(eager=True)
     )
     # Iterate ONLY over edge-incident nodes: in a near-dup graph the
     # overwhelming majority of a corpus is singletons, and they must not
     # pay per-iteration join cost. They rejoin (comp = own id) at the end.
-    labels = sym.select(F.col("src").alias("id"), F.col("src").alias("comp")).distinct()
-    labels = labels.localCheckpoint(eager=True)
+    labels, label_ids = tracked_checkpoint(
+        sym.select(F.col("src").alias("id"), F.col("src").alias("comp")).distinct()
+    )
 
     for _ in range(MAX_CC_ITERATIONS):
         # 1. Neighbor-min: the smallest label among each node's neighbors.
@@ -93,10 +96,15 @@ def connected_components(
             stepped.join(l2, stepped["comp"] == l2["_pid"])
             .select("id", F.least("comp", "_pcomp").alias("comp"), "_prev")
         )
-        jumped = jumped.localCheckpoint(eager=True)
+        jumped, new_ids = tracked_checkpoint(jumped)
         changed = jumped.filter(F.col("comp") != F.col("_prev")).limit(1).count()
+        # The new checkpoint is materialized; the previous round's label
+        # blocks are now dead — free them (see hadoop_lab_spark.checkpoint).
+        unpersist_rdds(sc, label_ids)
+        label_ids = new_ids
         labels = jumped.select("id", "comp")
         if changed == 0:
+            unpersist_rdds(sc, sym_ids)
             return _attach_singletons(nodes, labels, id_col)
     raise RuntimeError(
         f"connected_components did not converge in {MAX_CC_ITERATIONS} iterations"
@@ -171,23 +179,28 @@ def pagerank(
     # default is the float identity, so the unweighted result stays
     # bit-identical to the oracle's pr/deg form; a precomputed ratio
     # would reassociate the division and drift a ulp per round.
-    esd = (
+    sc = edges.sparkSession.sparkContext
+    esd, esd_ids = tracked_checkpoint(
         edges.join(deg, "src")
         .select("src", "dst", "_w", "deg")
         .repartition(F.col("src"))
-        .localCheckpoint(eager=True)
     )
-    nodes = (
+    nodes, node_ids = tracked_checkpoint(
         edges.select(F.col("src").alias("id"))
         .union(edges.select(F.col("dst").alias("id")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     ranks = nodes.select("id", F.lit(1.0).alias("rank"))
+    rank_ids: set[int] = set()
     for _ in range(iterations):
-        ranks = _pagerank_round(esd, nodes, ranks, damping).localCheckpoint(
-            eager=True
+        ranks, new_ids = tracked_checkpoint(
+            _pagerank_round(esd, nodes, ranks, damping)
         )
+        unpersist_rdds(sc, rank_ids)
+        rank_ids = new_ids
+    # The final ranks checkpoint is self-contained; the static per-round
+    # tables are dead once the loop ends.
+    unpersist_rdds(sc, esd_ids | node_ids)
     return ranks
 
 

@@ -353,30 +353,39 @@ def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("pipeline", "dedup", "lsh", "graph", "incremental"),
 )
 def q_dedup_ingest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full production ingest path composed from the pieces that
-    were individually green in r4: ``minhash_incremental_dups`` (delta
-    probes the base band index — no base×base re-pairing, probe side is
-    batch-sized), ``minhash_near_dups`` on the delta alone (within-batch
-    dups), then ``connected_components`` over ONLY the touched subgraph
-    (delta docs + base docs hit by a cross pair — the untouched 99%+ of
-    a 100 TB base corpus never enters the iteration), and finally the
-    keeper classification that feeds an SCD1 upsert (plans/mlprep.py's
-    scd1 lane is the apply step: 'insert' rows append, 'merge' rows
-    update their keeper's alias list). Output is per-delta-doc, so
-    result size ∝ batch, not corpus."""
+    """The full production ingest path: ONE composed pair stage
+    (``minhash_ingest_pairs`` — the delta batch is shingled and signed
+    once and probes a union target of base bands + delta bands, giving
+    both the cross-probe and the within-batch collisions from a single
+    candidate join, verified by exact Jaccard), then
+    ``connected_components`` over ONLY the touched subgraph (delta docs
+    + base docs hit by a cross pair — the untouched 99%+ of a 100 TB
+    base corpus never enters the iteration), and finally the keeper
+    classification that feeds an SCD1 upsert (plans/mlprep.py's scd1
+    lane is the apply step: 'insert' rows append, 'merge' rows update
+    their keeper's alias list). Output is per-delta-doc, so result
+    size ∝ batch, not corpus."""
+    from hadoop_lab_spark.checkpoint import tracked_checkpoint, unpersist_rdds
     from hadoop_lab_spark.operators.graph import connected_components
 
     docs = _t(spark, sf_dir, "documents")
     delta = docs.filter(F.col("doc_id") % 5 == 0)
     base = docs.filter(F.col("doc_id") % 5 != 0)
-    # One composed pair stage (cross-probe + within-batch) instead of
-    # minhash_incremental_dups + minhash_near_dups side by side: the
-    # delta batch is shingled and signed ONCE (see minhash_ingest_pairs
-    # — running the helpers separately re-derived the whole delta
-    # subtree, a full batch re-shingle per ingest at corpus scale).
-    edges = D.minhash_ingest_pairs(
-        base, delta, "doc_id", "text", MINHASH_THRESHOLD
-    ).select("id_a", "id_b")
+    # The verified pair list is consumed twice (node list + CC's edge
+    # symmetrization) and CC evaluates eagerly — checkpoint it so the
+    # whole pair stage runs exactly once (it is batch-bounded: at most
+    # the near-dup collisions of one ingest batch). The pair stage's
+    # own set/band checkpoints are dead once the pair list is
+    # materialized; free them so repeated lane runs (bench repeats,
+    # driver verify) do not accumulate corpus-sized blocks.
+    pair_blocks: list = []
+    edges, _ = tracked_checkpoint(
+        D.minhash_ingest_pairs(
+            base, delta, "doc_id", "text", MINHASH_THRESHOLD,
+            block_ids=pair_blocks,
+        ).select("id_a", "id_b")
+    )
+    unpersist_rdds(spark.sparkContext, set(pair_blocks))
     # id_a is always a delta doc; id_b is the only endpoint that can be
     # a base doc, so delta ∪ edges.id_b covers the touched subgraph.
     nodes = (

@@ -61,10 +61,13 @@ _RUNTIME_CONF = {
     # "is the array I am about to build non-empty" — a pure CPU doubling,
     # since explode already emits zero rows for empty arrays (identical
     # semantics with or without the rule). Measured at sf0.1: the rule
-    # costs 2.3x on dedup_ngram_jaccard and ~1.3x on wordcount (r9,
-    # PERFORMANCE.md). Every explode in this repo feeds a computed array
-    # except two stored-column posexplode("embedding") sites, where the
-    # inferred filter saves nothing (the lanes pre-filter NULL vectors).
+    # costs 2.6x on dedup_ngram_jaccard (5.9 -> 2.3 s; r9,
+    # PERFORMANCE.md). Only ATTRIBUTE-child generators are affected —
+    # Spark's own SPARK-33544 guard already skips expression children
+    # like wordcount's explode(split(text)), so that lane was never hit.
+    # Every explode in this repo feeds a computed array except two
+    # stored-column posexplode("embedding") sites, where the inferred
+    # filter saves nothing (the lanes pre-filter NULL vectors).
     # Excluding the rule is semantics-neutral by construction.
     "spark.sql.optimizer.excludedRules": (
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
@@ -87,14 +90,38 @@ def default_parallelism() -> int:
     return max(2 * (os.cpu_count() or 4), 4)
 
 
+_EXCLUDED_RULES_KEY = "spark.sql.optimizer.excludedRules"
+
+
+def _merged_excluded_rules(spark: SparkSession, ours: str) -> str:
+    """Append our rule exclusions to whatever the session owner already
+    excluded (comma-joined, deduped, owner's order preserved) — setting
+    the conf wholesale on a foreign session would silently clobber
+    their exclusions (ADVICE r9)."""
+    try:
+        existing = spark.conf.get(_EXCLUDED_RULES_KEY, None)
+    except Exception:
+        existing = None
+    rules = [r.strip() for r in (existing or "").split(",") if r.strip()]
+    for r in ours.split(","):
+        r = r.strip()
+        if r and r not in rules:
+            rules.append(r)
+    return ",".join(rules)
+
+
 def tune_session(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable engine confs to an existing session.
 
     Used when the session is owned by someone else (the verify driver).
-    Only touches confs that Spark allows changing at runtime.
+    Only touches confs that Spark allows changing at runtime; additive
+    confs (rule exclusions) merge with the owner's value rather than
+    replace it.
     """
     for key, value in _RUNTIME_CONF.items():
         try:
+            if key == _EXCLUDED_RULES_KEY:
+                value = _merged_excluded_rules(spark, value)
             spark.conf.set(key, value)
         except Exception:
             # Foreign session may restrict some confs; never fail a query

@@ -39,3 +39,40 @@ def test_two_components_direction_ignored(spark):
 def test_empty_edges_all_singletons(spark):
     got = _cc(spark, range(4), [])
     assert got == {i: i for i in range(4)}
+
+
+def test_cc_frees_superseded_checkpoint_blocks(spark):
+    """Iterative loops must not leak one block set per round for the
+    life of the session (VERDICT r9 #1/#2: accumulated localCheckpoint
+    blocks were a suspect in the mid-bench session-state blowup). A
+    16-node path forces multiple pointer-jumping rounds; afterwards at
+    most the FINAL labels checkpoint may remain pinned."""
+    from hadoop_lab_spark.checkpoint import persistent_rdd_ids
+
+    sc = spark.sparkContext
+    before = persistent_rdd_ids(sc)
+    got = _cc(spark, range(16), [(i, i + 1) for i in range(15)])
+    assert got == {i: 0 for i in range(16)}
+    leaked = persistent_rdd_ids(sc) - before
+    assert len(leaked) <= 1, (
+        f"CC left {len(leaked)} checkpoint block sets pinned; only the "
+        "final labels checkpoint may survive the call"
+    )
+
+
+def test_pagerank_frees_superseded_checkpoint_blocks(spark):
+    from hadoop_lab_spark.checkpoint import persistent_rdd_ids
+    from hadoop_lab_spark.operators.graph import pagerank
+
+    sc = spark.sparkContext
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (2, 3)], "src bigint, dst bigint"
+    )
+    before = persistent_rdd_ids(sc)
+    ranks = pagerank(edges, iterations=4)
+    assert ranks.count() == 4
+    leaked = persistent_rdd_ids(sc) - before
+    assert len(leaked) <= 1, (
+        f"pagerank left {len(leaked)} checkpoint block sets pinned; "
+        "only the final ranks checkpoint may survive the call"
+    )

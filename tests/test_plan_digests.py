@@ -35,7 +35,7 @@ from tests.conftest import SF_DIR
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.join(_REPO, "tools"))
 
-from pin_plan_digests import batch_lanes, plan_record  # noqa: E402
+from pin_plan_digests import SKELETON_ONLY, batch_lanes, plan_record  # noqa: E402
 
 load_all_query_modules()
 
@@ -91,31 +91,30 @@ def test_normalization_masks_jvm_callsite_drift(spark):
     assert "MapPartitionsRDD[N] at localCheckpoint at CALLSITE" in normalize_plan(young)
 
 
-def test_skeleton_only_lanes_are_actually_unstable(spark):
+@pytest.mark.parametrize("name", sorted(SKELETON_ONLY))
+def test_skeleton_only_lanes_are_actually_unstable(spark, name):
     """Non-vacuousness for the SKELETON_ONLY allowlist: each member
     must really emit build-varying full text (else it belongs back on
     the strict digest), while its skeleton stays fixed. Grouping-sets
     Expand key order comes from an expr-id-keyed hash set, and expr
     ids are a per-build counter — so two builds can differ; a handful
-    of builds reliably shows the flip."""
-    from pin_plan_digests import SKELETON_ONLY
-
-    for name in SKELETON_ONLY:
-        recs = [plan_record(REGISTRY[name].fn(spark, SF_DIR)) for _ in range(8)]
-        assert len({r["skeleton_digest"] for r in recs}) == 1, name
-        if len({r["digest"] for r in recs}) == 1:
-            # The flip is a function of the expr-id counter, so it is
-            # near-certain but not guaranteed in any fixed number of
-            # builds — an all-equal run proves nothing either way.
-            pytest.skip(f"{name}: full digest happened to be stable this session")
+    of builds reliably shows the flip. Parametrized per member (ADVICE
+    r9): a loop with an in-body skip would abort at the first member
+    whose digest happened to be stable, silently skipping the
+    skeleton-stability assertion for every later member."""
+    recs = [plan_record(REGISTRY[name].fn(spark, SF_DIR)) for _ in range(8)]
+    assert len({r["skeleton_digest"] for r in recs}) == 1, name
+    if len({r["digest"] for r in recs}) == 1:
+        # The flip is a function of the expr-id counter, so it is
+        # near-certain but not guaranteed in any fixed number of
+        # builds — an all-equal run proves nothing either way.
+        pytest.skip(f"{name}: full digest happened to be stable this session")
 
 
 @pytest.mark.parametrize("name", BATCH)
 def test_plan_digest_is_unchanged(spark, name):
     if name not in _PINNED:
         pytest.skip("lane not pinned yet (covered by the sync test)")
-    from pin_plan_digests import SKELETON_ONLY
-
     # Clean cache state, mirroring the pin tool: the cached-Q15 lane's
     # persist() would otherwise auto-substitute an InMemoryRelation
     # into its uncached twin's plan, making digests depend on which

@@ -42,14 +42,84 @@ def test_rotation_puts_unverified_queries_first():
     """The driver caps CORRECTNESS at the first 50 ``queries()`` entries,
     so emission order must put never-driver-green queries first and
     least-recently-green next — otherwise registered queries silently
-    starve of driver verification (VERDICT r02 finding #2)."""
+    starve of driver verification (VERDICT r02 finding #2). Lanes whose
+    pinned plan digest changed since their last green round count as
+    never-green (VERDICT r9 task #4)."""
     import __spark_entry__ as e
 
     order = list(e.queries())
     assert set(order) == set(REGISTRY)
     seen = e._last_green_round()
+    for name in e._digest_changed_lanes(seen):
+        seen.pop(name, None)
     ranks = [seen.get(n, 0) for n in order]
     assert ranks == sorted(ranks), "queries() not ordered by last green round"
+
+
+def test_rotation_digest_change_forces_reverification(monkeypatch):
+    """A lane recomposed AFTER its green row must jump to the window
+    head: the green row verified code that no longer exists. The r9
+    ingest lane shipped a 10x-regressed recompose that the driver never
+    re-verified because rotation keyed on last-green-round alone
+    (VERDICT r9 'What's missing' #3)."""
+    import __spark_entry__ as e
+
+    seen = e._last_green_round()
+    # Pick a lane with a green row that would normally sort mid-pack.
+    victim = max(seen, key=lambda n: (seen[n], n))
+    assert seen[victim] > 0
+    monkeypatch.setattr(e, "_digest_changed_lanes", lambda s: {victim})
+    order = e._rotation_order()
+    never_green = {n for n in REGISTRY if n not in seen or n == victim}
+    head = set(order[: len(never_green)])
+    assert victim in head, (
+        f"digest-changed lane {victim} did not sort as never-green"
+    )
+
+
+def test_digest_changed_lanes_detects_a_bumped_pin(tmp_path):
+    """End-to-end on a scratch git repo: commit a CORRECTNESS file and a
+    digest pin together (the driver's round commit), then change the
+    working-tree pin — the lane must be flagged; an unchanged lane must
+    not."""
+    import subprocess
+
+    import __spark_entry__ as e
+
+    repo = tmp_path / "repo"
+    repo.mkdir()
+
+    def git(*args):
+        subprocess.run(
+            ["git", *args], cwd=repo, check=True, capture_output=True
+        )
+
+    git("init", "-q")
+    git("config", "user.email", "t@t")
+    git("config", "user.name", "t")
+    import json as _json
+
+    pins = {
+        "lanes": {
+            "lane_a": {"digest": "aaa", "skeleton_digest": "sa"},
+            "lane_b": {"digest": "bbb", "skeleton_digest": "sb"},
+        }
+    }
+    (repo / "plan_digests.json").write_text(_json.dumps(pins))
+    (repo / "CORRECTNESS_r01.json").write_text(
+        _json.dumps({"lane_a": {"hash_match": True}, "lane_b": {"hash_match": True}})
+    )
+    git("add", "-A")
+    git("commit", "-q", "-m", "round 1")
+    # lane_a: structural change (skeleton flips). lane_b: full-text-only
+    # drift (normalization evolution) — must NOT be flagged.
+    pins["lanes"]["lane_a"]["skeleton_digest"] = "CHANGED"
+    pins["lanes"]["lane_b"]["digest"] = "text-only-drift"
+    (repo / "plan_digests.json").write_text(_json.dumps(pins))
+    changed = e._digest_changed_lanes(
+        {"lane_a": 1, "lane_b": 1}, repo_dir=str(repo)
+    )
+    assert changed == {"lane_a"}
 
 
 def test_oracle_alias_parity():

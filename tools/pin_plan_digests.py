@@ -44,9 +44,116 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
+#: Detail-block node types whose bracketed argument lists are sorted
+#: before hashing: grouping sets resolve their Expand projection /
+#: output attribute order from an expr-id-keyed hash set, and expr ids
+#: are a per-build counter — two builds of the SAME DataFrame can print
+#: [md5(text), lang, source] vs [lang, md5(text), source] (observed r9
+#: on corpus_dataset_card). After digit masking the item MULTISET is
+#: build-invariant, so sorting each innermost [...] list restores a
+#:  stable full-text digest without loosening it: a genuinely new/lost
+#: expression still changes the sorted list. Downstream HashAggregates
+#: inherit key order from the Expand output, so they are sorted too.
+#: (Sort is deliberately absent: sort-KEY order is semantics, and an
+#: accidental key reorder must keep tripping the digest. Project/
+#: Exchange list order is cosmetic — attribute order is pinned by the
+#: driver's schema compare — and both inherit the Expand flip.)
+_SORT_ARG_NODES = ("Expand", "HashAggregate", "Exchange", "Project")
+
+_DETAIL_HEADER = re.compile(r"^\((\d+|N)\) (\S+)")
+
+
+def _split_top_level(s: str) -> list[str]:
+    """Split on commas not nested inside any bracket/paren pair."""
+    parts: list[str] = []
+    depth = 0
+    cur: list[str] = []
+    for ch in s:
+        if ch in "[(":
+            depth += 1
+        elif ch in "])":
+            depth = max(0, depth - 1)
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return parts
+
+
+def _sort_bracket_lists(s: str) -> str:
+    """Recursively sort the comma-separated items of every [...] group
+    (items compared after their own sub-lists are canonicalized, so
+    list-of-list projections sort stably too). Expression-internal
+    brackets (a regex char class, an array literal) get 'sorted' as
+    well — a deterministic mangling that is harmless for hashing: the
+    item MULTISET at every level is invariant under the expr-id-driven
+    reorderings this exists to mask, while a genuinely added/changed
+    expression still changes the canonical text."""
+    out: list[str] = []
+    i = 0
+    while i < len(s):
+        if s[i] == "[":
+            depth = 0
+            for j in range(i, len(s)):
+                if s[j] == "[":
+                    depth += 1
+                elif s[j] == "]":
+                    depth -= 1
+                    if depth == 0:
+                        break
+            else:
+                out.append(s[i:])
+                break
+            inner = s[i + 1 : j]
+            items = [_sort_bracket_lists(p.strip()) for p in _split_top_level(inner)]
+            out.append("[" + ", ".join(sorted(items)) + "]")
+            i = j + 1
+        else:
+            out.append(s[i])
+            i += 1
+    return "".join(out)
+
+
+def _sort_hashpartitioning(line: str) -> str:
+    """Canonicalize ``hashpartitioning(k1, k2, ..., N)`` key order: a
+    hash partitioning over the same key SET is the same partitioning
+    regardless of printed order, and grouping-sets lanes reorder it
+    per build. The masked partition count sorts among the keys —
+    deterministic, so harmless to the hash."""
+    out: list[str] = []
+    i = 0
+    marker = "hashpartitioning("
+    while True:
+        k = line.find(marker, i)
+        if k < 0:
+            out.append(line[i:])
+            break
+        j = k + len(marker)
+        depth = 1
+        while j < len(line) and depth:
+            if line[j] == "(":
+                depth += 1
+            elif line[j] == ")":
+                depth -= 1
+            j += 1
+        inner = line[k + len(marker) : j - 1]
+        items = sorted(
+            _sort_bracket_lists(p.strip()) for p in _split_top_level(inner)
+        )
+        out.append(line[i:k] + marker + ", ".join(items) + ")")
+        i = j
+    return "".join(out)
+
+
 def normalize_plan(plan: str) -> str:
     out = []
+    sort_block = False
     for line in plan.splitlines():
+        header = _DETAIL_HEADER.match(line.strip())
+        if header:
+            sort_block = header.group(2) in _SORT_ARG_NODES
         line = re.sub(r"file:/\S+", "PATH", line)
         line = re.sub(r"/tmp/\S+", "PATH", line)
         line = re.sub(r"/root/testdata/\S+", "PATH", line)
@@ -64,18 +171,23 @@ def normalize_plan(plan: str) -> str:
         # running the gate after test_scale_ops' hypothesis loops).
         line = re.sub(r" at [^\s,)\]]+:\d+", " at CALLSITE", line)
         line = re.sub(r"\d+", "N", line)
+        if sort_block:
+            line = _sort_bracket_lists(_sort_hashpartitioning(line))
         out.append(line.rstrip())
     return "\n".join(out)
 
 
-#: Lanes whose FULL-TEXT digest is inherently build-unstable: grouping
-#: sets resolve their Expand/aggregate key order from an expr-id-keyed
-#: hash set, and expr ids are a per-build counter — two builds of the
-#: SAME DataFrame in one session can emit [md5(text), lang, source] vs
-#: [lang, md5(text), source] (observed r9 on corpus_dataset_card). The
-#: operator SKELETON is stable, so these lanes gate on skeleton_digest;
-#: a structural regression (new Exchange, lost broadcast) still trips.
-SKELETON_ONLY = {"corpus_dataset_card"}
+#: Lanes whose FULL-TEXT digest is inherently build-unstable and
+#: therefore gate on skeleton_digest only. EMPTY since r10: the one
+#: member, corpus_dataset_card (grouping sets resolve their Expand/
+#: aggregate key order from an expr-id-keyed hash set, and expr ids
+#: are a per-build counter), returned to the strict digest once
+#: normalize_plan canonicalized list order in Expand/HashAggregate/
+#: Exchange/Project blocks + hashpartitioning keys (ADVICE r9;
+#: verified stable over 20 same-session builds where the raw text
+#: showed 6 variants). The mechanism stays for future data-adaptive
+#: lanes.
+SKELETON_ONLY: set[str] = set()
 
 
 def plan_record(df) -> dict:
