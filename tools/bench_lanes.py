@@ -128,6 +128,23 @@ def main() -> None:
                     ).save()
             swept += 1
         print(f"REPLAY swept {swept} lanes through {last}", flush=True)
+        # Requested lanes outside the bench set (demo/streaming) have no
+        # sweep position; time them after the sweep, warm.
+        for n in targets:
+            if n in out:
+                continue
+            med = run(n)
+            pin = ref_q.get(n)
+            out[n] = {
+                "median": med,
+                "pin": pin,
+                "ratio": round(med / pin, 3) if pin else None,
+            }
+            print(
+                f"LANE {n}: {med} s  (pin {pin}, ratio {out[n]['ratio']}, "
+                "post-sweep: not a bench lane)",
+                flush=True,
+            )
         # Canaries sorting after the last target: run them now, warm.
         # Their sweep position differs from bench.py's, but the JVM is
         # past cold-start so the certificate is comparable.
