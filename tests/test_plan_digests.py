@@ -145,3 +145,38 @@ def test_plan_digest_is_unchanged(spark, name):
         "PushedFilters, ReadSchema, or partitioning; run the tool and "
         "diff plan_digests.json)")
     )
+
+
+def test_normalization_canonicalizes_grouping_list_order():
+    """The r10 canonical-list-order rules: Expand/HashAggregate/
+    Exchange/Project detail blocks sort their bracket lists and
+    hashpartitioning keys (grouping sets order both from an
+    expr-id-keyed hash set — per-build unstable), while Sort blocks
+    keep key order (a sort-key reorder is a real regression)."""
+    from pin_plan_digests import normalize_plan
+
+    a = normalize_plan(
+        "(1) Expand\nArguments: [[null, b#1, a#2], [a#2, null, b#1]], [b#1, a#2]\n"
+        "(2) Exchange\nArguments: hashpartitioning(md5(x#3), a#2, b#1, 8)\n"
+    )
+    b = normalize_plan(
+        "(1) Expand\nArguments: [[b#9, null, a#8], [null, a#8, b#9]], [a#8, b#9]\n"
+        "(2) Exchange\nArguments: hashpartitioning(a#8, b#9, md5(x#7), 8)\n"
+    )
+    assert a == b
+    # Items with nested parens/brackets must not be split mid-expression.
+    c = normalize_plan(
+        "(1) HashAggregate\nKeys [2]: [CASE WHEN f(x#1, [ \\t]+) THEN 1 END, a#2]\n"
+    )
+    d = normalize_plan(
+        "(1) HashAggregate\nKeys [2]: [a#5, CASE WHEN f(x#4, [ \\t]+) THEN 1 END]\n"
+    )
+    assert c == d
+    # Sort keys stay ORDER-SENSITIVE.
+    s1 = normalize_plan("(1) Sort\nArguments: [a#1 ASC, b#2 ASC], true, 0\n")
+    s2 = normalize_plan("(1) Sort\nArguments: [b#2 ASC, a#1 ASC], true, 0\n")
+    assert s1 != s2
+    # And a genuinely different expression still changes the text.
+    e1 = normalize_plan("(1) Project\nOutput [2]: [a#1, b#2]\n")
+    e2 = normalize_plan("(1) Project\nOutput [2]: [a#1, c#2]\n")
+    assert e1 != e2
