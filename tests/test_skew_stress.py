@@ -592,3 +592,75 @@ def test_pagerank_round_aggregate_combines_map_side(spark):
     # formatted explain lists exchange keys in the node-details section
     # ("Arguments: hashpartitioning(dst#N, ...)"), not inline in the tree
     assert _re.search(r"hashpartitioning\(dst", plan), plan[-2000:]
+
+
+# --- degenerate ingest batches: empty base / empty delta --------------------
+
+
+def _write_docs(tmp_path, ids, texts):
+    table = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    pq.write_table(table, os.path.join(str(tmp_path), "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_ingest_merge_first_ingest_into_empty_corpus(spark, tmp_path):
+    """First-ever ingest: every doc is delta (doc_id % 5 == 0), the base
+    corpus is EMPTY. The probe's union target degenerates to delta-only
+    bands and CC must still classify every delta doc — the bootstrap
+    path of a brand-new corpus, easy to break with an eager checkpoint
+    on an empty frame."""
+    from hadoop_lab_spark.plans.registry import REGISTRY
+    from hadoop_lab_spark.testing import assert_matches_oracle
+
+    words = [f"w{k}" for k in range(12)]
+    ids = [0, 5, 10, 15]
+    texts = [
+        " ".join(words),
+        " ".join(words[:-1] + ["tail"]),  # near-dup of doc 0
+        " ".join(f"b{j}" for j in range(12)),
+        " ".join(f"c{j}" for j in range(12)),
+    ]
+    d = _write_docs(tmp_path, ids, texts)
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM read_parquet("
+            f"'{os.path.join(d, 'documents.parquet')}')"
+        )
+        spec = REGISTRY["dedup_ingest_merge"]
+        df = spec.fn(spark, d)
+        assert_matches_oracle(df, con, spec.oracle, name="empty-base:ingest")
+        rows = {r.doc_id: r.action for r in df.collect()}
+        assert rows[0] == "insert" and rows[5] == "merge"
+        assert rows[10] == "insert" and rows[15] == "insert"
+    finally:
+        con.close()
+
+
+def test_ingest_merge_empty_delta_batch(spark, tmp_path):
+    """An ingest tick with NO new documents (no doc_id % 5 == 0): the
+    lane must return an empty frame, not crash in the band join or CC
+    on zero-row checkpoints."""
+    from hadoop_lab_spark.plans.registry import REGISTRY
+    from hadoop_lab_spark.testing import assert_matches_oracle
+
+    ids = [1, 2, 3, 4, 6]
+    texts = [" ".join(f"d{i}w{j}" for j in range(12)) for i in ids]
+    d = _write_docs(tmp_path, ids, texts)
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM read_parquet("
+            f"'{os.path.join(d, 'documents.parquet')}')"
+        )
+        spec = REGISTRY["dedup_ingest_merge"]
+        df = spec.fn(spark, d)
+        assert df.count() == 0
+        assert_matches_oracle(df, con, spec.oracle, name="empty-delta:ingest")
+    finally:
+        con.close()
