@@ -30,12 +30,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-def persistent_rdd_ids(sc) -> set[int]:
-    """Ids of the RDDs currently pinned in the session's BlockManager."""
+def persistent_rdd_ids(sc) -> set[int] | None:
+    """Ids of the RDDs currently pinned in the session's BlockManager,
+    or ``None`` when the private-API probe fails.
+
+    ``None`` means UNKNOWN, never "empty" (ADVICE r10): a failed
+    'before' snapshot silently coerced to ``set()`` and diffed against
+    a successful 'after' would claim every LIVE pinned RDD (another
+    lane's cache, CC's static edge table) as newly pinned, and the
+    caller's ``unpersist_rdds`` would then destroy unrecoverable
+    localCheckpoint blocks mid-query — violating this module's
+    "cleanup must never affect results" contract. Callers must skip
+    cleanup on ``None``."""
     try:
         return {int(k) for k in sc._jsc.getPersistentRDDs().keySet().toArray()}
     except Exception:  # private-API drift must never fail the lane
-        return set()
+        return None
 
 
 def unpersist_rdds(sc, ids: set[int]) -> None:
@@ -57,8 +67,20 @@ def unpersist_rdds(sc, ids: set[int]) -> None:
 
 def tracked_checkpoint(df: DataFrame) -> tuple[DataFrame, set[int]]:
     """``df.localCheckpoint(eager=True)`` + the ids of the RDD blocks
-    the call pinned, so the caller can free them once superseded."""
+    the call pinned, so the caller can free them once superseded.
+
+    If EITHER BlockManager snapshot fails, the returned id set is
+    empty: the checkpoint still happened (results unaffected) but its
+    blocks are reported as untracked rather than mis-attributed, so a
+    later ``unpersist_rdds`` can never free blocks this call did not
+    pin (ADVICE r10). The before/after diff assumes the session is not
+    concurrently persisting RDDs from another thread — a concurrent
+    persist landing between the snapshots would be attributed to this
+    checkpoint; all engine callers run single-threaded lane plans."""
     sc = df.sparkSession.sparkContext
     before = persistent_rdd_ids(sc)
     out = df.localCheckpoint(eager=True)
-    return out, persistent_rdd_ids(sc) - before
+    after = persistent_rdd_ids(sc)
+    if before is None or after is None:
+        return out, set()
+    return out, after - before

@@ -74,41 +74,52 @@ def connected_components(
         sym.select(F.col("src").alias("id"), F.col("src").alias("comp")).distinct()
     )
 
-    for _ in range(MAX_CC_ITERATIONS):
-        # 1. Neighbor-min: the smallest label among each node's neighbors.
-        nbr_min = (
-            sym.join(labels, sym["dst"] == labels["id"])
-            .groupBy("src")
-            .agg(F.min("comp").alias("nbr_comp"))
-        )
-        stepped = (
-            labels.join(nbr_min, labels["id"] == nbr_min["src"], "left")
-            .select(
-                "id",
-                F.least("comp", F.coalesce("nbr_comp", "comp")).alias("comp"),
-                F.col("comp").alias("_prev"),
+    # Error paths (non-convergence, a mid-round job failure) must free
+    # the checkpoint blocks too, or a failed run strands the sym table
+    # and the last round's labels in the session BlockManager for its
+    # whole lifetime — exactly the session-state accumulation this
+    # module's tracking exists to prevent (ADVICE r10). On success only
+    # sym is dead: the returned frame still references the final label
+    # checkpoint, so label_ids must stay pinned.
+    converged = False
+    try:
+        for _ in range(MAX_CC_ITERATIONS):
+            # 1. Neighbor-min: the smallest label among each node's neighbors.
+            nbr_min = (
+                sym.join(labels, sym["dst"] == labels["id"])
+                .groupBy("src")
+                .agg(F.min("comp").alias("nbr_comp"))
             )
+            stepped = (
+                labels.join(nbr_min, labels["id"] == nbr_min["src"], "left")
+                .select(
+                    "id",
+                    F.least("comp", F.coalesce("nbr_comp", "comp")).alias("comp"),
+                    F.col("comp").alias("_prev"),
+                )
+            )
+            # 2. Pointer jumping: comp ← comp's own current label. Labels are
+            # always node ids, so the self-join below is total.
+            l2 = labels.select(F.col("id").alias("_pid"), F.col("comp").alias("_pcomp"))
+            jumped = (
+                stepped.join(l2, stepped["comp"] == l2["_pid"])
+                .select("id", F.least("comp", "_pcomp").alias("comp"), "_prev")
+            )
+            jumped, new_ids = tracked_checkpoint(jumped)
+            changed = jumped.filter(F.col("comp") != F.col("_prev")).limit(1).count()
+            # The new checkpoint is materialized; the previous round's label
+            # blocks are now dead — free them (see hadoop_lab_spark.checkpoint).
+            unpersist_rdds(sc, label_ids)
+            label_ids = new_ids
+            labels = jumped.select("id", "comp")
+            if changed == 0:
+                converged = True
+                return _attach_singletons(nodes, labels, id_col)
+        raise RuntimeError(
+            f"connected_components did not converge in {MAX_CC_ITERATIONS} iterations"
         )
-        # 2. Pointer jumping: comp ← comp's own current label. Labels are
-        # always node ids, so the self-join below is total.
-        l2 = labels.select(F.col("id").alias("_pid"), F.col("comp").alias("_pcomp"))
-        jumped = (
-            stepped.join(l2, stepped["comp"] == l2["_pid"])
-            .select("id", F.least("comp", "_pcomp").alias("comp"), "_prev")
-        )
-        jumped, new_ids = tracked_checkpoint(jumped)
-        changed = jumped.filter(F.col("comp") != F.col("_prev")).limit(1).count()
-        # The new checkpoint is materialized; the previous round's label
-        # blocks are now dead — free them (see hadoop_lab_spark.checkpoint).
-        unpersist_rdds(sc, label_ids)
-        label_ids = new_ids
-        labels = jumped.select("id", "comp")
-        if changed == 0:
-            unpersist_rdds(sc, sym_ids)
-            return _attach_singletons(nodes, labels, id_col)
-    raise RuntimeError(
-        f"connected_components did not converge in {MAX_CC_ITERATIONS} iterations"
-    )
+    finally:
+        unpersist_rdds(sc, sym_ids if converged else sym_ids | label_ids)
 
 
 def _attach_singletons(nodes: DataFrame, labels: DataFrame, id_col: str) -> DataFrame:
@@ -192,16 +203,23 @@ def pagerank(
     )
     ranks = nodes.select("id", F.lit(1.0).alias("rank"))
     rank_ids: set[int] = set()
-    for _ in range(iterations):
-        ranks, new_ids = tracked_checkpoint(
-            _pagerank_round(esd, nodes, ranks, damping)
-        )
-        unpersist_rdds(sc, rank_ids)
-        rank_ids = new_ids
-    # The final ranks checkpoint is self-contained; the static per-round
-    # tables are dead once the loop ends.
-    unpersist_rdds(sc, esd_ids | node_ids)
-    return ranks
+    # Same error-path discipline as connected_components (ADVICE r10):
+    # a mid-round failure must not strand the static tables or the last
+    # round's rank checkpoint. On success the final ranks checkpoint is
+    # self-contained and stays pinned; the static per-round tables are
+    # dead once the loop ends either way.
+    done = False
+    try:
+        for _ in range(iterations):
+            ranks, new_ids = tracked_checkpoint(
+                _pagerank_round(esd, nodes, ranks, damping)
+            )
+            unpersist_rdds(sc, rank_ids)
+            rank_ids = new_ids
+        done = True
+        return ranks
+    finally:
+        unpersist_rdds(sc, esd_ids | node_ids if done else esd_ids | node_ids | rank_ids)
 
 
 def _pagerank_round(

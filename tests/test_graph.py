@@ -76,3 +76,54 @@ def test_pagerank_frees_superseded_checkpoint_blocks(spark):
         f"pagerank left {len(leaked)} checkpoint block sets pinned; "
         "only the final ranks checkpoint may survive the call"
     )
+
+
+def test_cc_nonconvergence_frees_all_checkpoint_blocks(spark, monkeypatch):
+    """ADVICE r10: the non-convergence raise must not strand the sym
+    table or the last round's labels in the BlockManager — a failed run
+    leaves zero net new pinned blocks."""
+    import hadoop_lab_spark.operators.graph as graph_mod
+    from hadoop_lab_spark.checkpoint import persistent_rdd_ids
+
+    monkeypatch.setattr(graph_mod, "MAX_CC_ITERATIONS", 1)
+    sc = spark.sparkContext
+    before = persistent_rdd_ids(sc)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        # 16-node path needs >1 pointer-jumping round
+        _cc(spark, range(16), [(i, i + 1) for i in range(15)])
+    leaked = persistent_rdd_ids(sc) - before
+    assert leaked == set(), (
+        f"non-convergent CC left blocks pinned: {leaked}"
+    )
+
+
+def test_persistent_rdd_ids_returns_none_on_probe_failure():
+    """ADVICE r10: a failed BlockManager probe must read as UNKNOWN
+    (None), never as 'nothing pinned' — a set() here, diffed against a
+    later successful snapshot, would mark live RDDs as freshly pinned
+    and let cleanup destroy them."""
+    from hadoop_lab_spark.checkpoint import persistent_rdd_ids
+
+    class _BrokenSc:
+        class _jsc:  # noqa: N801 — mimics SparkContext._jsc
+            @staticmethod
+            def getPersistentRDDs():
+                raise RuntimeError("py4j gone")
+
+    assert persistent_rdd_ids(_BrokenSc()) is None
+
+
+def test_tracked_checkpoint_reports_untracked_on_snapshot_failure(
+    spark, monkeypatch
+):
+    """When either snapshot around the localCheckpoint fails, the call
+    must still checkpoint (results first) but report ZERO pinned ids —
+    mis-attributing live blocks to the checkpoint is the failure mode
+    that lets unpersist_rdds break other lanes mid-query."""
+    import hadoop_lab_spark.checkpoint as cp
+
+    monkeypatch.setattr(cp, "persistent_rdd_ids", lambda sc: None)
+    df = spark.createDataFrame([(1,)], "id bigint")
+    out, ids = cp.tracked_checkpoint(df)
+    assert ids == set()
+    assert out.collect()[0][0] == 1
