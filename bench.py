@@ -45,6 +45,20 @@ normalized_total_common = total/common_lane_ratio (host- AND
 code-drift-free headline; by construction it cannot show a shared-lane
 regression, so the regression gate is the common_lane_ratio itself).
 
+Gate rework (VERDICT r10 #1): both r10 round-of-record runs failed the
+sum-based gates at face value (driver canary 1.444/common 1.503; judge
+canary 1.018/common 1.26) while the judge's per-lane MEDIAN ratio read
+0.979 — a multi-minute host stall lands on whatever contiguous 10-lane
+block is running and dominates any sum, and the fixed-position
+canaries miss stalls that don't overlap them. The PRIMARY regression
+gate is therefore the median per-lane ratio vs the pin (<= 1.10),
+plus a per-lane tail rule: any lane > 2x its pin is named in the
+summary (`tail_lanes`) and must survive `tools/bench_lanes.py
+--prefix-replay` adjudication (<= 1.2x) before the round closes — a
+narrow real regression moves exactly that list, never the median. The
+sum-based ratios and normalized totals stay emitted for chain
+continuity and for the absolute budget figure.
+
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS   (local[N], default all cores),
      SPARK_GRAFT_BENCH_REPEATS (default 3; streaming lane always 1),
@@ -142,9 +156,13 @@ def _warn_if_canaries_skewed(
 def _common_lane_ratio(
     timings: dict[str, float], reference: dict
 ) -> tuple[float | None, int]:
-    """PRIMARY cross-round metric: Σ current / Σ reference over the lanes
-    present in both runs. Immune to lane-set churn (new lanes don't
-    inflate it, removed lanes don't deflate it)."""
+    """Σ current / Σ reference over the lanes present in both runs.
+    Immune to lane-set churn (new lanes don't inflate it, removed lanes
+    don't deflate it) — but NOT to host transients: a single
+    multi-minute stall lands on whatever 10-lane block is running and
+    dominates the sum (both r10 round-of-record runs failed this gate
+    at face value while the per-lane median read 0.979). Emitted for
+    chain continuity; the regression GATE is the median ratio below."""
     ref_q = reference.get("queries", {})
     common = [n for n in timings if ref_q.get(n)]
     if not common:
@@ -152,6 +170,61 @@ def _common_lane_ratio(
     cur = sum(timings[n] for n in common)
     ref = sum(ref_q[n] for n in common)
     return round(cur / ref, 3), len(common)
+
+
+#: Per-lane ratio above which a lane lands on the tail list: it must
+#: survive `tools/bench_lanes.py --prefix-replay` adjudication (or be
+#: named a regression and fixed) before the round closes. 2x sits well
+#: outside the documented small-lane noise band (±0.2 s absolute /
+#: 1.5x on sub-0.5 s lanes) while catching every real blowup this repo
+#: has seen (the r9 ingest regression read 10x; the r6 decimal cost,
+#: a deliberate priced trade, peaked at 5.5x on pricing_summary and
+#: would rightly have demanded the adjudication it got).
+TAIL_RATIO = 2.0
+
+
+def _median_lane_ratio(
+    timings: dict[str, float], reference: dict
+) -> tuple[float | None, int]:
+    """PRIMARY regression gate (VERDICT r10 #1): the MEDIAN of the
+    per-lane current/pin ratios over the common lanes. A host stall is
+    position-contiguous — it elevates whatever block of lanes is
+    running (10-30 of 147) and leaves the rest alone — so the median
+    reads through it, while the sum-based ratios above read whatever
+    the stall cost. A real code regression on the shared lanes moves
+    the median only if it is broad; a narrow real regression (one
+    lane) is the tail rule's job, not the median's. Gate: <= 1.10."""
+    ratios = _lane_ratios(timings, reference)
+    if not ratios:
+        return None, 0
+    return round(statistics.median(ratios.values()), 3), len(ratios)
+
+
+def _lane_ratios(
+    timings: dict[str, float], reference: dict
+) -> dict[str, float]:
+    ref_q = reference.get("queries", {})
+    return {
+        n: round(timings[n] / ref_q[n], 3)
+        for n in timings
+        if ref_q.get(n)
+    }
+
+
+def _tail_lanes(
+    timings: dict[str, float], reference: dict, threshold: float = TAIL_RATIO
+) -> dict[str, float]:
+    """Lanes above `threshold`x their pin, worst first — the per-lane
+    tail rule's work list. Non-empty means the record is not
+    self-certifying: each named lane must read <= 1.2x under
+    `tools/bench_lanes.py --prefix-replay` (the session-faithful
+    instrument) or be treated as a clause-(a) regression."""
+    return dict(
+        sorted(
+            ((n, r) for n, r in _lane_ratios(timings, reference).items() if r > threshold),
+            key=lambda kv: -kv[1],
+        )
+    )
 
 
 def _gc_barrier(spark) -> None:
@@ -163,6 +236,21 @@ def _gc_barrier(spark) -> None:
 
 
 def _time_query(fn, spark, sf_dir: str, repeats: int, gc: bool) -> list[float]:
+    """Median-of-N timing with per-lane BlockManager hygiene: each run
+    of an iterative/ingest lane deliberately leaves its FINAL
+    localCheckpoint block set pinned (the returned frame references
+    it — checkpoint.py), so a 147-lane x 3-repeat sweep accumulates
+    ~bounded-but-dead blocks once the noop sink has materialized each
+    lane (VERDICT r10 what's-wrong #3). Freeing the net-new pinned ids
+    AFTER the lane's last repeat completes the lifecycle: the lane is
+    done, nothing references its checkpoints again (each repeat
+    rebuilds the plan from scratch), and the freeing sits outside every
+    timed window. Skipped when either BlockManager snapshot fails
+    (None = unknown — never guess about live blocks)."""
+    from hadoop_lab_spark.checkpoint import persistent_rdd_ids, unpersist_rdds
+
+    sc = spark.sparkContext
+    before = persistent_rdd_ids(sc)
     times = []
     for _ in range(repeats):
         if gc:
@@ -170,6 +258,9 @@ def _time_query(fn, spark, sf_dir: str, repeats: int, gc: bool) -> list[float]:
         start = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         times.append(time.perf_counter() - start)
+    after = persistent_rdd_ids(sc)
+    if before is not None and after is not None:
+        unpersist_rdds(sc, after - before)
     return times
 
 
@@ -263,10 +354,24 @@ def main() -> None:
     reference = _load_reference() if sf == 0.1 else None
     canary_ratio = None
     common_lane_ratio, n_common = None, 0
+    median_lane_ratio, n_ratio_lanes = None, 0
+    tail: dict[str, float] = {}
     skewed_canaries: list[str] = []
     if reference:
         canary_ratio = _trimmed_mean_ratio(timings, reference)
         common_lane_ratio, n_common = _common_lane_ratio(timings, reference)
+        median_lane_ratio, n_ratio_lanes = _median_lane_ratio(
+            timings, reference
+        )
+        tail = _tail_lanes(timings, reference)
+        for name, ratio in tail.items():
+            print(
+                f"WARNING: tail lane {name} at {ratio}x its pin (> "
+                f"{TAIL_RATIO}x) — not self-certifying; adjudicate with "
+                "tools/bench_lanes.py --prefix-replay before trusting "
+                "this record",
+                file=sys.stderr,
+            )
         skewed_canaries = _warn_if_canaries_skewed(
             timings, reference, canary_ratio
         )
@@ -300,6 +405,12 @@ def main() -> None:
                 "reference_label": (reference or {}).get("label"),
                 "common_lane_ratio": common_lane_ratio,
                 "n_common_lanes": n_common,
+                "median_lane_ratio": median_lane_ratio,
+                "n_ratio_lanes": n_ratio_lanes,
+                "tail_lanes": tail,
+                "lane_ratios": (
+                    _lane_ratios(timings, reference) if reference else {}
+                ),
                 "skewed_canaries": skewed_canaries,
                 "normalized_total_sec": normalized_total,
                 "normalized_total_common_sec": normalized_total_common,
@@ -326,6 +437,17 @@ def main() -> None:
                 "canary_ratio": canary_ratio,
                 "common_lane_ratio": common_lane_ratio,
                 "n_common_lanes": n_common,
+                # PRIMARY regression gate (VERDICT r10 #1): median of
+                # the per-lane current/pin ratios — reads through the
+                # position-contiguous host stalls that dominate the
+                # sum-based ratios above. Gate: <= 1.10.
+                "median_lane_ratio": median_lane_ratio,
+                # per-lane tail rule: lanes > 2x pin (worst first, first
+                # 10 named here, full map in bench_detail.json) — each
+                # must survive tools/bench_lanes.py --prefix-replay or
+                # be treated as a regression before the round closes
+                "n_tail_lanes": len(tail),
+                "tail_lanes": dict(list(tail.items())[:10]),
                 # names of canaries >20% off the trimmed mean: non-empty
                 # means the window is family-skewed and per-lane numbers
                 # need bench_lanes.py adjudication (VERDICT r8 #2)

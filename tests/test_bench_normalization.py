@@ -226,3 +226,71 @@ def test_committed_reference_carries_the_budget_chain():
         assert link["to_budget_spq"] == pytest.approx(
             round(link["from_budget_spq"] * link["canary_bridge"], 4)
         ), f"link arithmetic broken at 4dp: {link}"
+
+
+def test_median_lane_ratio_reads_through_contiguous_stall():
+    """VERDICT r10 #1: a host stall elevates a contiguous ~20% block of
+    lanes 2-8x while everything else sits at ~0.98 (both r10
+    round-of-record records showed exactly this). The sum-based ratio
+    breaches; the median must read the code truth."""
+    ref_q = {f"q{i:03d}": 1.0 for i in range(100)}
+    timings = {n: 0.98 for n in ref_q}
+    for i in range(20):  # the stalled block
+        timings[f"q{i:03d}"] = 4.0
+    ref = _ref([], ref_q)
+    common, _ = bench._common_lane_ratio(timings, ref)
+    median, n = bench._median_lane_ratio(timings, ref)
+    assert common > 1.10  # the old gate breaches on the stall...
+    assert median == pytest.approx(0.98) and n == 100  # ...the new one doesn't
+
+
+def test_median_lane_ratio_catches_broad_regression():
+    """A real broad regression (every lane 15% slower at host parity)
+    must still trip the <= 1.10 gate."""
+    ref_q = {f"q{i}": 1.0 for i in range(30)}
+    timings = {n: 1.15 for n in ref_q}
+    median, _ = bench._median_lane_ratio(timings, _ref([], ref_q))
+    assert median == pytest.approx(1.15)
+
+
+def test_median_lane_ratio_ignores_lane_set_churn():
+    ref_q = {"a": 1.0, "removed": 9.0}
+    timings = {"a": 1.05, "brand_new": 99.0}
+    median, n = bench._median_lane_ratio(timings, _ref([], ref_q))
+    assert median == pytest.approx(1.05) and n == 1
+    assert bench._median_lane_ratio({"x": 1.0}, _ref([], {"y": 1.0})) == (None, 0)
+
+
+def test_tail_lanes_names_blowups_worst_first():
+    """The tail rule's work list: lanes > 2x pin, sorted worst first —
+    a narrow real regression (the r9 ingest 10x) lands HERE even when
+    the median stays green."""
+    ref_q = {"ok": 1.0, "bad": 1.0, "worse": 1.0, "edge": 1.0}
+    timings = {"ok": 1.1, "bad": 2.5, "worse": 6.0, "edge": 2.0}
+    tail = bench._tail_lanes(timings, _ref([], ref_q))
+    assert list(tail) == ["worse", "bad"]  # 2.0x exactly is NOT tail
+    assert tail["worse"] == pytest.approx(6.0)
+    assert bench._tail_lanes({"ok": 0.9}, _ref([], {"ok": 1.0})) == {}
+
+
+def test_time_query_frees_lane_checkpoint_blocks(spark):
+    """VERDICT r10 #5 'done' bar: two iterative lanes back-to-back
+    through bench's own timing helper end with zero net new pinned
+    blocks — each lane's final (deliberately retained) checkpoint set
+    is freed once its noop write completes."""
+    from hadoop_lab_spark.checkpoint import persistent_rdd_ids
+    from hadoop_lab_spark.plans.registry import (
+        REGISTRY,
+        load_all_query_modules,
+    )
+
+    load_all_query_modules()
+    sc = spark.sparkContext
+    before = persistent_rdd_ids(sc)
+    assert before is not None
+    for lane in ("dedup_clusters", "pagerank_event_handoff"):
+        bench._time_query(
+            REGISTRY[lane].fn, spark, "/root/testdata/sf0.001", 2, False
+        )
+    leaked = persistent_rdd_ids(sc) - before
+    assert leaked == set(), f"back-to-back lanes left blocks pinned: {leaked}"
