@@ -52,8 +52,47 @@ def _last_green_round() -> dict[str, int]:
     return seen
 
 
+def _correctness_rounds(repo_dir: str = _REPO_DIR) -> list[int]:
+    """Round numbers with an existing CORRECTNESS file, ascending
+    (ADVICE r10: the digest-resolution horizon is derived from the
+    files that exist, not the former hardcoded range(rnd, 30) that
+    silently disabled the check from round 30 onward)."""
+    rounds: set[int] = set()
+    for path in glob.glob(os.path.join(repo_dir, "CORRECTNESS_r*.json")):
+        try:
+            rounds.add(int(os.path.basename(path).split("_r")[1].split(".")[0]))
+        except (ValueError, IndexError):
+            continue
+    return sorted(rounds)
+
+
+def _committed_plan_digests(repo_dir: str = _REPO_DIR) -> dict | None:
+    """The parsed plan_digests.json at the LAST commit touching it —
+    the in-round fallback pin (ADVICE r10: while a round's CORRECTNESS
+    file is still untracked, nothing resolves through the round-commit
+    path, and that window is exactly when a freshly recomposed lane
+    needs flagging)."""
+    try:
+        commit = subprocess.run(
+            ["git", "rev-list", "-1", "HEAD", "--", "plan_digests.json"],
+            cwd=repo_dir, capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+        if not commit:
+            return None
+        blob = subprocess.run(
+            ["git", "show", f"{commit}:plan_digests.json"],
+            cwd=repo_dir, capture_output=True, text=True, timeout=10,
+        )
+        if blob.returncode != 0:
+            return None
+        return json.loads(blob.stdout)
+    except (OSError, subprocess.SubprocessError, json.JSONDecodeError):
+        return None
+
+
 def _digests_at_round(rnd: int, repo_dir: str = _REPO_DIR) -> dict | None:
-    """The per-lane plan digests pinned when round ``rnd``'s CORRECTNESS
+    """The parsed plan_digests.json (the whole pin file: lanes +
+    normalizer_version) pinned when round ``rnd``'s CORRECTNESS
     file was committed — i.e. the digests of the code that round's green
     rows actually verified. Resolved from git (the driver commits each
     round's CORRECTNESS file against that round's final tree). If that
@@ -62,26 +101,29 @@ def _digests_at_round(rnd: int, repo_dir: str = _REPO_DIR) -> dict | None:
     under-approximation that still catches every change made after the
     fallback pin. None when nothing resolves (offline / shallow clone):
     callers must then not flag the lane."""
-    for k in range(rnd, 30):
+    for k in (r for r in _correctness_rounds(repo_dir) if r >= rnd):
         path = f"CORRECTNESS_r{k:02d}.json"
-        if not os.path.exists(os.path.join(repo_dir, path)):
-            continue
         try:
             commit = subprocess.run(
                 ["git", "rev-list", "-1", "HEAD", "--", path],
                 cwd=repo_dir, capture_output=True, text=True, timeout=10,
             ).stdout.strip()
             if not commit:
-                continue
+                # The file exists but no commit touches it yet: the
+                # in-round window (ADVICE r10) — exactly when a lane is
+                # most likely freshly recomposed, and when the old code
+                # went inert. Later rounds cannot be committed either,
+                # so resolve from the committed-pin fallback below.
+                break
             blob = subprocess.run(
                 ["git", "show", f"{commit}:plan_digests.json"],
                 cwd=repo_dir, capture_output=True, text=True, timeout=10,
             )
             if blob.returncode == 0:
-                return json.loads(blob.stdout).get("lanes", {})
+                return json.loads(blob.stdout)
         except (OSError, subprocess.SubprocessError, json.JSONDecodeError):
             return None
-    return None
+    return _committed_plan_digests(repo_dir)
 
 
 def _digest_changed_lanes(
@@ -92,12 +134,26 @@ def _digest_changed_lanes(
     ingest recompose kept its r8 green row, so the driver never
     re-verified the code that actually shipped). A changed digest means
     the green row verified a plan that no longer exists — the lane must
-    sort as never-green so the next window re-verifies it."""
+    sort as never-green so the next window re-verifies it.
+
+    Comparison rule (ADVICE r10): when the historical pin was produced
+    by the SAME normalizer version as the current one, compare the
+    FULL-TEXT digest — a detail-level change that keeps the operator
+    tree (changed join keys, lost PushedFilters, different
+    partitioning) must also force re-verification. Across normalizer
+    versions (a format-evolution re-pin re-hashes every lane's full
+    text while changing zero plans — the r10 canonical-list-order
+    change did exactly that to 147 lanes), fall back to the SKELETON
+    digest so the whole registry isn't flagged as unverified. Pins
+    with no normalizer_version field (pre-r11) count as a distinct
+    version."""
     try:
         with open(os.path.join(repo_dir, "plan_digests.json")) as f:
-            current = json.load(f).get("lanes", {})
+            cur_pin = json.load(f)
     except (OSError, json.JSONDecodeError):
         return set()
+    current = cur_pin.get("lanes", {})
+    cur_ver = cur_pin.get("normalizer_version")
     changed: set[str] = set()
     cache: dict[int, dict | None] = {}
     for name, rnd in seen.items():
@@ -106,20 +162,18 @@ def _digest_changed_lanes(
             continue
         if rnd not in cache:
             cache[rnd] = _digests_at_round(rnd, repo_dir)
-        hist = cache[rnd]
-        if hist is None:
+        hist_pin = cache[rnd]
+        if hist_pin is None:
             continue
-        old = hist.get(name)
-        # Compare the SKELETON digest (operator-tree structure), not the
-        # full-text one: normalize_plan itself evolves (the r10
-        # canonical-list-order change re-hashed 147 lanes' full text
-        # while changing zero plans), and a format-evolution re-pin must
-        # not flag the whole registry as unverified. A recomposed lane
-        # changes its operator tree (the r9 ingest rewire: 75 -> 19
-        # ops), which is exactly the signal that demands a fresh green.
-        if (
-            old
-            and old.get("skeleton_digest")
+        old = hist_pin.get("lanes", {}).get(name)
+        if not old:
+            continue
+        same_normalizer = hist_pin.get("normalizer_version") == cur_ver
+        if same_normalizer and old.get("digest") and cur.get("digest"):
+            if old["digest"] != cur["digest"]:
+                changed.add(name)
+        elif (
+            old.get("skeleton_digest")
             and cur.get("skeleton_digest")
             and old["skeleton_digest"] != cur["skeleton_digest"]
         ):

@@ -180,3 +180,17 @@ def test_normalization_canonicalizes_grouping_list_order():
     e1 = normalize_plan("(1) Project\nOutput [2]: [a#1, b#2]\n")
     e2 = normalize_plan("(1) Project\nOutput [2]: [a#1, c#2]\n")
     assert e1 != e2
+    # Project OUTPUT order is result-schema semantics and stays
+    # order-sensitive (ADVICE r10: sorting it made the digest invariant
+    # under a genuine output-column reorder); Project INPUT inherits the
+    # Expand flip and stays canonicalized.
+    o1 = normalize_plan("(1) Project\nOutput [2]: [a#1, b#2]\n")
+    o2 = normalize_plan("(1) Project\nOutput [2]: [b#2, a#1]\n")
+    assert o1 != o2
+    i1 = normalize_plan("(1) Project\nInput [2]: [a#1, b#2]\n")
+    i2 = normalize_plan("(1) Project\nInput [2]: [b#2, a#1]\n")
+    assert i1 == i2
+    # HashAggregate (a non-Project sort node) keeps sorting its Output.
+    h1 = normalize_plan("(1) HashAggregate\nOutput [2]: [a#1, b#2]\n")
+    h2 = normalize_plan("(1) HashAggregate\nOutput [2]: [b#2, a#1]\n")
+    assert h1 == h2

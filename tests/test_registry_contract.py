@@ -77,14 +77,8 @@ def test_rotation_digest_change_forces_reverification(monkeypatch):
     )
 
 
-def test_digest_changed_lanes_detects_a_bumped_pin(tmp_path):
-    """End-to-end on a scratch git repo: commit a CORRECTNESS file and a
-    digest pin together (the driver's round commit), then change the
-    working-tree pin — the lane must be flagged; an unchanged lane must
-    not."""
+def _scratch_repo(tmp_path):
     import subprocess
-
-    import __spark_entry__ as e
 
     repo = tmp_path / "repo"
     repo.mkdir()
@@ -97,13 +91,66 @@ def test_digest_changed_lanes_detects_a_bumped_pin(tmp_path):
     git("init", "-q")
     git("config", "user.email", "t@t")
     git("config", "user.name", "t")
+    return repo, git
+
+
+def test_digest_changed_lanes_detects_a_bumped_pin(tmp_path):
+    """End-to-end on a scratch git repo: commit a CORRECTNESS file and a
+    digest pin together (the driver's round commit), then change the
+    working-tree pin. Same normalizer version: BOTH a skeleton flip and
+    a detail-level (full-text-only) change must flag — the r9 advisor's
+    blind spot was exactly the detail class (changed join keys, lost
+    PushedFilters) keeping a stale green row (ADVICE r10)."""
     import json as _json
 
+    import __spark_entry__ as e
+
+    repo, git = _scratch_repo(tmp_path)
     pins = {
+        "normalizer_version": 2,
         "lanes": {
             "lane_a": {"digest": "aaa", "skeleton_digest": "sa"},
             "lane_b": {"digest": "bbb", "skeleton_digest": "sb"},
-        }
+            "lane_c": {"digest": "ccc", "skeleton_digest": "sc"},
+        },
+    }
+    (repo / "plan_digests.json").write_text(_json.dumps(pins))
+    (repo / "CORRECTNESS_r01.json").write_text(
+        _json.dumps({n: {"hash_match": True} for n in ("lane_a", "lane_b", "lane_c")})
+    )
+    git("add", "-A")
+    git("commit", "-q", "-m", "round 1")
+    # lane_a: structural change (skeleton flips). lane_b: detail-level
+    # change (full text only — e.g. a lost PushedFilters). lane_c:
+    # untouched.
+    pins["lanes"]["lane_a"]["skeleton_digest"] = "CHANGED"
+    pins["lanes"]["lane_a"]["digest"] = "CHANGED"
+    pins["lanes"]["lane_b"]["digest"] = "detail-drift"
+    (repo / "plan_digests.json").write_text(_json.dumps(pins))
+    changed = e._digest_changed_lanes(
+        {"lane_a": 1, "lane_b": 1, "lane_c": 1}, repo_dir=str(repo)
+    )
+    assert changed == {"lane_a", "lane_b"}
+
+
+def test_digest_changed_lanes_skeleton_fallback_across_normalizer_versions(
+    tmp_path,
+):
+    """A normalizer-version bump re-hashes every lane's full text while
+    changing zero plans (the r10 canonical-list-order change hit 147
+    lanes) — across versions only a skeleton flip may flag, or a
+    format-evolution re-pin would mark the whole registry unverified."""
+    import json as _json
+
+    import __spark_entry__ as e
+
+    repo, git = _scratch_repo(tmp_path)
+    pins = {
+        # no normalizer_version: a pre-r11 pin
+        "lanes": {
+            "lane_a": {"digest": "aaa", "skeleton_digest": "sa"},
+            "lane_b": {"digest": "bbb", "skeleton_digest": "sb"},
+        },
     }
     (repo / "plan_digests.json").write_text(_json.dumps(pins))
     (repo / "CORRECTNESS_r01.json").write_text(
@@ -111,14 +158,50 @@ def test_digest_changed_lanes_detects_a_bumped_pin(tmp_path):
     )
     git("add", "-A")
     git("commit", "-q", "-m", "round 1")
-    # lane_a: structural change (skeleton flips). lane_b: full-text-only
-    # drift (normalization evolution) — must NOT be flagged.
-    pins["lanes"]["lane_a"]["skeleton_digest"] = "CHANGED"
-    pins["lanes"]["lane_b"]["digest"] = "text-only-drift"
-    (repo / "plan_digests.json").write_text(_json.dumps(pins))
+    new_pins = {
+        "normalizer_version": 2,
+        "lanes": {
+            # every full text re-hashed by the format evolution...
+            "lane_a": {"digest": "v2-aaa", "skeleton_digest": "sa"},
+            # ...but lane_b ALSO changed structurally
+            "lane_b": {"digest": "v2-bbb", "skeleton_digest": "FLIPPED"},
+        },
+    }
+    (repo / "plan_digests.json").write_text(_json.dumps(new_pins))
     changed = e._digest_changed_lanes(
         {"lane_a": 1, "lane_b": 1}, repo_dir=str(repo)
     )
+    assert changed == {"lane_b"}
+
+
+def test_digest_changed_lanes_works_during_the_inround_window(tmp_path):
+    """ADVICE r10: while a round's CORRECTNESS file is still UNTRACKED
+    (exactly the window when a lane is most likely freshly recomposed),
+    the guard must resolve the historical pin from the last commit
+    touching plan_digests.json instead of going inert."""
+    import json as _json
+
+    import __spark_entry__ as e
+
+    repo, git = _scratch_repo(tmp_path)
+    pins = {
+        "normalizer_version": 2,
+        "lanes": {"lane_a": {"digest": "aaa", "skeleton_digest": "sa"}},
+    }
+    (repo / "plan_digests.json").write_text(_json.dumps(pins))
+    (repo / "CORRECTNESS_r01.json").write_text(
+        _json.dumps({"lane_a": {"hash_match": True}})
+    )
+    git("add", "-A")
+    git("commit", "-q", "-m", "round 1")
+    # Round 2 in progress: its CORRECTNESS file exists but is untracked,
+    # lane_a greened in it, and the lane was then recomposed in-round.
+    (repo / "CORRECTNESS_r02.json").write_text(
+        _json.dumps({"lane_a": {"hash_match": True}})
+    )
+    pins["lanes"]["lane_a"] = {"digest": "RECOMPOSED", "skeleton_digest": "RE"}
+    (repo / "plan_digests.json").write_text(_json.dumps(pins))
+    changed = e._digest_changed_lanes({"lane_a": 2}, repo_dir=str(repo))
     assert changed == {"lane_a"}
 
 

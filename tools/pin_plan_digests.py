@@ -55,10 +55,26 @@ sys.path.insert(0, REPO)
 #: expression still changes the sorted list. Downstream HashAggregates
 #: inherit key order from the Expand output, so they are sorted too.
 #: (Sort is deliberately absent: sort-KEY order is semantics, and an
-#: accidental key reorder must keep tripping the digest. Project/
-#: Exchange list order is cosmetic — attribute order is pinned by the
-#: driver's schema compare — and both inherit the Expand flip.)
+#: accidental key reorder must keep tripping the digest. Exchange list
+#: order is cosmetic, and Project INPUT lists inherit the Expand flip —
+#: but Project OUTPUT order is result-schema semantics when the Project
+#: is the plan's top, so Output lines inside Project blocks stay
+#: order-sensitive [ADVICE r10: sorting them made the digest invariant
+#: under a genuine output-column reorder, leaving the driver's schema
+#: compare as the sole gate for that regression class].)
 _SORT_ARG_NODES = ("Expand", "HashAggregate", "Exchange", "Project")
+
+#: Bumped whenever normalize_plan's output changes for an unchanged
+#: plan (so every full-text digest re-hashes). Recorded in
+#: plan_digests.json; the rotation's digest-change detector compares
+#: FULL-TEXT digests only between pins of the same version and falls
+#: back to the skeleton digest across versions (ADVICE r10: skeleton-
+#: only comparison was blind to detail-level changes — lost
+#: PushedFilters, changed join keys — exactly the gap the full digest
+#: exists to close).
+#: v2: Project Output lines order-sensitive (r11); v1 (implicit,
+#: absent from the JSON): the r10 canonical-list-order normalizer.
+NORMALIZER_VERSION = 2
 
 _DETAIL_HEADER = re.compile(r"^\((\d+|N)\) (\S+)")
 
@@ -150,10 +166,12 @@ def _sort_hashpartitioning(line: str) -> str:
 def normalize_plan(plan: str) -> str:
     out = []
     sort_block = False
+    project_block = False
     for line in plan.splitlines():
         header = _DETAIL_HEADER.match(line.strip())
         if header:
             sort_block = header.group(2) in _SORT_ARG_NODES
+            project_block = header.group(2) == "Project"
         line = re.sub(r"file:/\S+", "PATH", line)
         line = re.sub(r"/tmp/\S+", "PATH", line)
         line = re.sub(r"/root/testdata/\S+", "PATH", line)
@@ -171,7 +189,12 @@ def normalize_plan(plan: str) -> str:
         # running the gate after test_scale_ops' hypothesis loops).
         line = re.sub(r" at [^\s,)\]]+:\d+", " at CALLSITE", line)
         line = re.sub(r"\d+", "N", line)
-        if sort_block:
+        # Project Output order is result-schema semantics (ADVICE r10);
+        # Project Input inherits the upstream Expand/aggregate flip and
+        # stays canonicalized like the other _SORT_ARG_NODES lines.
+        if sort_block and not (
+            project_block and line.lstrip().startswith("Output")
+        ):
             line = _sort_bracket_lists(_sort_hashpartitioning(line))
         out.append(line.rstrip())
     return "\n".join(out)
@@ -237,7 +260,11 @@ def main() -> None:
         print(f"{name}: {digests[name]['digest'][:12]} ({len(digests[name]['ops'])} ops)")
     spark.stop()
     json.dump(
-        {"sf_dir": sf_dir, "lanes": digests},
+        {
+            "sf_dir": sf_dir,
+            "normalizer_version": NORMALIZER_VERSION,
+            "lanes": digests,
+        },
         open(out_path, "w"),
         indent=1,
         sort_keys=True,
