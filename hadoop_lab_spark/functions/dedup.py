@@ -72,10 +72,13 @@ def word_shingle_arrays(
     count (a single-row-group parquet file scans as ONE task — the r8
     sweep's lesson — and would otherwise build every shingle on one
     core). Hash partitioning survives the projection, so downstream
-    consumers reuse the exchange exactly as before. Callers on the
-    bench-canary paths (minhash_near_dups) keep the old shape this
-    round so canary pins stay code-constant; flip them at the next
-    driver re-pin.
+    consumers reuse the exchange exactly as before. The trade is the
+    consumer count: every consumer ABOVE the reused exchange re-runs
+    the projection, so the flag wins only for few-consumer plans
+    (ssjoin/ngram, 0.37-0.5×) and loses for the 4-consumer MinHash
+    pipelines — measured both ways, r9 (`minhash_incremental_dups`
+    1.28× pin) and r11 (`minhash_near_dups` 2.2× at sf1.0; numbers in
+    both docstrings and PERFORMANCE.md).
     """
     toks = F.split(F.trim(F.col(text_col)), WS_RE)
     df = df.select(F.col(id_col), toks.alias("_toks")).filter(F.size("_toks") >= n)
@@ -211,6 +214,18 @@ def minhash_near_dups(
     (plus once more inside an optimizer-inferred predicate). With it,
     every consumer reads the same ReusedExchange output — the 100 TB
     equivalent is materializing the tokenized bronze table once.
+
+    Measured (r11, the evaluation VERDICT r10 #4 deferred from the r10
+    pin): ``repartition_by_id=True`` — the placement that took the
+    two single-consumer shingle lanes to 0.37-0.5× — REGRESSES this
+    lane, and worse with scale: sf0.1 in-sweep A/B 3.10 → 3.96/4.76 s,
+    and at sf1.0 (proportional row groups, scan already parallel)
+    7.15 → 15.75 s here and 23.7 → 43.0 s on the CC composite. Same
+    root cause as ``minhash_incremental_dups``: this plan has FOUR
+    consumers above the doc-set exchange (band left/right + verify
+    a/b), and with the projection above the exchange each one re-runs
+    tokenize+slide+distinct, which beats the 3× payload saving as soon
+    as the scan has real parallelism. Finished arrays stay upstream.
     """
     doc_sets = word_shingle_arrays(df, id_col, text_col, n).repartition(F.col(id_col))
     bands_df = _band_signatures(doc_sets, id_col, seeds, bands)
