@@ -81,7 +81,19 @@ def main() -> None:
     spark.sparkContext.setLogLevel("WARN")
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
+    from hadoop_lab_spark.checkpoint import persistent_rdd_ids, unpersist_rdds
+
+    def _free_new_blocks(before) -> None:
+        # Per-lane BlockManager hygiene, matched to bench.py._time_query
+        # (VERDICT r10 #5) so the prefix-replay instrument reproduces
+        # bench.py's exact session trajectory — including which
+        # checkpoint blocks are live at each sweep position.
+        after = persistent_rdd_ids(spark.sparkContext)
+        if before is not None and after is not None:
+            unpersist_rdds(spark.sparkContext, after - before)
+
     def run(name: str) -> float:
+        before = persistent_rdd_ids(spark.sparkContext)
         times = []
         for _ in range(repeats):
             start = time.perf_counter()
@@ -89,6 +101,7 @@ def main() -> None:
                 "overwrite"
             ).save()
             times.append(time.perf_counter() - start)
+        _free_new_blocks(before)
         return round(statistics.median(times), 3)
 
     canaries = [c for c in ref.get("canaries", []) if c in ref_q]
@@ -122,10 +135,12 @@ def main() -> None:
             elif n in canaries:
                 canary_med[n] = run(n)
             else:
+                before = persistent_rdd_ids(spark.sparkContext)
                 for _ in range(repeats):
                     REGISTRY[n].fn(spark, sf_dir).write.format("noop").mode(
                         "overwrite"
                     ).save()
+                _free_new_blocks(before)
             swept += 1
         print(f"REPLAY swept {swept} lanes through {last}", flush=True)
         # Requested lanes outside the bench set (demo/streaming) have no

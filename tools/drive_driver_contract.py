@@ -74,8 +74,16 @@ def main():
     unknown = (only or set()) - set(qs)
     if unknown:
         sys.exit(f"--only names not in queries(): {sorted(unknown)}")
+    from hadoop_lab_spark.checkpoint import persistent_rdd_ids, unpersist_rdds
+
     bad = []
     for name in names:
+        # Per-lane BlockManager hygiene, mirroring bench.py._time_query
+        # (VERDICT r10 #5): iterative/ingest lanes deliberately retain
+        # their final localCheckpoint set; once this lane's collect and
+        # compare are done nothing references it, so a 150-lane drive
+        # must not accumulate 150 dead block sets.
+        before = persistent_rdd_ids(spark.sparkContext)
         try:
             df = qs[name](spark, sf_dir)
             cols = df.columns
@@ -99,6 +107,10 @@ def main():
         except Exception as ex:  # noqa: BLE001
             bad.append(name)
             print(f"{name}: ERROR {type(ex).__name__}: {ex}")
+        finally:
+            after = persistent_rdd_ids(spark.sparkContext)
+            if before is not None and after is not None:
+                unpersist_rdds(spark.sparkContext, after - before)
     print("RESULT:", "ALL-MATCH" if not bad else f"FAILURES: {bad}")
     return 1 if bad else 0
 
