@@ -292,6 +292,17 @@ def _warn_if_contended() -> None:
         pass  # non-procfs platform: skip the check
 
 
+def _loadavg() -> list[float] | None:
+    """Host 1/5/15-min load averages, for the run record. Every stall
+    adjudication so far (r8-r11) began by asking what the host was
+    doing — answer it from the record instead of memory."""
+    try:
+        with open("/proc/loadavg") as f:
+            return [float(x) for x in f.read().split()[:3]]
+    except (OSError, ValueError):
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     _warn_if_contended()
@@ -310,11 +321,20 @@ def main() -> None:
     # Warmup: touch the runtime (codegen, shuffle machinery) once.
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
+    load_start = _loadavg()
+    sweep_start = time.perf_counter()
     detail: dict[str, dict[str, float]] = {}
     timings: dict[str, float] = {}
+    pos = 0
     for name, spec in sorted(REGISTRY.items()):
         if not spec.bench:
             continue
+        # Sweep position + wall-clock offset per lane: every stall
+        # adjudication (r8-r11) decomposed the record by WHEN a lane ran
+        # — both r10 records' excesses were position-contiguous blocks.
+        # Record it so the decomposition is a jq query, not a judge
+        # reconstruction from alphabetical order.
+        t_off = time.perf_counter() - sweep_start
         times = _time_query(spec.fn, spark, sf_dir, repeats, gc)
         timings[name] = round(statistics.median(times), 3)
         detail[name] = {
@@ -322,7 +342,10 @@ def main() -> None:
             "min": round(min(times), 3),
             "max": round(max(times), 3),
             "runs": [round(t, 3) for t in times],
+            "pos": pos,
+            "t_start": round(t_off, 1),
         }
+        pos += 1
         print(f"DETAIL {json.dumps({name: detail[name]})}", flush=True)
 
     # Demo lanes (bench=False, tagged "demo"): priced knob demos kept out
@@ -399,6 +422,10 @@ def main() -> None:
                 "sf": sf,
                 "repeats": repeats,
                 "gc_barrier": gc,
+                # host 1/5/15-min load at sweep start and at write time:
+                # the first question of every stall adjudication
+                "loadavg_start": load_start,
+                "loadavg_end": _loadavg(),
                 "total_median_sec": total,
                 "canary_ratio": canary_ratio,
                 "canaries": (reference or {}).get("canaries"),

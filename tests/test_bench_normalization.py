@@ -294,3 +294,13 @@ def test_time_query_frees_lane_checkpoint_blocks(spark):
         )
     leaked = persistent_rdd_ids(sc) - before
     assert leaked == set(), f"back-to-back lanes left blocks pinned: {leaked}"
+
+
+def test_loadavg_probe_shape():
+    """The host-load probe returns three floats on Linux and never
+    raises — it feeds the run record that every stall adjudication
+    opens with."""
+    got = bench._loadavg()
+    assert got is None or (
+        len(got) == 3 and all(isinstance(x, float) for x in got)
+    )
