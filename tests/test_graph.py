@@ -127,3 +127,34 @@ def test_tracked_checkpoint_reports_untracked_on_snapshot_failure(
     out, ids = cp.tracked_checkpoint(df)
     assert ids == set()
     assert out.collect()[0][0] == 1
+
+
+def test_pagerank_midloop_failure_frees_all_checkpoint_blocks(
+    spark, monkeypatch
+):
+    """ADVICE r10 (pagerank twin of the CC test): a mid-round failure
+    must free the static edge/node tables and the last round's rank
+    checkpoint — zero net new pinned blocks on the error path."""
+    import hadoop_lab_spark.operators.graph as graph_mod
+    from hadoop_lab_spark.checkpoint import persistent_rdd_ids
+    from hadoop_lab_spark.operators.graph import pagerank
+
+    real_round = graph_mod._pagerank_round
+    calls = {"n": 0}
+
+    def flaky_round(esd, nodes, ranks, damping):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("executor lost")
+        return real_round(esd, nodes, ranks, damping)
+
+    monkeypatch.setattr(graph_mod, "_pagerank_round", flaky_round)
+    sc = spark.sparkContext
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0)], "src bigint, dst bigint"
+    )
+    before = persistent_rdd_ids(sc)
+    with pytest.raises(RuntimeError, match="executor lost"):
+        pagerank(edges, iterations=4)
+    leaked = persistent_rdd_ids(sc) - before
+    assert leaked == set(), f"failed pagerank left blocks pinned: {leaked}"
