@@ -27,7 +27,59 @@ never affect results.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
+
+
+@contextmanager
+def partitioning_preserved(spark):
+    """Compile-and-checkpoint scope that keeps the frame's hash
+    partitioning VISIBLE to Catalyst across the checkpoint.
+
+    ``Dataset.checkpoint`` copies the physical plan's outputPartitioning
+    into the resulting ``LogicalRDD`` — but under AQE the captured plan
+    is the ``AdaptiveSparkPlanExec`` wrapper, which reports
+    ``UnknownPartitioning``, so a checkpointed static table built with
+    ``repartition(key)`` FORGETS that its blocks are hash-clustered
+    (measured r11: a forced sort-merge PageRank round against an
+    AQE-compiled checkpoint plans 4 shuffle Exchanges — it re-shuffles
+    the |E|-sized edge table every round — vs 1 Exchange when the
+    checkpoint was compiled with AQE off and the LogicalRDD carries
+    ``hashpartitioning(src, N)``). At cluster scale, where both sides
+    are too big to broadcast, that is the difference between shuffling
+    10⁹ edges per round and shuffling only rank-sized rows.
+
+    NOT applied to the graph operators yet — measured both ways (r11,
+    PERFORMANCE.md "r11: checkpoint partitioning"): at bench SF the
+    scope costs 2-4x wall on the PageRank lanes (the AQE-off build
+    loses partition coalescing, so tiny checkpoints carry
+    shuffle-partition-count partitions into every round, and the
+    rounds lose AQE's runtime broadcast conversion), while AQE's
+    runtime broadcast already keeps the edge table in place at that
+    scale. Apply it when the static side is genuinely large (the
+    forced-SMJ regime) — the r12 candidate is a size-aware switch.
+
+    Usage: build the DataFrame AND call :func:`tracked_checkpoint`
+    inside the scope — Datasets compile their physical plan lazily at
+    first materialization, so the AQE setting at CHECKPOINT time is
+    what the LogicalRDD inherits. The toggle is session-global for its
+    duration (the engine runs one plan build at a time per session);
+    the previous value is always restored, and the loop bodies that
+    consume the checkpoint still compile under the session's normal
+    AQE setting. Degrades to a plain no-op scope if the conf is not
+    readable (results never depend on this — tests/test_aqe_invariance
+    pins answer equality either way)."""
+    try:
+        prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    except Exception:
+        yield
+        return
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
 
 
 def persistent_rdd_ids(sc) -> set[int] | None:

@@ -61,6 +61,16 @@ def connected_components(
     # dominant per-round cost; the distinct() already shuffles, so the
     # extra repartition only fixes WHICH key the layout lands on).
     sc = nodes.sparkSession.sparkContext
+    # KNOWN at-scale gap, measured r11 (PERFORMANCE.md "r11: checkpoint
+    # partitioning"): under AQE the checkpointed LogicalRDD reports
+    # UnknownPartitioning, so when the label side is too big to
+    # broadcast, every round re-shuffles this |E|-sized sym table.
+    # checkpoint.partitioning_preserved fixes the metadata (4 -> 1
+    # exchanges per forced-SMJ round) but at bench SF costs 2-4x wall:
+    # the AQE-off build loses partition coalescing AND the rounds lose
+    # AQE's runtime broadcast conversion. Deliberately NOT applied here
+    # until made size-aware — at bench/driver scale AQE's runtime
+    # broadcast already keeps the edge table in place.
     sym, sym_ids = tracked_checkpoint(
         edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
@@ -191,6 +201,11 @@ def pagerank(
     # bit-identical to the oracle's pr/deg form; a precomputed ratio
     # would reassociate the division and drift a ulp per round.
     sc = edges.sparkSession.sparkContext
+    # Same deliberate trade as connected_components: the checkpointed
+    # esd forgets its hashpartitioning(src) under AQE, and the fix
+    # (checkpoint.partitioning_preserved) measured 2-4x WORSE at bench
+    # SF while winning the forced-SMJ plan shape — see PERFORMANCE.md
+    # "r11: checkpoint partitioning" before applying it here.
     esd, esd_ids = tracked_checkpoint(
         edges.join(deg, "src")
         .select("src", "dst", "_w", "deg")

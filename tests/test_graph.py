@@ -158,3 +158,70 @@ def test_pagerank_midloop_failure_frees_all_checkpoint_blocks(
         pagerank(edges, iterations=4)
     leaked = persistent_rdd_ids(sc) - before
     assert leaked == set(), f"failed pagerank left blocks pinned: {leaked}"
+
+
+def test_static_checkpoint_preserves_partitioning_for_smj_rounds(spark):
+    """Contract of checkpoint.partitioning_preserved (r11): a static
+    table repartitioned on the per-round join key and checkpointed
+    inside the scope CARRIES that hash partitioning into its
+    LogicalRDD — under an AQE-compiled checkpoint it reads
+    UnknownPartitioning and a sort-merge round re-shuffles the
+    |E|-sized table every iteration (4 exchanges vs 1, measured). The
+    graph operators deliberately do NOT use the scope yet (it costs
+    2-4x at bench SF where AQE's runtime broadcast already keeps the
+    edge table in place — PERFORMANCE.md "r11: checkpoint
+    partitioning"); this test pins the primitive the size-aware r12
+    switch will build on, by forcing SMJ and counting exchanges."""
+    from pyspark.sql import functions as F
+
+    from hadoop_lab_spark.checkpoint import (
+        partitioning_preserved,
+        tracked_checkpoint,
+    )
+    from hadoop_lab_spark.operators.graph import _pagerank_round
+
+    edges = spark.createDataFrame(
+        [(i % 7, (i + 1) % 11) for i in range(200)], "src bigint, dst bigint"
+    ).select("src", "dst", F.lit(1.0).alias("_w"))
+    deg = edges.groupBy("src").agg(F.sum("_w").alias("deg"))
+    with partitioning_preserved(spark):
+        esd, ids = tracked_checkpoint(
+            edges.join(deg, "src")
+            .select("src", "dst", "_w", "deg")
+            .repartition(F.col("src"))
+        )
+    part = str(esd._jdf.queryExecution().optimizedPlan().outputPartitioning())
+    assert "hashpartitioning" in part and "src" in part, part
+
+    nodes = esd.select(F.col("src").alias("id")).distinct()
+    ranks = nodes.select("id", F.lit(1.0).alias("rank"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = (
+            _pagerank_round(esd, nodes, ranks, 0.85)
+            ._jdf.queryExecution()
+            .explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "formatted"
+                )
+            )
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    n_shuffles = sum(
+        1
+        for ln in plan.splitlines()
+        if ln.strip().startswith("(") and ") Exchange" in ln
+    )
+    # Exactly ONE shuffle survives: the contribution groupBy(dst) — the
+    # irreducible per-round re-key. The esd/node/rank sides all read
+    # the checkpoint's preserved clustering (an AQE-compiled checkpoint
+    # plans 4 here — the edge table re-shuffled every round).
+    assert n_shuffles == 1, f"round plan re-shuffles a static side:\n{plan}"
+    assert "hashpartitioning(dst" in plan, plan
+    # AQE restored by the context manager
+    assert spark.conf.get("spark.sql.adaptive.enabled") in ("true", "True")
+    from hadoop_lab_spark.checkpoint import unpersist_rdds
+
+    unpersist_rdds(spark.sparkContext, ids)
