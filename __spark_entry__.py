@@ -122,7 +122,11 @@ def _digests_at_round(rnd: int, repo_dir: str = _REPO_DIR) -> dict | None:
             if blob.returncode == 0:
                 return json.loads(blob.stdout)
         except (OSError, subprocess.SubprocessError, json.JSONDecodeError):
-            return None
+            # ADVICE r11: a transient git/OSError on ONE round's lookup
+            # must not silently disable the digest guard for the lane —
+            # fall through to the committed-pin fallback below (which
+            # returns None only on a total git outage).
+            break
     return _committed_plan_digests(repo_dir)
 
 
@@ -168,7 +172,13 @@ def _digest_changed_lanes(
         old = hist_pin.get("lanes", {}).get(name)
         if not old:
             continue
-        same_normalizer = hist_pin.get("normalizer_version") == cur_ver
+        # A pin with NO normalizer_version (pre-r11) counts as a distinct
+        # version on either side (ADVICE r11: bare `==` read two
+        # unversioned pins as same-version and full-text-compared them,
+        # contradicting the rule above — safe-direction, but doc and
+        # behavior must agree).
+        hist_ver = hist_pin.get("normalizer_version")
+        same_normalizer = hist_ver is not None and hist_ver == cur_ver
         if same_normalizer and old.get("digest") and cur.get("digest"):
             if old["digest"] != cur["digest"]:
                 changed.add(name)

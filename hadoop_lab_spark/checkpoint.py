@@ -117,6 +117,86 @@ def unpersist_rdds(sc, ids: set[int]) -> None:
         pass
 
 
+#: Size-aware preserved-partitioning trigger (r12, VERDICT r11 #4).
+#: Applied when a static iterative-loop table's MATERIALIZED size
+#: clears this bar. The costs are asymmetric: triggering on a table
+#: that would have been handled by AQE's runtime broadcast costs one
+#: extra in-memory shuffle of the static table plus per-round task
+#: overhead on uncoalesced partitions (at >=64 MiB that is >=2 MiB per
+#: task at 32 shuffle partitions — ms-scale overhead; the r11 3.8x
+#: loss came from sub-MB tables carried in 32+ partitions); NOT
+#: triggering in the forced-SMJ regime costs a full static-table
+#: re-shuffle EVERY round (4 vs 1 exchanges, measured r11 — at 10⁹
+#: edges the dominant per-round cost, paid up to 25x in CC). So the
+#: bar sits just above the regime where AQE's runtime broadcast of the
+#: |V|-sized side is plausible (64 MiB of edges ≈ 2.4M edges ≈ a
+#: rank/label side within reach of the 10 MB runtime-broadcast bar at
+#: high average degree) and far below any genuinely large graph.
+PARTITION_PRESERVE_MIN_BYTES = 64 * 1024 * 1024
+
+
+def checkpointed_bytes(sc, ids: set[int]) -> int | None:
+    """Total stored bytes (memory + disk) of the listed RDD ids, read
+    off the SparkContext's storage listing — the materialized truth,
+    available the moment an eager checkpoint returns, at ~zero cost
+    (the decision point VERDICT r11 #4 prescribes). ``None`` means
+    UNKNOWN (empty id set or private-API drift): callers must treat
+    unknown as "keep the default shape", never guess large."""
+    if not ids:
+        return None
+    try:
+        total = 0
+        seen = False
+        for info in sc._jsc.sc().getRDDStorageInfo():
+            if int(info.id()) in ids:
+                seen = True
+                total += int(info.memSize()) + int(info.diskSize())
+        return total if seen else None
+    except Exception:
+        return None
+
+
+def tracked_checkpoint_partitioned(
+    df: DataFrame,
+    *key_cols: str,
+    min_bytes: int | None = None,
+) -> tuple[DataFrame, set[int]]:
+    """Checkpoint a static iterative-loop table, preserving its hash
+    partitioning in the LogicalRDD when — and only when — the table is
+    big enough that per-round re-shuffles would dominate (the
+    size-aware switch, VERDICT r11 #4).
+
+    Two-phase by design: first a plain :func:`tracked_checkpoint`
+    under the session's normal AQE (partition-coalesced — the optimal
+    small-table shape, and the only way to learn the true materialized
+    size), then, iff the stored bytes clear ``min_bytes``, a second
+    checkpoint of the SAME in-memory blocks re-keyed on ``key_cols``
+    inside :func:`partitioning_preserved`, so the resulting LogicalRDD
+    carries ``hashpartitioning(key)`` into every loop round (1 vs 4
+    exchanges per forced-SMJ round, measured r11). The triggered path
+    pays ONE extra shuffle of already-materialized blocks — repaid by
+    the first round it keeps the table in place — and frees the
+    superseded first checkpoint. Below the bar (and whenever the size
+    probe returns unknown) the behavior and plan are bit-identical to
+    ``tracked_checkpoint``: bench-scale lane digests must not change.
+    """
+    if min_bytes is None:  # resolved at call time so tests can patch it
+        min_bytes = PARTITION_PRESERVE_MIN_BYTES
+    out, ids = tracked_checkpoint(df)
+    sc = df.sparkSession.sparkContext
+    size = checkpointed_bytes(sc, ids)
+    if size is None or size < min_bytes:
+        return out, ids
+    from pyspark.sql import functions as F
+
+    with partitioning_preserved(df.sparkSession):
+        out2, ids2 = tracked_checkpoint(
+            out.repartition(*[F.col(k) for k in key_cols])
+        )
+    unpersist_rdds(sc, ids)
+    return out2, ids2
+
+
 def tracked_checkpoint(df: DataFrame) -> tuple[DataFrame, set[int]]:
     """``df.localCheckpoint(eager=True)`` + the ids of the RDD blocks
     the call pinned, so the caller can free them once superseded.

@@ -32,7 +32,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from hadoop_lab_spark.checkpoint import tracked_checkpoint, unpersist_rdds
+from hadoop_lab_spark.checkpoint import (
+    tracked_checkpoint,
+    tracked_checkpoint_partitioned,
+    unpersist_rdds,
+)
 
 #: Iteration cap: pointer jumping converges in O(log₂ n) rounds, so 25
 #: covers any graph below ~2³⁰ nodes of pathological path shape.
@@ -61,21 +65,22 @@ def connected_components(
     # dominant per-round cost; the distinct() already shuffles, so the
     # extra repartition only fixes WHICH key the layout lands on).
     sc = nodes.sparkSession.sparkContext
-    # KNOWN at-scale gap, measured r11 (PERFORMANCE.md "r11: checkpoint
-    # partitioning"): under AQE the checkpointed LogicalRDD reports
-    # UnknownPartitioning, so when the label side is too big to
-    # broadcast, every round re-shuffles this |E|-sized sym table.
-    # checkpoint.partitioning_preserved fixes the metadata (4 -> 1
-    # exchanges per forced-SMJ round) but at bench SF costs 2-4x wall:
-    # the AQE-off build loses partition coalescing AND the rounds lose
-    # AQE's runtime broadcast conversion. Deliberately NOT applied here
-    # until made size-aware — at bench/driver scale AQE's runtime
-    # broadcast already keeps the edge table in place.
-    sym, sym_ids = tracked_checkpoint(
+    # Size-aware preserved partitioning (r12, VERDICT r11 #4): under
+    # AQE the checkpointed LogicalRDD reports UnknownPartitioning, so
+    # when the label side is too big to broadcast, every round would
+    # re-shuffle this |E|-sized sym table (4 vs 1 exchanges per
+    # forced-SMJ round, measured r11). The helper re-checkpoints the
+    # materialized blocks inside checkpoint.partitioning_preserved iff
+    # their stored size clears PARTITION_PRESERVE_MIN_BYTES; below the
+    # bar (all bench/driver SFs — AQE's runtime broadcast keeps the
+    # table in place there, and the scope costs 2-4x on tiny tables)
+    # the plan is bit-identical to a plain tracked_checkpoint.
+    sym, sym_ids = tracked_checkpoint_partitioned(
         edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
-        .repartition(F.col("dst"))
+        .repartition(F.col("dst")),
+        "dst",
     )
     # Iterate ONLY over edge-incident nodes: in a near-dup graph the
     # overwhelming majority of a corpus is singletons, and they must not
@@ -116,12 +121,16 @@ def connected_components(
                 .select("id", F.least("comp", "_pcomp").alias("comp"), "_prev")
             )
             jumped, new_ids = tracked_checkpoint(jumped)
-            changed = jumped.filter(F.col("comp") != F.col("_prev")).limit(1).count()
-            # The new checkpoint is materialized; the previous round's label
-            # blocks are now dead — free them (see hadoop_lab_spark.checkpoint).
+            # The new checkpoint is materialized (eager=True); the previous
+            # round's label blocks are now dead — free them and fold the new
+            # ids into the tracked set BEFORE the convergence count, so that
+            # if the count raises, the finally block covers the NEWEST blocks
+            # instead of stranding them (ADVICE r11: the count only reads the
+            # new checkpoint, so the reorder cannot affect results).
             unpersist_rdds(sc, label_ids)
             label_ids = new_ids
             labels = jumped.select("id", "comp")
+            changed = jumped.filter(F.col("comp") != F.col("_prev")).limit(1).count()
             if changed == 0:
                 converged = True
                 return _attach_singletons(nodes, labels, id_col)
@@ -201,15 +210,18 @@ def pagerank(
     # bit-identical to the oracle's pr/deg form; a precomputed ratio
     # would reassociate the division and drift a ulp per round.
     sc = edges.sparkSession.sparkContext
-    # Same deliberate trade as connected_components: the checkpointed
-    # esd forgets its hashpartitioning(src) under AQE, and the fix
-    # (checkpoint.partitioning_preserved) measured 2-4x WORSE at bench
-    # SF while winning the forced-SMJ plan shape — see PERFORMANCE.md
-    # "r11: checkpoint partitioning" before applying it here.
-    esd, esd_ids = tracked_checkpoint(
+    # Size-aware preserved partitioning, same rationale as
+    # connected_components: below PARTITION_PRESERVE_MIN_BYTES the
+    # checkpoint stays AQE-shaped (bit-identical plan — the scope costs
+    # 2-4x on tiny tables where runtime broadcast already keeps esd in
+    # place, measured r11); above it the re-checkpoint carries
+    # hashpartitioning(src) into every round (1 vs 4 exchanges
+    # forced-SMJ). See PERFORMANCE.md "r12: the size-aware switch".
+    esd, esd_ids = tracked_checkpoint_partitioned(
         edges.join(deg, "src")
         .select("src", "dst", "_w", "deg")
-        .repartition(F.col("src"))
+        .repartition(F.col("src")),
+        "src",
     )
     nodes, node_ids = tracked_checkpoint(
         edges.select(F.col("src").alias("id"))

@@ -225,3 +225,124 @@ def test_static_checkpoint_preserves_partitioning_for_smj_rounds(spark):
     from hadoop_lab_spark.checkpoint import unpersist_rdds
 
     unpersist_rdds(spark.sparkContext, ids)
+
+
+def test_size_switch_below_threshold_is_plain_checkpoint(spark):
+    """r12 size-aware switch, small side: below PARTITION_PRESERVE_MIN_BYTES
+    the helper must behave bit-identically to tracked_checkpoint — the
+    AQE-shaped (coalesced, UnknownPartitioning) checkpoint that is
+    optimal at bench SF, so no bench lane digest can change."""
+    from pyspark.sql import functions as F
+
+    from hadoop_lab_spark.checkpoint import (
+        persistent_rdd_ids,
+        tracked_checkpoint_partitioned,
+        unpersist_rdds,
+    )
+
+    df = spark.range(100).select(
+        F.col("id").alias("src"), (F.col("id") % 7).alias("dst")
+    ).repartition(F.col("dst"))
+    before = persistent_rdd_ids(spark.sparkContext)
+    out, ids = tracked_checkpoint_partitioned(df, "dst")
+    part = str(out._jdf.queryExecution().optimizedPlan().outputPartitioning())
+    assert "hashpartitioning" not in part, part  # AQE checkpoint shape kept
+    assert out.count() == 100
+    assert persistent_rdd_ids(spark.sparkContext) - before == ids
+    unpersist_rdds(spark.sparkContext, ids)
+
+
+def test_size_switch_above_threshold_preserves_partitioning(spark):
+    """r12 size-aware switch, large side (threshold lowered to 1 byte):
+    the helper re-checkpoints the materialized blocks inside
+    partitioning_preserved — the LogicalRDD carries hashpartitioning on
+    the loop key, the superseded first checkpoint's blocks are FREED,
+    and the values are unchanged."""
+    from pyspark.sql import functions as F
+
+    from hadoop_lab_spark.checkpoint import (
+        persistent_rdd_ids,
+        tracked_checkpoint_partitioned,
+        unpersist_rdds,
+    )
+
+    df = spark.range(500).select(
+        F.col("id").alias("src"), (F.col("id") % 13).alias("dst")
+    ).repartition(F.col("dst"))
+    before = persistent_rdd_ids(spark.sparkContext)
+    out, ids = tracked_checkpoint_partitioned(df, "dst", min_bytes=1)
+    part = str(out._jdf.queryExecution().optimizedPlan().outputPartitioning())
+    assert "hashpartitioning" in part and "dst" in part, part
+    # only the FINAL checkpoint's blocks remain pinned (first one freed)
+    assert persistent_rdd_ids(spark.sparkContext) - before == ids
+    assert out.count() == 500
+    assert (
+        out.agg(F.sum("src").alias("s")).collect()[0]["s"]
+        == sum(range(500))
+    )
+    # AQE restored after the scoped re-checkpoint
+    assert spark.conf.get("spark.sql.adaptive.enabled") in ("true", "True")
+    unpersist_rdds(spark.sparkContext, ids)
+
+
+def test_size_switch_unknown_size_keeps_default_shape(spark, monkeypatch):
+    """A failed size probe means UNKNOWN — the helper must keep the
+    default (AQE) shape rather than guess large (the never-guess rule
+    of this module)."""
+    import hadoop_lab_spark.checkpoint as cp
+
+    monkeypatch.setattr(cp, "checkpointed_bytes", lambda sc, ids: None)
+    df = spark.range(50).selectExpr("id as src", "id % 3 as dst")
+    out, ids = cp.tracked_checkpoint_partitioned(df, "dst", min_bytes=1)
+    part = str(out._jdf.queryExecution().optimizedPlan().outputPartitioning())
+    assert "hashpartitioning" not in part, part
+    assert out.count() == 50
+    cp.unpersist_rdds(spark.sparkContext, ids)
+
+
+def test_pagerank_switch_e2e_forced_smj_matches_default_path(
+    spark, monkeypatch
+):
+    """End-to-end contract of the r12 switch: with the threshold forced
+    low and broadcast disabled (the forced-SMJ regime the switch
+    exists for), pagerank runs through the preserved-partitioning
+    checkpoint, leaks no blocks, and its ranks match the default-path
+    ranks (same fixed-round arithmetic; only partial-sum order can
+    differ, so equality is pinned to 1e-9)."""
+    import hadoop_lab_spark.checkpoint as cp
+    from hadoop_lab_spark.checkpoint import persistent_rdd_ids
+    from hadoop_lab_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(i % 17, (i * 3 + 1) % 23) for i in range(300)],
+        "src bigint, dst bigint",
+    ).distinct()
+    baseline = {
+        r["id"]: r["rank"] for r in pagerank(edges, iterations=3).collect()
+    }
+    monkeypatch.setattr(cp, "PARTITION_PRESERVE_MIN_BYTES", 1)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    before = persistent_rdd_ids(spark.sparkContext)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        switched_df = pagerank(edges, iterations=3)
+        part = str(
+            switched_df._jdf.queryExecution()
+            .optimizedPlan()
+            .outputPartitioning()
+        )
+        switched = {r["id"]: r["rank"] for r in switched_df.collect()}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert switched.keys() == baseline.keys()
+    for k, v in baseline.items():
+        assert abs(switched[k] - v) <= 1e-9 * max(1.0, abs(v)), (
+            k, v, switched[k],
+        )
+    # the switched run's final ranks checkpoint stays pinned (the
+    # returned frame references it); nothing else may remain
+    leaked = persistent_rdd_ids(spark.sparkContext) - before
+    from hadoop_lab_spark.checkpoint import unpersist_rdds
+
+    unpersist_rdds(spark.sparkContext, leaked)
+    assert len(leaked) <= 2, f"static/intermediate blocks leaked: {leaked}"
