@@ -45,19 +45,27 @@ normalized_total_common = total/common_lane_ratio (host- AND
 code-drift-free headline; by construction it cannot show a shared-lane
 regression, so the regression gate is the common_lane_ratio itself).
 
-Gate rework (VERDICT r10 #1): both r10 round-of-record runs failed the
-sum-based gates at face value (driver canary 1.444/common 1.503; judge
-canary 1.018/common 1.26) while the judge's per-lane MEDIAN ratio read
-0.979 — a multi-minute host stall lands on whatever contiguous 10-lane
-block is running and dominates any sum, and the fixed-position
-canaries miss stalls that don't overlap them. The PRIMARY regression
-gate is therefore the median per-lane ratio vs the pin (<= 1.10),
-plus a per-lane tail rule: any lane > 2x its pin is named in the
-summary (`tail_lanes`) and must survive `tools/bench_lanes.py
---prefix-replay` adjudication (<= 1.2x) before the round closes — a
-narrow real regression moves exactly that list, never the median. The
-sum-based ratios and normalized totals stay emitted for chain
-continuity and for the absolute budget figure.
+Gate rework (VERDICT r10 #1, host-normalized r11 #1): both r10
+round-of-record runs failed the sum-based gates at face value while the
+judge's per-lane MEDIAN ratio read 0.979 — a multi-minute host stall
+lands on whatever contiguous 10-lane block is running and dominates any
+sum, and the fixed-position canaries miss stalls that don't overlap
+them. Then the r11 driver record exposed the dual failure mode: a
+UNIFORMLY ~17%-slow window fails a raw median gate with zero code
+change (its median 1.138 equaled its canary 1.168; per-lane code effect
+0.97). The PRIMARY regression gate is therefore two-armed
+(`median_gate_pass`): raw median per-lane ratio <= 1.10 (absorbs
+localized stalls the canaries can't see) OR host-normalized median
+(median / trimmed-canary ratio) <= 1.03 (absorbs uniformly slow
+windows the canaries measure directly). A per-lane tail rule backs it:
+any lane > 2x its pin AND > 150 ms over it is named in the summary
+(`tail_lanes`); clearing order in BASELINE.md "r12 tail-clearing rule"
+(cleared by any other same-code record reading <= 1.2x; prefix-replay
+only for lanes elevated in >= 2 independent records). The budget is
+read against `normalized_total_clamped` (per-lane stall excess above
+TAIL_RATIO clamped out before the host bridge — that excess is the
+tail rule's jurisdiction, not the budget's); the raw sum-based ratios
+and totals stay emitted for chain continuity.
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS   (local[N], default all cores),
@@ -182,6 +190,33 @@ def _common_lane_ratio(
 #: would rightly have demanded the adjudication it got).
 TAIL_RATIO = 2.0
 
+#: Absolute-excess floor for the tail list (VERDICT r11 #3): a 2x ratio
+#: on a 0.17 s lane is 170 ms of noise sensitivity, not a regression
+#: signal — the r11/r12 watch pair (`count_per_event_type` +66 ms,
+#: `cumulative_monthly_revenue` +114 ms) burned three rounds of
+#: adjudication on exactly this class. A lane whose excess over pin is
+#: below this floor never makes the tail list regardless of ratio; a
+#: real regression on a small lane that matters will exceed it (the
+#: floor is ~the documented per-lane jitter band on this host).
+TAIL_ABS_FLOOR_SEC = 0.150
+
+#: PRIMARY regression gate thresholds (VERDICT r11 #1). The median gate
+#: passes when EITHER condition holds:
+#:   raw median_lane_ratio <= MEDIAN_GATE_RAW — catches canary-blind
+#:     LOCALIZED stalls (the r10 failure mode: stall block inflates the
+#:     sums, median reads through it);
+#:   median_lane_ratio_hostnorm (median / trimmed-canary ratio)
+#:     <= MEDIAN_GATE_HOSTNORM — catches UNIFORMLY slow host windows
+#:     (the r11 failure mode: the driver record's median 1.138 equaled
+#:     its canary 1.168 — per-lane code effect 0.97, judge same-tree
+#:     median 1.074 — yet the raw gate face-value-failed and consumed
+#:     an adjudication round). 1.03 is tight because the canaries are
+#:     never-touched lanes: after dividing out host speed, any residual
+#:     >3% median shift across 140+ shared lanes is code, not noise
+#:     (the r11 replicates read 0.91-0.97 hostnorm).
+MEDIAN_GATE_RAW = 1.10
+MEDIAN_GATE_HOSTNORM = 1.03
+
 
 def _median_lane_ratio(
     timings: dict[str, float], reference: dict
@@ -212,18 +247,78 @@ def _lane_ratios(
 
 
 def _tail_lanes(
-    timings: dict[str, float], reference: dict, threshold: float = TAIL_RATIO
+    timings: dict[str, float],
+    reference: dict,
+    threshold: float = TAIL_RATIO,
+    abs_floor: float = TAIL_ABS_FLOOR_SEC,
 ) -> dict[str, float]:
-    """Lanes above `threshold`x their pin, worst first — the per-lane
-    tail rule's work list. Non-empty means the record is not
-    self-certifying: each named lane must read <= 1.2x under
-    `tools/bench_lanes.py --prefix-replay` (the session-faithful
-    instrument) or be treated as a clause-(a) regression."""
+    """Lanes above `threshold`x their pin AND more than `abs_floor`
+    seconds over it, worst first — the per-lane tail rule's work list.
+    Non-empty means the record is not self-certifying. Clearing order
+    (BASELINE.md "r12 tail-clearing rule"): a tail lane reading <= 1.2x
+    in any other same-code full-bench record is CLEARED; only lanes
+    elevated in >= 2 independent records go to `tools/bench_lanes.py
+    --prefix-replay`; an uncleared lane is a clause-(a) regression."""
+    ref_q = reference.get("queries", {})
     return dict(
         sorted(
-            ((n, r) for n, r in _lane_ratios(timings, reference).items() if r > threshold),
+            (
+                (n, r)
+                for n, r in _lane_ratios(timings, reference).items()
+                if r > threshold and timings[n] - ref_q[n] > abs_floor
+            ),
             key=lambda kv: -kv[1],
         )
+    )
+
+
+def _hostnorm_median(
+    median: float | None, canary_ratio: float | None
+) -> float | None:
+    """median_lane_ratio with the host bridge divided out (VERDICT r11
+    #1): the canaries are never-touched lanes, so median/canary isolates
+    the per-lane CODE effect on a uniformly slow (or fast) window. Gate
+    condition B: <= MEDIAN_GATE_HOSTNORM."""
+    if median is None or not canary_ratio:
+        return None
+    return round(median / canary_ratio, 3)
+
+
+def _median_gate_pass(
+    median: float | None, hostnorm: float | None
+) -> bool | None:
+    """Self-certifying median-gate verdict: pass when EITHER the raw
+    median or the host-normalized median clears its threshold (see the
+    MEDIAN_GATE_* constants for which failure mode each arm absorbs).
+    None (no reference / no canaries) means 'not evaluated'."""
+    if median is None:
+        return None
+    if median <= MEDIAN_GATE_RAW:
+        return True
+    return hostnorm is not None and hostnorm <= MEDIAN_GATE_HOSTNORM
+
+
+def _clamped_total(
+    timings: dict[str, float], reference: dict, threshold: float = TAIL_RATIO
+) -> float:
+    """Stall-clamped sweep total (VERDICT r11 #1): each pinned lane's
+    time is clamped at threshold x its pin before summing (unpinned
+    lanes enter raw). A multi-minute host stall lands on one contiguous
+    lane block and dominates any raw sum — both r11-era records failed
+    the budget on stall excess alone (driver 0.961, judge 1.123) while
+    the stall-free figure read ~0.88. Clamping at the tail threshold
+    removes exactly the excess the tail rule already adjudicates
+    per-lane, so the clamped budget and the tail list cannot
+    double-count the same stall: a real broad regression below 2x per
+    lane passes through the clamp untouched and still breaches the
+    budget."""
+    ref_q = reference.get("queries", {})
+    return round(
+        sum(
+            min(t, threshold * ref_q[n]) if ref_q.get(n) else t
+            for n, t in timings.items()
+        ),
+        3,
     )
 
 
@@ -398,8 +493,25 @@ def main() -> None:
         skewed_canaries = _warn_if_canaries_skewed(
             timings, reference, canary_ratio
         )
+    median_lane_ratio_hostnorm = _hostnorm_median(
+        median_lane_ratio, canary_ratio
+    )
+    median_gate = _median_gate_pass(
+        median_lane_ratio, median_lane_ratio_hostnorm
+    )
+    total_clamped = _clamped_total(timings, reference) if reference else None
     normalized_total = (
         round(total / canary_ratio, 3) if canary_ratio else None
+    )
+    # Stall-clamped budget figure (VERDICT r11 #1): host-bridged like
+    # normalized_total, but with per-lane stall excess (>TAIL_RATIO x
+    # pin) clamped out of the sum first — the figure the s/q budget is
+    # read against on a stall-pocked window (the tail rule adjudicates
+    # the clamped-out excess per-lane; this sum must not re-litigate it).
+    normalized_total_clamped = (
+        round(total_clamped / canary_ratio, 3)
+        if total_clamped is not None and canary_ratio
+        else None
     )
     # ADVICE r6: also emit the PRIMARY metric as a normalized total, so
     # a canary-only host anomaly that survives the trim cannot steer the
@@ -433,7 +545,11 @@ def main() -> None:
                 "common_lane_ratio": common_lane_ratio,
                 "n_common_lanes": n_common,
                 "median_lane_ratio": median_lane_ratio,
+                "median_lane_ratio_hostnorm": median_lane_ratio_hostnorm,
+                "median_gate_pass": median_gate,
                 "n_ratio_lanes": n_ratio_lanes,
+                "total_clamped_sec": total_clamped,
+                "normalized_total_clamped_sec": normalized_total_clamped,
                 "tail_lanes": tail,
                 "lane_ratios": (
                     _lane_ratios(timings, reference) if reference else {}
@@ -464,11 +580,14 @@ def main() -> None:
                 "canary_ratio": canary_ratio,
                 "common_lane_ratio": common_lane_ratio,
                 "n_common_lanes": n_common,
-                # PRIMARY regression gate (VERDICT r10 #1): median of
-                # the per-lane current/pin ratios — reads through the
-                # position-contiguous host stalls that dominate the
-                # sum-based ratios above. Gate: <= 1.10.
+                # PRIMARY regression gate (VERDICT r10 #1 + r11 #1):
+                # pass when raw median <= 1.10 (absorbs localized
+                # stalls) OR hostnorm median (median/canary) <= 1.03
+                # (absorbs uniformly slow windows — the r11 driver
+                # record's mode). median_gate_pass is the verdict.
                 "median_lane_ratio": median_lane_ratio,
+                "median_lane_ratio_hostnorm": median_lane_ratio_hostnorm,
+                "median_gate_pass": median_gate,
                 # per-lane tail rule: lanes > 2x pin (worst first, first
                 # 10 named here, full map in bench_detail.json) — each
                 # must survive tools/bench_lanes.py --prefix-replay or
@@ -480,6 +599,10 @@ def main() -> None:
                 # need bench_lanes.py adjudication (VERDICT r8 #2)
                 "skewed_canaries": skewed_canaries,
                 "normalized_total": normalized_total,
+                # the budget figure on a stall-pocked window: per-lane
+                # excess above TAIL_RATIO x pin clamped out (that excess
+                # is the tail rule's jurisdiction), then host-bridged
+                "normalized_total_clamped": normalized_total_clamped,
                 "normalized_total_common": normalized_total_common,
                 # machine-recorded budget provenance (VERDICT r7 #3):
                 # the pin tool chains budget x canary-bridge per re-pin,

@@ -273,6 +273,61 @@ def test_tail_lanes_names_blowups_worst_first():
     assert bench._tail_lanes({"ok": 0.9}, _ref([], {"ok": 1.0})) == {}
 
 
+def test_tail_lanes_absolute_floor_drops_small_lane_jitter():
+    """VERDICT r11 #3: a 2x ratio on a sub-0.2 s lane is noise
+    sensitivity (the watch-pair class: +66/+114 ms absolute), not a
+    regression signal — excess under 150 ms never makes the tail list.
+    A genuinely elevated lane (excess > floor) still does."""
+    ref_q = {"tiny": 0.10, "small": 0.30, "big": 1.0}
+    timings = {"tiny": 0.24, "small": 0.75, "big": 3.0}
+    tail = bench._tail_lanes(timings, _ref([], ref_q))
+    # tiny: 2.4x but +140 ms excess -> floored out; small: 2.5x and
+    # +450 ms -> named; big: 3x and +2 s -> named, worst first
+    assert list(tail) == ["big", "small"]
+    # floor boundary: exactly 150 ms excess does not qualify (strict >)
+    assert bench._tail_lanes({"q": 0.30}, _ref([], {"q": 0.15})) == {}
+
+
+def test_hostnorm_median_divides_out_uniform_host_shift():
+    """VERDICT r11 #1 arm B: the r11 driver record's mode — median
+    1.138 on a canary-1.168 window is a per-lane code effect of 0.974
+    and must PASS the two-armed gate; the same median at canary parity
+    is a real broad regression and must FAIL."""
+    assert bench._hostnorm_median(1.138, 1.168) == pytest.approx(0.974)
+    # uniformly slow window: raw fails, hostnorm passes -> gate passes
+    assert bench._median_gate_pass(1.138, bench._hostnorm_median(1.138, 1.168))
+    # host parity, broad regression: both arms fail -> gate fails
+    assert not bench._median_gate_pass(1.138, bench._hostnorm_median(1.138, 1.0))
+    # localized stall absorbed by the raw arm (r10 mode): canary blind
+    # (parity) but median reads through the stall block
+    assert bench._median_gate_pass(0.98, bench._hostnorm_median(0.98, 1.0))
+    # no reference -> not evaluated, never a fake verdict
+    assert bench._median_gate_pass(None, None) is None
+    assert bench._hostnorm_median(None, 1.1) is None
+    assert bench._hostnorm_median(1.1, None) is None
+    # hostnorm unavailable (canary null): raw arm alone decides
+    assert bench._median_gate_pass(1.05, None) is True
+    assert bench._median_gate_pass(1.2, None) is False
+
+
+def test_clamped_total_removes_exactly_the_stall_excess():
+    """VERDICT r11 #1: the stall-clamped budget figure. A stall block at
+    4x pin contributes at most TAIL_RATIO x pin per lane to the clamped
+    sum; lanes under the threshold and unpinned lanes enter raw — so a
+    real broad sub-2x regression passes through the clamp untouched and
+    still breaches the budget."""
+    ref_q = {"a": 1.0, "b": 1.0, "c": 2.0}
+    timings = {"a": 4.0, "b": 0.9, "c": 2.2, "new_lane": 0.5}
+    got = bench._clamped_total(timings, _ref([], ref_q))
+    # a clamped 4.0 -> 2.0; b raw 0.9 (1.1x < 2x); c raw 2.2; new raw 0.5
+    assert got == pytest.approx(2.0 + 0.9 + 2.2 + 0.5)
+    # broad 1.5x regression: nothing clamps, the excess stays visible
+    broad = {n: 1.5 * v for n, v in ref_q.items()}
+    assert bench._clamped_total(broad, _ref([], ref_q)) == pytest.approx(
+        1.5 * sum(ref_q.values())
+    )
+
+
 def test_time_query_frees_lane_checkpoint_blocks(spark):
     """VERDICT r10 #5 'done' bar: two iterative lanes back-to-back
     through bench's own timing helper end with zero net new pinned
