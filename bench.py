@@ -246,14 +246,30 @@ def _lane_ratios(
     }
 
 
+def _lane_tail_threshold(
+    name: str, reference: dict, threshold: float = TAIL_RATIO
+) -> float:
+    """Per-lane tail threshold: the global TAIL_RATIO, raised to the
+    lane's documented wide band when the pin carries one
+    (`wide_band_lanes` in bench_reference.json — adjudicated same-code
+    swing bands; the r12 entry is `dedup_clusters` at 2.2x, whose
+    host-parity same-day reads spanned 0.94-2.01x with the r10-era
+    code reading inside the same distribution — BASELINE.md "r12
+    adjudication of dedup_clusters"). A genuinely regressed wide-band
+    lane still flags: real blowups in this repo's history read 3-10x."""
+    band = reference.get("wide_band_lanes", {}).get(name, 0.0)
+    return max(threshold, band)
+
+
 def _tail_lanes(
     timings: dict[str, float],
     reference: dict,
     threshold: float = TAIL_RATIO,
     abs_floor: float = TAIL_ABS_FLOOR_SEC,
 ) -> dict[str, float]:
-    """Lanes above `threshold`x their pin AND more than `abs_floor`
-    seconds over it, worst first — the per-lane tail rule's work list.
+    """Lanes above their tail threshold (global `threshold`, or the
+    lane's documented wide band if higher) AND more than `abs_floor`
+    seconds over pin, worst first — the per-lane tail rule's work list.
     Non-empty means the record is not self-certifying. Clearing order
     (BASELINE.md "r12 tail-clearing rule"): a tail lane reading <= 1.2x
     in any other same-code full-bench record is CLEARED; only lanes
@@ -265,7 +281,8 @@ def _tail_lanes(
             (
                 (n, r)
                 for n, r in _lane_ratios(timings, reference).items()
-                if r > threshold and timings[n] - ref_q[n] > abs_floor
+                if r > _lane_tail_threshold(n, reference, threshold)
+                and timings[n] - ref_q[n] > abs_floor
             ),
             key=lambda kv: -kv[1],
         )
@@ -315,7 +332,9 @@ def _clamped_total(
     ref_q = reference.get("queries", {})
     return round(
         sum(
-            min(t, threshold * ref_q[n]) if ref_q.get(n) else t
+            min(t, _lane_tail_threshold(n, reference, threshold) * ref_q[n])
+            if ref_q.get(n)
+            else t
             for n, t in timings.items()
         ),
         3,

@@ -328,6 +328,41 @@ def test_clamped_total_removes_exactly_the_stall_excess():
     )
 
 
+def test_wide_band_lane_raises_tail_threshold_only_for_that_lane():
+    """r12 dedup_clusters adjudication: a lane with a documented wide
+    band in the pin (`wide_band_lanes`) only tails above ITS band; the
+    global 2x threshold still applies to every other lane, and a
+    wide-band lane beyond its band still flags (real blowups read
+    3-10x in this repo's history)."""
+    ref = _ref([], {"swingy": 1.0, "normal": 1.0})
+    ref["wide_band_lanes"] = {"swingy": 2.2}
+    assert bench._lane_tail_threshold("swingy", ref) == 2.2
+    assert bench._lane_tail_threshold("normal", ref) == bench.TAIL_RATIO
+    # 2.1x on the banded lane: inside its documented swing, not tail
+    assert bench._tail_lanes({"swingy": 2.1, "normal": 0.9}, ref) == {}
+    # the same 2.1x on a normal lane IS tail
+    assert list(bench._tail_lanes({"swingy": 0.9, "normal": 2.1}, ref)) == [
+        "normal"
+    ]
+    # beyond the band the banded lane flags too
+    assert list(bench._tail_lanes({"swingy": 2.5, "normal": 0.9}, ref)) == [
+        "swingy"
+    ]
+    # the clamped budget clamps the banded lane at ITS band, not 2x —
+    # more of its excess stays visible to the budget (conservative)
+    got = bench._clamped_total({"swingy": 3.0, "normal": 3.0}, ref)
+    assert got == pytest.approx(2.2 + 2.0)
+
+
+def test_committed_reference_carries_the_dedup_clusters_band():
+    """The committed pin must carry the r12-adjudicated band so the
+    tail machinery honors it, and the pin tool must carry it through
+    future re-pins (WIDE_BAND_LANES)."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ref = json.load(open(os.path.join(repo, "bench_reference.json")))
+    assert ref["wide_band_lanes"] == {"dedup_clusters": 2.2}
+
+
 def test_time_query_frees_lane_checkpoint_blocks(spark):
     """VERDICT r10 #5 'done' bar: two iterative lanes back-to-back
     through bench's own timing helper end with zero net new pinned

@@ -49,6 +49,21 @@ CANARIES = [
 ]
 
 
+#: Documented per-lane tail bands (r12): lanes whose ADJUDICATED
+#: same-code swing exceeds the global 2x tail threshold get their own
+#: band here, carried into every pin; bench.py's tail rule uses
+#: max(TAIL_RATIO, band). dedup_clusters: nine host-parity same-day
+#: r12 reads spanned 0.94-2.01x its pin across full-bench,
+#: prefix-replay (repeats 3 AND 5) and a GC-instrumented probe, with
+#: the r10-era code reading INSIDE the same distribution (7.10 s
+#: in-sweep via a time-machine worktree) and per-run GC at 0.1-0.2 s —
+#: a host-epoch profile shift on a scheduler-overhead-bound iterative
+#: lane, not code (BASELINE.md "r12 adjudication of dedup_clusters").
+#: Band = one notch above the observed noise tail; a real regression
+#: (this repo's history: 3-10x) still flags.
+WIDE_BAND_LANES = {"dedup_clusters": 2.2}
+
+
 def _trimmed_mean_bridge(new_q: dict, old_ref: dict) -> float | None:
     """The SAME trimmed-mean canary computation bench.py applies
     (bench.py:_trimmed_mean_ratio): ratio of the NEW pin's medians to
@@ -150,6 +165,7 @@ def main() -> None:
         "sf": 0.1,
         "total_median_sec": detail["total_median_sec"],
         "canaries": CANARIES,
+        "wide_band_lanes": WIDE_BAND_LANES,
         "queries": queries,
         "previous_pin_label": prev.get("label") if prev else None,
         "canary_bridge_vs_previous_pin": bridge,
