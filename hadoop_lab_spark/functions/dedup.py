@@ -148,9 +148,16 @@ def lsh_candidate_pairs(
     band signature collides ever meet, so the pair stage is linear in
     collisions. With seeds=12, bands=4 (r=3), the match curve passes
     ~50% at Jaccard ≈ 0.44.
+
+    The band table is pinned behind its own (band, band_sig) exchange —
+    see :func:`minhash_near_dups` for the measured rationale (the
+    self-join's two sides otherwise each re-run the 12-md5 signature
+    Generate above the doc-set exchange).
     """
     doc_sets = word_shingle_arrays(df, id_col, text_col, n)
-    bands_df = _band_signatures(doc_sets, id_col, seeds, bands)
+    bands_df = _band_signatures(doc_sets, id_col, seeds, bands).repartition(
+        F.col("band"), F.col("band_sig")
+    )
     left = bands_df.select(
         F.col(id_col).alias("id_a"), F.col("band"), F.col("band_sig")
     )
@@ -226,9 +233,29 @@ def minhash_near_dups(
     a/b), and with the projection above the exchange each one re-runs
     tokenize+slide+distinct, which beats the 3× payload saving as soon
     as the scan has real parallelism. Finished arrays stay upstream.
+
+    r12 (optimization round): the band table is additionally pinned
+    behind its own (band, band_sig) exchange. Without it the
+    self-join's LEFT and RIGHT sides each carried the full signature
+    Generate — 12 md5 minhashes per doc per side — above the reused
+    doc-set exchange (the r12 plan audit found the identical 12-md5
+    expression tree in BOTH join-side Generates). The pin moves the
+    signature stage below ONE tiny exchange ((id, band, sig) rows,
+    `bands` per doc) that both join sides reuse, so signatures are
+    computed once; the join's required partitioning is exactly the
+    pinned key, so the pin replaces — not adds — an exchange. Measured
+    (sf0.1, 5 interleaved reps, identical output): 3.20 → 2.70 s
+    median (−16%); the win doubles on the CC composite, which
+    evaluates the pair plan twice. This differs from the r5
+    ingest-lane negative result (delta bands behind a (band, band_sig)
+    exchange, neutral at sf1.0): there the delta band table was
+    already checkpointed and never fed a SELF-join, so there was no
+    duplicated signature Generate to remove.
     """
     doc_sets = word_shingle_arrays(df, id_col, text_col, n).repartition(F.col(id_col))
-    bands_df = _band_signatures(doc_sets, id_col, seeds, bands)
+    bands_df = _band_signatures(doc_sets, id_col, seeds, bands).repartition(
+        F.col("band"), F.col("band_sig")
+    )
     left = bands_df.select(F.col(id_col).alias("id_a"), "band", "band_sig")
     right = bands_df.select(F.col(id_col).alias("id_b"), "band", "band_sig")
     pairs = (

@@ -68,6 +68,36 @@ def cosine(a: Column, b: Column, decimals: int = 6) -> Column:
     return F.floor(raw * scale) / scale
 
 
+def norm(v: Column) -> Column:
+    """‖v‖ = sqrt(Σ v[i]²) — the factorable half of :func:`cosine`.
+    Same fold, same cast, same sqrt as cosine's denominator, so
+    ``cosine_normed(a, b, norm(a), norm(b))`` is BIT-identical to
+    ``cosine(a, b)`` while letting the norms ride each ROW instead of
+    being re-folded per candidate pair."""
+    return F.sqrt(_dot(v, v))
+
+
+def cosine_normed(
+    a: Column, b: Column, na: Column, nb: Column, decimals: int = 6
+) -> Column:
+    """:func:`cosine` with the two self-norms precomputed (r12
+    optimization round). Every similarity join here scores candidate
+    PAIRS, but two of cosine's three interpreted array folds depend on
+    one vector alone — per-row work misplaced into the pair stage
+    (where the threshold filter, pushed into the join condition, can
+    even evaluate it twice). Callers compute ``norm(v)`` once per row
+    (query/corpus/tagged projections) and pass it through; the
+    expression tree below is cosine()'s own with the identical
+    argument order (na·nb == sqrt(a·a)·sqrt(b·b) in the same IEEE
+    multiply), so the value — and every oracle — is unchanged.
+    Measured on dedup_embedding_cosine_wide (sf0.1, 5 interleaved
+    reps, identical output): 1.97 → 1.58 s median together with the
+    sig-exchange pin in :func:`cosine_near_dup_pairs`."""
+    scale = 10**decimals
+    raw = F.nanvl(F.try_divide(_dot(a, b), na * nb), F.lit(None).cast("double"))
+    return F.floor(raw * scale) / scale
+
+
 def cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -83,10 +113,14 @@ def cosine_topk(
     after row_number pruning, negligible).
     """
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        norm(F.col(vec_col)).alias("_qn"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        norm(F.col(vec_col)).alias("_cn"),
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -94,7 +128,9 @@ def cosine_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("_qv"), F.col("_cv")).alias("cos"),
+            cosine_normed(
+                F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")
+            ).alias("cos"),
         )
     )
     win = Window.partitionBy("query_id").orderBy(
@@ -190,11 +226,13 @@ def lsh_ann_topk(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
         sig.alias("sig"),
+        norm(F.col(vec_col)).alias("_cn"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
         sig.alias("sig"),
+        norm(F.col(vec_col)).alias("_qn"),
     )
     scored = (
         c.join(F.broadcast(q), "sig")
@@ -202,7 +240,9 @@ def lsh_ann_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("_qv"), F.col("_cv")).alias("cos"),
+            cosine_normed(
+                F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")
+            ).alias("cos"),
         )
     )
     win = Window.partitionBy("query_id").orderBy(
@@ -220,18 +260,43 @@ def cosine_near_dup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cos ≥ θ),
     blocked by LSH bucket so only same-bucket pairs are scored."""
+    # r12 optimization round, two changes (measured together on the
+    # _wide lane: 1.97 → 1.58 s sf0.1 median, identical output):
+    # - per-vector norms ride the tagged rows (cosine_normed) so the
+    #   pair stage folds ONE dot product per candidate instead of
+    #   three — the threshold filter is pushed into the join
+    #   condition, which otherwise evaluates all three folds per
+    #   candidate and again per survivor;
+    # - the tagged table is pinned behind its own hashpartitioning(sig)
+    #   exchange, so the self-join's two sides reuse ONE
+    #   signature+norm computation (the same duplicated-Generate shape
+    #   the r12 audit found in minhash_near_dups; without the pin each
+    #   side re-derives sig + norm from the scan).
     sig = lsh_signature(F.col(vec_col), planes)
-    tagged = df.select(F.col(id_col), F.col(vec_col), sig.alias("sig"))
+    tagged = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        sig.alias("sig"),
+        norm(F.col(vec_col)).alias("_n"),
+    ).repartition(F.col("sig"))
     a = tagged.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), "sig"
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), "sig",
+        F.col("_n").alias("_na"),
     )
     b = tagged.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), "sig"
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), "sig",
+        F.col("_n").alias("_nb"),
     )
     return (
         a.join(b, "sig")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("cos"))
+        .select(
+            "id_a",
+            "id_b",
+            cosine_normed(
+                F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")
+            ).alias("cos"),
+        )
         .filter(F.col("cos") >= threshold)
     )
 
@@ -263,10 +328,15 @@ def ivf_topk(
     centroids = corpus.groupBy(list_col).agg(
         F.min_by(F.col(vec_col), F.col(id_col)).alias("_cent")
     )
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        norm(F.col(vec_col)).alias("_qn"),
+    )
     probe_scores = q.crossJoin(F.broadcast(centroids)).select(
         "query_id",
         "_qv",
+        "_qn",
         F.col(list_col),
         cosine(F.col("_qv"), F.col("_cent")).alias("_cs"),
     )
@@ -276,16 +346,23 @@ def ivf_topk(
     probes = (
         probe_scores.withColumn("_pr", F.row_number().over(probe_win))
         .filter(F.col("_pr") <= nprobe)
-        .select("query_id", "_qv", list_col)
+        .select("query_id", "_qv", "_qn", list_col)
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"), F.col(list_col)
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        F.col(list_col),
+        norm(F.col(vec_col)).alias("_cn"),
     )
     scored = (
         c.join(F.broadcast(probes), list_col)
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
-            "query_id", "neighbor_id", cosine(F.col("_qv"), F.col("_cv")).alias("cos")
+            "query_id",
+            "neighbor_id",
+            cosine_normed(
+                F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")
+            ).alias("cos"),
         )
     )
     win = Window.partitionBy("query_id").orderBy(
@@ -317,6 +394,7 @@ def lsh_ann_topk_multiprobe(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
         sig.alias("sig"),
+        norm(F.col(vec_col)).alias("_cn"),
     )
 
     def flip(s: Column, p: int) -> Column:
@@ -328,15 +406,22 @@ def lsh_ann_topk_multiprobe(
     probes = F.array(F.col("_s0"), *[flip(F.col("_s0"), p) for p in range(planes)])
     q = (
         queries.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"), base
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("_qv"),
+            base,
+            norm(F.col(vec_col)).alias("_qn"),
         )
-        .select("query_id", "_qv", F.explode(probes).alias("sig"))
+        .select("query_id", "_qv", "_qn", F.explode(probes).alias("sig"))
     )
     scored = (
         c.join(F.broadcast(q), "sig")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
-            "query_id", "neighbor_id", cosine(F.col("_qv"), F.col("_cv")).alias("cos")
+            "query_id",
+            "neighbor_id",
+            cosine_normed(
+                F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")
+            ).alias("cos"),
         )
     )
     win = Window.partitionBy("query_id").orderBy(

@@ -149,11 +149,27 @@ def _attach_singletons(nodes: DataFrame, labels: DataFrame, id_col: str) -> Data
     )
 
 
+#: Mid-loop lineage-truncation cadence for fixed-K iterative loops
+#: (r12 optimization round). PageRank's unrolled plan is LINEAR in K —
+#: each round references the previous ranks exactly once — so a
+#: per-round eager localCheckpoint buys no computation reuse; it only
+#: inserts a job barrier + a |V|-row materialization per round
+#: (measured sf0.1, 5 interleaved reps: per-round 3.06 s median vs
+#: 2.37 s with no mid-loop checkpoint, bit-identical ranks). Spark
+#: ML's iterative algorithms use the same cadence knob with the same
+#: default (checkpointInterval=10); CC is different and keeps its
+#: per-round checkpoint — its round body references the label table
+#: THREE times, so an un-checkpointed CC plan triples per round, and
+#: its convergence count materializes each round anyway.
+PAGERANK_CHECKPOINT_INTERVAL = 10
+
+
 def pagerank(
     edges: DataFrame,
     iterations: int = 5,
     damping: float = 0.85,
     weight_col: str | None = None,
+    checkpoint_interval: int = PAGERANK_CHECKPOINT_INTERVAL,
 ) -> DataFrame:
     """(id, rank) after a FIXED number of synchronous PageRank rounds
     over a directed, deduplicated edge list (columns ``src``, ``dst``).
@@ -191,8 +207,16 @@ def pagerank(
     - Ranks are |V|-sized (≪ |E|); contributions combine map-side in
       the groupBy. No collect anywhere: the loop is a fixed unrolled
       plan, the canonical "iterate K times" shape for batch PageRank.
-    - ``localCheckpoint`` truncates lineage per round exactly as in CC
-      (without it the unrolled plan doubles per iteration).
+    - ``localCheckpoint`` truncates lineage every ``checkpoint_interval``
+      rounds plus once at the end (the final materialization is
+      load-bearing: it lets the static esd/nodes blocks be freed before
+      the frame is returned). Unlike CC — whose round body references
+      the label table three times, so its plan TRIPLES per
+      un-checkpointed round — each PageRank round references the
+      previous ranks exactly once, so the unrolled plan stays linear in
+      K and a per-round checkpoint adds only job barriers (measured
+      r12: 3.06 → 2.37 s at sf0.1 dropping them; see
+      PAGERANK_CHECKPOINT_INTERVAL).
     """
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
@@ -237,12 +261,15 @@ def pagerank(
     # dead once the loop ends either way.
     done = False
     try:
-        for _ in range(iterations):
-            ranks, new_ids = tracked_checkpoint(
-                _pagerank_round(esd, nodes, ranks, damping)
-            )
-            unpersist_rdds(sc, rank_ids)
-            rank_ids = new_ids
+        for i in range(iterations):
+            ranks = _pagerank_round(esd, nodes, ranks, damping)
+            # Truncate lineage on the cadence, and ALWAYS materialize
+            # the final round: the returned frame must not reference
+            # the esd/nodes checkpoints the finally block frees.
+            if (i + 1) % checkpoint_interval == 0 or i == iterations - 1:
+                ranks, new_ids = tracked_checkpoint(ranks)
+                unpersist_rdds(sc, rank_ids)
+                rank_ids = new_ids
         done = True
         return ranks
     finally:

@@ -346,3 +346,41 @@ def test_pagerank_switch_e2e_forced_smj_matches_default_path(
 
     unpersist_rdds(spark.sparkContext, leaked)
     assert len(leaked) <= 2, f"static/intermediate blocks leaked: {leaked}"
+
+
+def test_pagerank_checkpoint_interval_is_result_invariant(spark, monkeypatch):
+    """r12 optimization: the mid-loop checkpoint cadence is a pure
+    lineage/scheduling knob — per-round (interval=1, the pre-r12 shape)
+    and no-mid-loop (interval > K, the new default for the fixed-K=5
+    bench lanes) must produce BIT-identical ranks: a checkpoint is a
+    materialization barrier, never arithmetic. Also pins the checkpoint
+    COUNT: with K < interval only the two static tables and the final
+    ranks materialize (3 calls), so the 23%-measured win (fewer job
+    barriers) cannot silently regress back to per-round."""
+    import hadoop_lab_spark.operators.graph as graph_mod
+
+    edges = spark.createDataFrame(
+        [(i % 13, (i * 7 + 3) % 19) for i in range(200)],
+        "src bigint, dst bigint",
+    ).distinct()
+    per_round = {
+        r["id"]: r["rank"]
+        for r in graph_mod.pagerank(
+            edges, iterations=5, checkpoint_interval=1
+        ).collect()
+    }
+
+    calls = {"n": 0}
+    real_ck = graph_mod.tracked_checkpoint
+
+    def counting_ck(df):
+        calls["n"] += 1
+        return real_ck(df)
+
+    monkeypatch.setattr(graph_mod, "tracked_checkpoint", counting_ck)
+    lazy_df = graph_mod.pagerank(edges, iterations=5)  # default interval 10
+    lazy = {r["id"]: r["rank"] for r in lazy_df.collect()}
+    assert lazy == per_round  # bit-identical, not approx
+    # nodes + final ranks go through tracked_checkpoint; esd goes
+    # through tracked_checkpoint_partitioned (not patched here).
+    assert calls["n"] == 2, f"expected 2 mid-loop-free checkpoints, got {calls['n']}"
