@@ -242,8 +242,14 @@ def minhash_near_dups(
     expression tree in BOTH join-side Generates). The pin moves the
     signature stage below ONE tiny exchange ((id, band, sig) rows,
     `bands` per doc) that both join sides reuse, so signatures are
-    computed once; the join's required partitioning is exactly the
-    pinned key, so the pin replaces — not adds — an exchange. Measured
+    computed once. Regime note (ADVICE r12): the replaced-exchange
+    claim holds only in the SMJ/SHJ regime, where (band, band_sig) is
+    the join's required distribution; at broadcast scale (bench SFs —
+    see plans/r13/dedup_minhash_lsh_final.txt for the executed-plan
+    evidence) the initial plan carries the two pinned Exchanges as
+    ADDITIONS under the BroadcastHashJoin, and the single signature
+    pass comes from AQE's runtime stage reuse of the now-identical
+    exchange subtrees. Measured
     (sf0.1, 5 interleaved reps, identical output): 3.20 → 2.70 s
     median (−16%); the win doubles on the CC composite, which
     evaluates the pair plan twice. This differs from the r5

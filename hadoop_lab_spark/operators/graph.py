@@ -23,13 +23,16 @@ Scale design (100 TB / 10⁹ nodes):
   doubles per iteration and the optimizer re-derives every previous
   round.
 - The per-round convergence test aggregates ONE scalar (changed-row
-  count) to the driver — the canonical iterative-algorithm driver loop,
-  not a data collect.
+  count) — since r13 it rides the checkpoint materialization itself as
+  an ``observe()`` metric (zero extra jobs); the canonical separate
+  count job is only the fallback when the metric does not land.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import time
+
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from hadoop_lab_spark.checkpoint import (
@@ -98,7 +101,7 @@ def connected_components(
     # checkpoint, so label_ids must stay pinned.
     converged = False
     try:
-        for _ in range(MAX_CC_ITERATIONS):
+        for it in range(MAX_CC_ITERATIONS):
             # 1. Neighbor-min: the smallest label among each node's neighbors.
             nbr_min = (
                 sym.join(labels, sym["dst"] == labels["id"])
@@ -120,17 +123,46 @@ def connected_components(
                 stepped.join(l2, stepped["comp"] == l2["_pid"])
                 .select("id", F.least("comp", "_pcomp").alias("comp"), "_prev")
             )
+            # Convergence flag folded into the checkpoint job (r13,
+            # VERDICT r12 #3): the eager localCheckpoint below already
+            # materializes every row, so an observe() metric on the
+            # same frame — sum of the changed-row indicator — is
+            # computed by THAT job for free, replacing the per-round
+            # limit(1).count() driver job (one full job launch per
+            # round, up to MAX_CC_ITERATIONS per run). The sum is
+            # partition-order independent, so the flag is exactly the
+            # old test: 0 iff no row changed. CollectMetrics wraps the
+            # plan above the checkpoint; the materialized rows are
+            # bit-identical (pinned by test_cc_observe_convergence).
+            obs = Observation(f"cc_changed_{it}")
+            jumped = jumped.observe(
+                obs,
+                F.sum((F.col("comp") != F.col("_prev")).cast("long")).alias(
+                    "changed"
+                ),
+            )
             jumped, new_ids = tracked_checkpoint(jumped)
             # The new checkpoint is materialized (eager=True); the previous
             # round's label blocks are now dead — free them and fold the new
-            # ids into the tracked set BEFORE the convergence count, so that
-            # if the count raises, the finally block covers the NEWEST blocks
-            # instead of stranding them (ADVICE r11: the count only reads the
+            # ids into the tracked set BEFORE the convergence test, so that
+            # if the test raises, the finally block covers the NEWEST blocks
+            # instead of stranding them (ADVICE r11: the test only reads the
             # new checkpoint, so the reorder cannot affect results).
             unpersist_rdds(sc, label_ids)
             label_ids = new_ids
             labels = jumped.select("id", "comp")
-            changed = jumped.filter(F.col("comp") != F.col("_prev")).limit(1).count()
+            changed = _observed_changed(obs)
+            if changed is None:
+                # Fallback (metric never landed: listener drift, or a
+                # Spark version whose eager checkpoint bypasses the
+                # QueryExecutionListener): the original explicit count
+                # job over the materialized checkpoint — slower by one
+                # job launch, identical answer.
+                changed = (
+                    jumped.filter(F.col("comp") != F.col("_prev"))
+                    .limit(1)
+                    .count()
+                )
             if changed == 0:
                 converged = True
                 return _attach_singletons(nodes, labels, id_col)
@@ -139,6 +171,33 @@ def connected_components(
         )
     finally:
         unpersist_rdds(sc, sym_ids if converged else sym_ids | label_ids)
+
+
+#: How long to wait for an eager checkpoint's observe() metric before
+#: falling back to the explicit count job. The QueryExecutionListener
+#: that delivers observation metrics runs on the async listener bus, so
+#: the value normally lands within a few ms of the action returning;
+#: the deadline only bounds the never-arrives case (private-API drift),
+#: where the fallback count keeps the answer identical.
+_OBSERVE_TIMEOUT_S = 2.0
+
+
+def _observed_changed(obs: Observation, timeout_s: float = _OBSERVE_TIMEOUT_S) -> int | None:
+    """The observation's changed-row count, polled WITHOUT blocking
+    forever (``Observation.get`` waits indefinitely — a listener that
+    never fires would hang the loop). ``None`` means unavailable; the
+    caller falls back to the explicit count job."""
+    try:
+        deadline = time.monotonic() + timeout_s
+        while True:
+            row = obs._jo.getRowOrEmpty()
+            if row.isDefined():
+                return int(row.get().getLong(0))
+            if time.monotonic() >= deadline:
+                return None
+            time.sleep(0.002)
+    except Exception:  # private-API drift must never fail the lane
+        return None
 
 
 def _attach_singletons(nodes: DataFrame, labels: DataFrame, id_col: str) -> DataFrame:
@@ -220,6 +279,16 @@ def pagerank(
     """
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
+    if checkpoint_interval < 1:
+        # ADVICE r12: checkpoint_interval=0 is a plausible way to say
+        # "no mid-loop checkpoints" but would raise ZeroDivisionError
+        # below, and negatives silently behave as per-round. The
+        # supported spelling for "never mid-loop" is any value >
+        # iterations (the final round always materializes regardless).
+        raise ValueError(
+            f"checkpoint_interval must be >= 1, got {checkpoint_interval}"
+            " (use a value > iterations to disable mid-loop checkpoints)"
+        )
     w = (
         F.col(weight_col).cast("double")
         if weight_col is not None

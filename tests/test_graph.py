@@ -359,6 +359,19 @@ def test_pagerank_checkpoint_interval_is_result_invariant(spark, monkeypatch):
     barriers) cannot silently regress back to per-round."""
     import hadoop_lab_spark.operators.graph as graph_mod
 
+    # The exact == below compares doubles across two DIFFERENT physical
+    # plans (per-round LogicalRDD inputs vs one 5-round unrolled plan),
+    # and float sum order inside groupBy(dst) is partition-layout
+    # dependent — pin the layout so the equality is structural, not a
+    # fixture-size accident (ADVICE r12): fixed shuffle width, AQE
+    # runtime coalescing off for the duration of both runs.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_coalesce = spark.conf.get(
+        "spark.sql.adaptive.coalescePartitions.enabled", "true"
+    )
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+
     edges = spark.createDataFrame(
         [(i % 13, (i * 7 + 3) % 19) for i in range(200)],
         "src bigint, dst bigint",
@@ -378,9 +391,69 @@ def test_pagerank_checkpoint_interval_is_result_invariant(spark, monkeypatch):
         return real_ck(df)
 
     monkeypatch.setattr(graph_mod, "tracked_checkpoint", counting_ck)
-    lazy_df = graph_mod.pagerank(edges, iterations=5)  # default interval 10
-    lazy = {r["id"]: r["rank"] for r in lazy_df.collect()}
+    try:
+        lazy_df = graph_mod.pagerank(edges, iterations=5)  # default interval 10
+        lazy = {r["id"]: r["rank"] for r in lazy_df.collect()}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", prev_coalesce
+        )
     assert lazy == per_round  # bit-identical, not approx
     # nodes + final ranks go through tracked_checkpoint; esd goes
     # through tracked_checkpoint_partitioned (not patched here).
     assert calls["n"] == 2, f"expected 2 mid-loop-free checkpoints, got {calls['n']}"
+
+
+def test_pagerank_checkpoint_interval_guard(spark):
+    """ADVICE r12: checkpoint_interval=0 is a plausible spelling of
+    'no mid-loop checkpoints' but would hit ZeroDivisionError in the
+    cadence test; it (and negatives) must fail loudly instead. The
+    supported spelling is any value > iterations."""
+    import hadoop_lab_spark.operators.graph as graph_mod
+
+    edges = spark.createDataFrame([(0, 1)], "src bigint, dst bigint")
+    for bad in (0, -1):
+        with pytest.raises(ValueError, match="checkpoint_interval"):
+            graph_mod.pagerank(edges, iterations=2, checkpoint_interval=bad)
+
+
+def test_cc_observe_convergence_metric_lands_and_matches_fallback(
+    spark, monkeypatch
+):
+    """r13 (VERDICT r12 #3): the per-round convergence flag rides the
+    checkpoint materialization as an observe() metric instead of a
+    separate limit(1).count() job. Two contracts:
+
+    1. the metric actually LANDS on this Spark version (every round
+       resolves via the observation, never the fallback) — if eager
+       localCheckpoint ever stops reporting to QueryExecutionListener,
+       this fails loudly instead of silently paying the fallback job;
+    2. labels are identical either way (fallback forced via
+       monkeypatch), because the fallback is the pre-r13 explicit count
+       over the same materialized checkpoint.
+    """
+    import hadoop_lab_spark.operators.graph as graph_mod
+
+    node_ids = range(16)
+    edge_pairs = [(i, i + 1) for i in range(15)]
+
+    seen: list[int | None] = []
+    real = graph_mod._observed_changed
+
+    def recording(obs, timeout_s=graph_mod._OBSERVE_TIMEOUT_S):
+        v = real(obs, timeout_s)
+        seen.append(v)
+        return v
+
+    monkeypatch.setattr(graph_mod, "_observed_changed", recording)
+    got_observed = _cc(spark, node_ids, edge_pairs)
+    assert got_observed == {i: 0 for i in range(16)}
+    assert seen and all(v is not None for v in seen), (
+        f"observe() metric failed to land on some round: {seen} — the "
+        "loop silently fell back to per-round count jobs"
+    )
+
+    monkeypatch.setattr(graph_mod, "_observed_changed", lambda *a, **k: None)
+    got_fallback = _cc(spark, node_ids, edge_pairs)
+    assert got_fallback == got_observed
